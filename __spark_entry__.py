@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with its DuckDB oracle twin (column names/types aligned —
+see eventstream_benchmark_spark/operators/_util.py for the
+cross-engine conventions).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: gap-based per-user
+    sessionization joined with per-user inter-arrival stats — the
+    composition of B30 and B15 over the events stream."""
+    from pyspark.sql import functions as F
+
+    from eventstream_benchmark_spark.operators.eventstream import stream_sessionize
+    from eventstream_benchmark_spark.operators.relational import win_lag_inter_arrival
+
+    sf_dir = "/root/testdata/sf0.001"
+    sessions = stream_sessionize(spark, sf_dir)
+    arrivals = win_lag_inter_arrival(spark, sf_dir)
+    return sessions.join(arrivals, "user_id").orderBy("user_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from eventstream_benchmark_spark.operators import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for each hash-checkable query; keys absent here
+    (stochastic generators, approx sketches, streaming) get the
+    driver's rows-only check."""
+    from eventstream_benchmark_spark.operators import all_oracles
+
+    return all_oracles()

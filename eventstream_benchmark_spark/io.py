@@ -1,0 +1,64 @@
+"""Fixture-table loaders.
+
+The driver materializes a TPC-H-ish star schema + event/document/
+embedding tables as one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/`` (schemas in FIXTURES.md).
+Parquet scans give Catalyst predicate pushdown + column pruning for
+free, so every query starts from ``load_table`` and stays declarative.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views", "default_sf_dir"]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    map to TimestampType; read it as raw nanos (legacy conf) and convert
+    to a µs TimestampType column — lossless, the fixture data is
+    µs-precision (FIXTURES.md).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # integer DIV: double division would corrupt epoch-nanos (~1.7e18,
+        # beyond double's 53-bit mantissa) by hundreds of ns
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each fixture table as a temp view for spark.sql queries."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,64 @@
+"""Shared helpers for oracle-parity query outputs.
+
+The driver compares Spark results against DuckDB by row-count + schema +
+order-insensitive value hash, so outputs must be *representation*-stable
+across engines:
+
+- timestamps -> formatted strings (``fmt_ts``/``fmt_date``) so pandas
+  datetime64[us] (Spark) vs datetime64[ns] (DuckDB) never diverge;
+- float aggregates -> ``F.round`` to a fixed scale in BOTH engines
+  (sums of 2-decimal fixture doubles; accumulation-order noise is
+  ~1e-9 relative, far below the rounding step);
+- integer aggregates -> BIGINT on both sides (DuckDB ``sum(int)``
+  yields HUGEINT, Spark rank/length/year yield INT — cast both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Spark <-> DuckDB timestamp formats that render identically (µs precision).
+SPARK_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+SPARK_DATE_FMT = "yyyy-MM-dd"
+DUCK_DATE_FMT = "%Y-%m-%d"
+
+
+def fmt_ts(col: str | Column) -> Column:
+    """Format a timestamp column as a µs-precision string (Spark side)."""
+    return F.date_format(col, SPARK_TS_FMT)
+
+
+def fmt_date(col: str | Column) -> Column:
+    """Format a timestamp/date column as ``yyyy-MM-dd`` (Spark side)."""
+    return F.date_format(col, SPARK_DATE_FMT)
+
+
+def duck_fmt_ts(expr: str) -> str:
+    """DuckDB twin of :func:`fmt_ts`."""
+    return f"strftime({expr}, '{DUCK_TS_FMT}')"
+
+
+def duck_fmt_date(expr: str) -> str:
+    """DuckDB twin of :func:`fmt_date`."""
+    return f"strftime({expr}, '{DUCK_DATE_FMT}')"
+
+
+def bigint(col: Column) -> Column:
+    return col.cast("bigint")
+
+
+def r2(col: Column) -> Column:
+    """Round money-scale double aggregates to 2 decimals."""
+    return F.round(col, 2)
+
+
+def r4(col: Column) -> Column:
+    """Round averages/ratios to 4 decimals."""
+    return F.round(col, 4)
+
+
+def r6(col: Column) -> Column:
+    """Round high-precision scalars to 6 decimals."""
+    return F.round(col, 6)

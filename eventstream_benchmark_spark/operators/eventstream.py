@@ -1,0 +1,264 @@
+"""Event-stream analytics pack (SURVEY.md §2.2 B28-B32).
+
+The reference generates pattern-bearing event streams
+(eventstream.py:288-409); these operators are the analytic consumers
+such a stream exists to feed: windowed rates (the r(t) density concept,
+eventstream.py:94-113), gap-based sessionization (pattern-boundary +1
+pad, eventstream.py:383-384), type-distribution drift (README drift
+feature), and fixed-sequence pattern matching (the benchmark's raison
+d'être — recovering embedded patterns from noise).
+
+All batch implementations are pure DataFrame ops: one shuffle per
+groupBy/window on (user_id) or (window bucket), no UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eventstream_benchmark_spark.io import load_table
+from eventstream_benchmark_spark.operators._util import (
+    bigint,
+    duck_fmt_date,
+    duck_fmt_ts,
+    fmt_date,
+    fmt_ts,
+    r2,
+    r4,
+    r6,
+)
+
+SESSION_GAP_MIN = 30  # minutes of silence that closes a session
+
+
+# --------------------------------------------------------------------------
+# B28 — tumbling-window event rate
+# --------------------------------------------------------------------------
+
+
+def stream_tumbling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per 1-hour tumbling window per type (batch form of the
+    streaming B36 query; F.window so batch/stream plans share shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), r2(F.sum("value")).alias("sum_value"))
+        .select(
+            fmt_ts(F.col("win.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B29 — sliding-window event rate
+# --------------------------------------------------------------------------
+
+
+def stream_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes. Spark assigns each event
+    to 4 overlapping windows; oracle reproduces that assignment by
+    exploding a 0..3 offset against the 15-minute floor."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start_s"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B30 — gap-based sessionization (batch)
+# --------------------------------------------------------------------------
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session ids: a new session starts after >30 min of
+    silence per user — lag + boundary flag + running sum (the batch
+    twin of F.session_window used in streaming/)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("us") - F.lag("us").over(w) > F.lit(gap_us), 1
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats: session count, avg events/session,
+    avg+max session duration (seconds)."""
+    sessions = (
+        _sessions(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            ((F.max("us") - F.min("us")) / 1_000_000.0).alias("dur_s"),
+        )
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        r4(F.avg("n_events")).alias("avg_events"),
+        r4(F.avg("dur_s")).alias("avg_dur_s"),
+        r6(F.max("dur_s")).alias("max_dur_s"),
+        bigint(F.sum("n_events")).alias("total_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B31 — type-distribution drift per day
+# --------------------------------------------------------------------------
+
+
+def stream_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day share of each event type — drift in the type marginal is
+    an explicit generator feature (eventstream.py:7-8)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(fmt_date(F.date_trunc("day", F.col("ts"))).alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("day")
+    return counts.select(
+        "day",
+        "event_type",
+        "n",
+        r6(F.col("n") / F.sum("n").over(w)).alias("share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B32 — fixed-sequence pattern matching (view -> click -> purchase)
+# --------------------------------------------------------------------------
+
+PATTERN = ("view", "click", "purchase")
+# per-step bound on inter-event gap: 24h — fixture streams average ~11h
+# between a user's events, so 1h would make the match set empty
+PATTERN_MAX_GAP_S = 86_400
+
+
+def pattern_match_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occurrences of the contiguous per-user sequence view→click→purchase
+    with each step gap ≤ 24h — lead() chains over (user, ts, event_id),
+    the Spark mirror of the reference's embedded contiguous patterns
+    (eventstream.py:288-409; ties resolved per SURVEY §1.2)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"), "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    k = len(PATTERN)
+    df = ev
+    for step in range(1, k):
+        df = df.withColumn(f"type_{step}", F.lead("event_type", step).over(w))
+        df = df.withColumn(f"us_{step}", F.lead("us", step).over(w))
+    cond = F.col("event_type") == PATTERN[0]
+    prev = F.col("us")
+    for step in range(1, k):
+        cond = cond & (F.col(f"type_{step}") == PATTERN[step])
+        cond = cond & (
+            (F.col(f"us_{step}") - prev) <= PATTERN_MAX_GAP_S * 1_000_000
+        )
+        prev = F.col(f"us_{step}")
+    return df.filter(cond).select(
+        "user_id",
+        F.col("event_id").alias("start_event_id"),
+        fmt_ts("ts").alias("start_ts"),
+        r6((F.col(f"us_{k-1}") - F.col("us")) / 1_000_000.0).alias("span_s"),
+    )
+
+
+QUERIES = {
+    "stream_tumbling_rate": stream_tumbling_rate,
+    "stream_sliding_rate": stream_sliding_rate,
+    "stream_sessionize": stream_sessionize,
+    "stream_type_drift": stream_type_drift,
+    "pattern_match_fixed": pattern_match_fixed,
+}
+
+ORACLES = {
+    "stream_tumbling_rate": f"""
+        SELECT {duck_fmt_ts("date_trunc('hour', ts)")} AS win_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "stream_sliding_rate": """
+        SELECT ((epoch_us(ts) // 900000000) * 900 - g.g * 900) AS win_start_s,
+               event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS g) g
+        GROUP BY 1, 2
+    """,
+    "stream_sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_MIN * 60 * 1000000} THEN 1 ELSE 0 END
+                       AS new_session
+            FROM events
+        ), with_sid AS (
+            SELECT user_id, us,
+                   sum(new_session) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        ), per_session AS (
+            SELECT user_id, session_id, count(*) AS n_events,
+                   (max(us) - min(us)) / 1000000.0 AS dur_s
+            FROM with_sid GROUP BY user_id, session_id
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               round(avg(n_events), 4) AS avg_events,
+               round(avg(dur_s), 4) AS avg_dur_s,
+               round(max(dur_s), 6) AS max_dur_s,
+               CAST(sum(n_events) AS BIGINT) AS total_events
+        FROM per_session GROUP BY user_id
+    """,
+    "stream_type_drift": f"""
+        WITH counts AS (
+            SELECT {duck_fmt_date("date_trunc('day', ts)")} AS day,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, n,
+               round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day), 6) AS share
+        FROM counts
+    """,
+    "pattern_match_fixed": f"""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+                   lead(event_type, 1) OVER w AS type_1,
+                   lead(epoch_us(ts), 1) OVER w AS us_1,
+                   lead(event_type, 2) OVER w AS type_2,
+                   lead(epoch_us(ts), 2) OVER w AS us_2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id AS start_event_id,
+               {duck_fmt_ts('ts')} AS start_ts,
+               round((us_2 - us) / 1000000.0, 6) AS span_s
+        FROM seq
+        WHERE event_type = '{PATTERN[0]}' AND type_1 = '{PATTERN[1]}'
+          AND type_2 = '{PATTERN[2]}'
+          AND us_1 - us <= {PATTERN_MAX_GAP_S * 1000000}
+          AND us_2 - us_1 <= {PATTERN_MAX_GAP_S * 1000000}
+    """,
+}

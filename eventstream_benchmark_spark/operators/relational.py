@@ -1,0 +1,849 @@
+"""Relational operator pack (SURVEY.md §2.2 B1-B25).
+
+Scans, predicates, joins (equi/broadcast/outer/semi/anti/range/as-of),
+aggregations (global/grouped/distinct/rollup/cube), window functions,
+sort/limit, set ops, exact dedup, and the scalar function families.
+Everything is declarative DataFrame API so Catalyst gets predicate
+pushdown, column pruning, and join selection for free; the only
+non-obvious physical choices are annotated inline (broadcast hints,
+bucketed range join).
+
+Each query has a DuckDB oracle twin in ``ORACLES`` with identical
+column names/types (see ``_util`` for the cross-engine conventions).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eventstream_benchmark_spark.io import load_table
+from eventstream_benchmark_spark.operators._util import (
+    bigint,
+    duck_fmt_date,
+    duck_fmt_ts,
+    fmt_date,
+    fmt_ts,
+    r2,
+    r4,
+    r6,
+)
+
+# --------------------------------------------------------------------------
+# B1 — parquet scan with projection + filter (pushdown visible in .explain)
+# --------------------------------------------------------------------------
+
+
+def scan_parquet_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events of type 'error', projected to 3 columns.
+
+    Parity target: the reference's only scan surface is its own arrays /
+    CSV (eventstream.py:413-427); this is the minimal Spark scan slice
+    with filter+projection pushed to the parquet reader.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# B2 — CSV round-trip (write with header, read back with explicit schema)
+# --------------------------------------------------------------------------
+
+
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events subset to CSV (header), read it back, aggregate.
+
+    Mirrors the reference's ``to_csv`` header+format semantics
+    (eventstream.py:417-427). The oracle aggregates the original table,
+    so the check proves the round-trip is lossless.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="esb_csv_"), "events_csv")
+    events.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema("event_id bigint, event_type string, value double").option(
+        "header", True
+    ).csv(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        r2(F.sum("value")).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B3 — compound predicates
+# --------------------------------------------------------------------------
+
+
+def predicate_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 30)
+        & F.col("l_returnflag").isin("A", "R")
+        & ((F.col("l_linestatus") == "F") | (F.col("l_tax") > 0.04))
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# --------------------------------------------------------------------------
+# B4 — inner equi-join
+# --------------------------------------------------------------------------
+
+
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            r2(F.sum("o_totalprice")).alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 — star-schema join chain with broadcast dims
+# --------------------------------------------------------------------------
+
+
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> orders -> customer -> nation -> region revenue rollup.
+
+    At 100 TB lineitem/orders shuffle on the orderkey; customer may
+    exceed the auto-broadcast threshold, but nation (25 rows) and
+    region (5 rows) are always broadcast — hinted explicitly so the
+    plan never shuffles the fact table for them.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B6 — left outer join with null-aware counts
+# --------------------------------------------------------------------------
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderkey").alias("n_matched"),
+            bigint(F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))).alias(
+                "n_unmatched"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B7 — semi / anti joins
+# --------------------------------------------------------------------------
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("with_orders").alias("kind"), "n_customers")
+    )
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("without_orders").alias("kind"), "n_customers")
+    )
+    return semi.unionAll(anti)
+
+
+# --------------------------------------------------------------------------
+# B8 — range (interval) self-join, bucketed for scale
+# --------------------------------------------------------------------------
+
+
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of events of the same user within (0, 60s]: count per user.
+
+    Naive theta self-join is O(n² / users); the scale path buckets time
+    into 60s cells and equi-joins on (user_id, bucket) with the right
+    side exploded to {bucket, bucket+1}, then applies the exact range
+    predicate — identical semantics, shuffle stays an equi-join.
+    Inter-event gap semantics mirror eventstream.py:63-91.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+    )
+    bucket_us = 60_000_000
+    left = ev.select(
+        "user_id",
+        F.col("us").alias("us1"),
+        (F.col("us") / bucket_us).cast("bigint").alias("bucket"),
+    )
+    # each left event's matches lie in its own bucket or the next one
+    left = left.withColumn("probe", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)))
+    right = ev.select(
+        "user_id",
+        F.col("us").alias("us2"),
+        (F.col("us") / bucket_us).cast("bigint").alias("probe"),
+    )
+    pairs = left.join(right, ["user_id", "probe"]).filter(
+        (F.col("us2") > F.col("us1")) & (F.col("us2") <= F.col("us1") + bucket_us)
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
+# B9 — as-of join (latest click at-or-before each purchase, per user)
+# --------------------------------------------------------------------------
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable as-of join via tagged union + running last_value.
+
+    Avoids a per-key cross join: one shuffle on user_id, one ordered
+    window pass — the standard distributed merge-asof shape. DuckDB
+    oracle uses its native ASOF LEFT JOIN (inclusive >=) which matches
+    ordering clicks before purchases at equal timestamps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            fmt_ts("ts").alias("purchase_ts"),
+            fmt_ts("last_click_ts").alias("last_click_ts"),
+            r6((F.unix_micros("ts") - F.unix_micros("last_click_ts")) / 1_000_000.0).alias(
+                "gap_s"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 — global hash aggregate
+# --------------------------------------------------------------------------
+
+
+def agg_hash_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        r2(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+        r2(F.min("l_discount")).alias("min_disc"),
+        r2(F.max("l_tax")).alias("max_tax"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — TPC-H Q1-shape grouped aggregate
+# --------------------------------------------------------------------------
+
+
+def agg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(disc_price)).alias("sum_disc_price"),
+            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — exact distinct aggregation (+ approx variant, rows-only)
+# --------------------------------------------------------------------------
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def agg_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — sketch differs from DuckDB's, so
+    this is a rows-only check (one row per event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 — rollup + cube
+# --------------------------------------------------------------------------
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).join(nation, customer.c_nationkey == nation.n_nationkey)
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), r2(F.sum("o_totalprice")).alias("revenue"))
+        # fixture columns are never null, so coalesce marks subtotal rows
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("c_mktsegment"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), r2(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B14 — ranking window functions
+# --------------------------------------------------------------------------
+
+
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        bigint(F.row_number().over(w)).alias("rn"),
+        bigint(F.rank().over(w)).alias("rk"),
+        bigint(F.dense_rank().over(w)).alias("drk"),
+        bigint(F.ntile(4).over(w)).alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B15 — lag-based inter-arrival stats (the core reference quantity)
+# --------------------------------------------------------------------------
+
+
+def win_lag_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event inter-arrival gaps via lag(ts) — the Spark analog
+    of the reference's interval samplers (eventstream.py:63-91,314-348).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        r4(F.avg(F.col("gap_us") / 1_000_000.0)).alias("avg_gap_s"),
+        r6(F.max(F.col("gap_us") / 1_000_000.0)).alias("max_gap_s"),
+        r6(F.min(F.col("gap_us") / 1_000_000.0)).alias("min_gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B16 — window frames: running sum + moving average
+# --------------------------------------------------------------------------
+
+
+def win_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum (prefix-sum clock analog, eventstream.py:339,381-382)
+    and 5-row moving average of value per user."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_run = W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    w_mov = W.partitionBy("user_id").orderBy(*order).rowsBetween(-4, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        r2(F.sum("value").over(w_run)).alias("running_sum"),
+        r4(F.avg("value").over(w_mov)).alias("moving_avg5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B17 — top-k per group
+# --------------------------------------------------------------------------
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rk", bigint(F.row_number().over(w)))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# B18 — global sort + limit (TakeOrderedAndProject)
+# --------------------------------------------------------------------------
+
+
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# B19 — set operations
+# --------------------------------------------------------------------------
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        clickers.union(buyers).distinct().select(F.lit("union").alias("op"), "user_id")
+        .unionAll(clickers.intersect(buyers).select(F.lit("intersect").alias("op"), "user_id"))
+        .unionAll(clickers.subtract(buyers).select(F.lit("except").alias("op"), "user_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B20 — deterministic exact dedup (first event per key)
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic variant of dropDuplicates: keep the first event per
+    (user_id, event_type) by (ts, event_id) — the tie-break lesson of
+    SURVEY.md §1.2 (reference timestamps tie at pattern boundaries,
+    eventstream.py:339-348,357-359)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            fmt_ts("ts").alias("first_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B21-B25 — scalar function families
+# --------------------------------------------------------------------------
+
+
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        bigint(F.length("p_name")).alias("name_len"),
+        F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0).alias("is_promo"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_token"),
+    )
+
+
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        bigint(F.year("o_orderdate")).alias("yr"),
+        bigint(F.month("o_orderdate")).alias("mo"),
+        # ISO day-of-week 1=Mon..7=Sun (Spark weekday() is 0=Mon)
+        bigint(F.weekday("o_orderdate") + 1).alias("dow_iso"),
+        fmt_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+        bigint(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))).alias(
+            "days_since_95"
+        ),
+    )
+
+
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(F.sqrt("l_quantity")).alias("sqrt_qty"),
+        r6(F.log("l_extendedprice")).alias("ln_price"),
+        r6(F.pow("l_discount", 2)).alias("disc_sq"),
+        r2(F.abs(F.col("l_tax") - 0.04)).alias("tax_dev"),
+        bigint(F.round(F.col("l_extendedprice"), 0)).alias("price_rounded"),
+    )
+
+
+def scalar_math_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sinusoidal density formula r(t) = base*(1+amp*sin(2πt/period))
+    (eventstream.py:94-113) applied to event epoch ticks as a column expr."""
+    ev = load_table(spark, sf_dir, "events")
+    period = 86_400.0  # one day of seconds
+    amp = 0.6
+    t = F.unix_micros("ts") / 1_000_000.0
+    r = 1.0 * (1.0 + amp * F.sin(2.0 * float(__import__("math").pi) * t / period))
+    return ev.select(
+        "event_id",
+        r6(F.greatest(F.lit(1e-6), r)).alias("density_rate"),
+    )
+
+
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_mod10"))
+        .agg(F.count("*").alias("n"), r2(F.sum("value")).alias("sum_value"))
+    )
+
+
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column (the only
+    nested type in the fixtures): element stats via transform/aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        bigint(F.size("embedding")).alias("emb_dim"),
+        r6(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)).alias("emb_sum"),
+        r6(F.array_min("embedding").cast("double")).alias("emb_min"),
+        r6(F.array_max("embedding").cast("double")).alias("emb_max"),
+        r6(F.element_at("embedding", 1).cast("double")).alias("first_elem"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry + DuckDB oracles
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "scan_parquet_project_filter": scan_parquet_project_filter,
+    "scan_csv_roundtrip": scan_csv_roundtrip,
+    "predicate_combo": predicate_combo,
+    "join_inner_equi": join_inner_equi,
+    "join_broadcast_dims": join_broadcast_dims,
+    "join_left_outer": join_left_outer,
+    "join_semi_anti": join_semi_anti,
+    "join_range_interval": join_range_interval,
+    "join_asof": join_asof,
+    "agg_hash_global": agg_hash_global,
+    "agg_groupby_q1": agg_groupby_q1,
+    "agg_distinct": agg_distinct,
+    "agg_distinct_approx": agg_distinct_approx,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "win_ranking": win_ranking,
+    "win_lag_inter_arrival": win_lag_inter_arrival,
+    "win_frame_running": win_frame_running,
+    "topk_per_group": topk_per_group,
+    "sort_limit_topk": sort_limit_topk,
+    "set_ops": set_ops,
+    "dedup_exact": dedup_exact,
+    "scalar_string": scalar_string,
+    "scalar_datetime": scalar_datetime,
+    "scalar_math": scalar_math,
+    "scalar_math_density": scalar_math_density,
+    "scalar_json": scalar_json,
+    "scalar_array": scalar_array,
+}
+
+ORACLES = {
+    "scan_parquet_project_filter": """
+        SELECT event_id, user_id, value FROM events WHERE event_type = 'error'
+    """,
+    "scan_csv_roundtrip": """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "predicate_combo": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 30
+          AND l_returnflag IN ('A', 'R')
+          AND (l_linestatus = 'F' OR l_tax > 0.04)
+          AND l_shipdate IS NOT NULL
+    """,
+    "join_inner_equi": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "join_broadcast_dims": """
+        SELECT r_name, n_name, count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "join_left_outer": """
+        SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_matched,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unmatched
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    "join_semi_anti": """
+        SELECT 'with_orders' AS kind, count(*) AS n_customers
+        FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'without_orders' AS kind, count(*) AS n_customers
+        FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "join_range_interval": """
+        SELECT e1.user_id AS user_id, count(*) AS n_pairs
+        FROM events e1
+        JOIN events e2 ON e1.user_id = e2.user_id
+                      AND e2.ts > e1.ts
+                      AND e2.ts <= e1.ts + INTERVAL 60 SECOND
+        GROUP BY e1.user_id
+    """,
+    "join_asof": f"""
+        SELECT p.event_id AS event_id, p.user_id AS user_id,
+               {duck_fmt_ts('p.ts')} AS purchase_ts,
+               {duck_fmt_ts('c.ts')} AS last_click_ts,
+               round(CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE) / 1000000.0, 6)
+                   AS gap_s
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "agg_hash_global": """
+        SELECT count(*) AS n,
+               round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(min(l_discount), 2) AS min_disc,
+               round(max(l_tax), 2) AS max_tax,
+               count(DISTINCT l_suppkey) AS n_supp
+        FROM lineitem
+    """,
+    "agg_groupby_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "agg_rollup": """
+        SELECT coalesce(n_name, 'ALL') AS n_name,
+               coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+    "agg_cube": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               count(*) AS n, round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "win_ranking": """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS rn,
+               rank() OVER w AS rk,
+               dense_rank() OVER w AS drk,
+               ntile(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "win_lag_inter_arrival": """
+        SELECT user_id, count(gap_us) AS n_gaps,
+               round(avg(gap_us / 1000000.0), 4) AS avg_gap_s,
+               round(max(gap_us / 1000000.0), 6) AS max_gap_s,
+               round(min(gap_us / 1000000.0), 6) AS min_gap_s
+        FROM (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        )
+        GROUP BY user_id
+    """,
+    "win_frame_running": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_sum,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg5
+        FROM events
+    """,
+    "topk_per_group": """
+        SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey) AS rk
+            FROM part
+        ) WHERE rk <= 3
+    """,
+    "sort_limit_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "set_ops": """
+        SELECT 'union' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT 'intersect' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT 'except' AS op, user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    "dedup_exact": f"""
+        SELECT user_id, event_type, event_id AS first_event_id,
+               {duck_fmt_ts('ts')} AS first_ts
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "scalar_string": """
+        SELECT p_partkey, upper(p_name) AS uname, substring(p_name, 1, 5) AS prefix5,
+               concat(p_brand, ':', p_type) AS brand_type,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo,
+               string_split(p_name, ' ')[1] AS first_token
+        FROM part
+    """,
+    "scalar_datetime": f"""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(isodow(o_orderdate) AS BIGINT) AS dow_iso,
+               {duck_fmt_date("date_trunc('month', o_orderdate)")} AS month_start,
+               CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   AS BIGINT) AS days_since_95
+        FROM orders
+    """,
+    "scalar_math": """
+        SELECT l_orderkey, l_linenumber,
+               round(sqrt(l_quantity), 6) AS sqrt_qty,
+               round(ln(l_extendedprice), 6) AS ln_price,
+               round(pow(l_discount, 2), 6) AS disc_sq,
+               round(abs(l_tax - 0.04), 2) AS tax_dev,
+               CAST(round(l_extendedprice, 0) AS BIGINT) AS price_rounded
+        FROM lineitem
+    """,
+    "scalar_math_density": """
+        SELECT event_id,
+               round(greatest(1e-6,
+                   1.0 * (1.0 + 0.6 * sin(2.0 * pi() *
+                       (epoch_us(ts) / 1000000.0) / 86400.0))), 6) AS density_rate
+        FROM events
+    """,
+    "scalar_json": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    "scalar_array": """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS emb_dim,
+               round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+                   AS emb_sum,
+               round(CAST(list_min(embedding) AS DOUBLE), 6) AS emb_min,
+               round(CAST(list_max(embedding) AS DOUBLE), 6) AS emb_max,
+               round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem
+        FROM embeddings
+    """,
+}
