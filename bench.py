@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the sum of per-query wall seconds (each measured as a
+full collect after a shared-session warmup scan). Reference baseline
+context in BASELINE.md; the generator throughput metric is appended
+once Layer A lands so the ev/s comparison is like-for-like.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# headline set: one per operator family, heaviest variants
+HEADLINE = (
+    "agg_groupby_q1",
+    "join_broadcast_dims",
+    "join_range_interval",
+    "join_asof",
+    "win_frame_running",
+    "stream_sessionize",
+    "stream_sliding_rate",
+    "pattern_match_fixed",
+    "dedup_exact",
+    "scalar_json",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from eventstream_benchmark_spark.session import get_spark
+    from eventstream_benchmark_spark.operators import all_queries
+
+    spark = get_spark("esb-bench")
+    queries = all_queries()
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not session start
+    from eventstream_benchmark_spark.io import TABLES, load_table
+
+    for name in TABLES:
+        load_table(spark, sf_dir, name).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        extras[f"{name}_rows"] = n
+
+    # Layer-A generator throughput (events/sec), once available
+    try:
+        from eventstream_benchmark_spark.generator.bench import generator_events_per_sec
+
+        extras["generator_events_per_sec"] = generator_events_per_sec(spark)
+    except ImportError:
+        pass
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
