@@ -1,0 +1,181 @@
+"""Bit-compatible NumPy recreation of the reference generator.
+
+This is the *exact-parity* path (SURVEY.md §4.2): the same RNG draw
+sequence as the reference produces identical arrays for identical
+(config, seed), which the golden test asserts element-wise against
+``/root/reference/eventstream.py`` output. Semantics recreated from
+observed behavior (citations per function); code written fresh.
+
+Draw order contract (the part parity hinges on):
+
+- pattern set (ref ``eventstream.py:166-183``): one vectorized
+  ``integers`` draw for the whole type matrix, then row-major
+  per-cell interval draws for gaps.
+- per random event (ref ``:314-348``): interval draw, then jitter
+  draw, then ``choice(n_types)`` for the event type.
+- per pattern instance (ref ``:351-385``): ``integers(0, n_patterns)``
+  pick, then one jitter draw per intra-pattern gap.
+
+All returned gaps/intervals are clamped ≥ 1 at every stage, so
+timestamps never decrease; ties occur exactly where a pattern
+instance starts at the previous random event's timestamp (ref
+``:339-348`` + ``:357-359``; SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from eventstream_benchmark_spark.generator.config import PatternConfig, StreamConfig
+
+
+def make_rng(seed: int) -> np.random.Generator:
+    """Seeded generator (ref ``eventstream.py:27-28``)."""
+    return np.random.default_rng(int(seed))
+
+
+def shard_rng(seed: int, shard: int) -> np.random.Generator:
+    """Independent per-shard stream for scale mode: SeedSequence
+    spawn-key derivation, the documented NumPy mechanism for
+    non-overlapping child streams."""
+    return np.random.default_rng(np.random.SeedSequence(entropy=int(seed), spawn_key=(int(shard),)))
+
+
+def jittered(base: int, dist: str, amount: int, rng: np.random.Generator, floor: int = 1) -> int:
+    """Symmetric integer jitter, clamped ≥ floor (ref ``eventstream.py:31-60``)."""
+    if dist == "none" or amount <= 0:
+        return max(floor, int(base))
+    if dist == "uniform":
+        delta = rng.integers(-amount, amount + 1)
+    elif dist == "gaussian":
+        delta = int(np.round(rng.normal(0, amount)))
+    elif dist == "laplace":
+        delta = int(np.round(rng.laplace(0.0, amount)))
+    else:
+        raise ValueError(f"unknown jitter dist {dist!r}")
+    return max(floor, int(base + delta))
+
+
+def interval(base: int, dist: str, rng: np.random.Generator,
+             low: int | None = None, high: int | None = None) -> int:
+    """Base inter-arrival draw, clamped ≥ 1 (ref ``eventstream.py:63-91``)."""
+    if dist == "fixed":
+        return max(1, int(base))
+    if dist == "poisson":
+        return max(1, int(rng.poisson(max(1e-9, float(base)))))
+    if dist == "geometric":
+        return int(rng.geometric(1.0 / max(1.0, float(base))))
+    if dist == "uniform":
+        if low is None or high is None or low < 1 or high < low:
+            raise ValueError("uniform interval requires valid [low, high] with low>=1")
+        return int(rng.integers(low, high + 1))
+    raise ValueError(f"unknown interval dist {dist!r}")
+
+
+def rate_at(t: int, mode: str, base_rate: float, period: int, amp: float) -> float:
+    """Time-varying rate factor r(t), floored at 1e-6 (ref ``eventstream.py:94-113``)."""
+    if mode == "none":
+        return 1.0
+    if mode == "sin":
+        r = base_rate * (1.0 + amp * np.sin(2.0 * np.pi * (t / max(1, period))))
+        return max(1e-6, float(r))
+    raise ValueError(f"unknown density mode {mode!r}")
+
+
+def build_patterns(cfg: PatternConfig, rng: np.random.Generator | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Pattern matrices (types[n,L] int32, gaps[n,L-1] int32)
+    (ref ``eventstream.py:140-183``)."""
+    rng = rng if rng is not None else make_rng(cfg.seed)
+    types = rng.integers(0, cfg.n_types, size=(cfg.n_patterns, cfg.pattern_length), dtype=np.int32)
+    gaps = np.empty((cfg.n_patterns, cfg.pattern_length - 1), dtype=np.int32)
+    for row in range(cfg.n_patterns):
+        for col in range(cfg.pattern_length - 1):
+            gaps[row, col] = interval(cfg.gap_base, cfg.gap_dist, rng, cfg.gap_low, cfg.gap_high)
+    return types, gaps
+
+
+def build_stream(
+    cfg: StreamConfig,
+    pat_types: np.ndarray,
+    pat_gaps: np.ndarray,
+    rng: np.random.Generator | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Interleave whole pattern instances with noise events under the
+    closed-loop ratio controller (ref ``eventstream.py:288-409``).
+
+    Returns (timestamps int64[N], types int32[N], is_pattern bool[N]).
+    The achieved random fraction equals round(N·ratio)/N exactly
+    because the controller compares the running ratio each step
+    (ref ``:390-402``); the final pattern instance may be truncated by
+    the N boundary (ref ``:363-364``).
+    """
+    rng = rng if rng is not None else make_rng(cfg.seed)
+    n_pats, length = pat_types.shape
+    total = cfg.total_events
+    target_random = int(round(total * cfg.random_ratio))
+    target_pattern = total - target_random
+
+    out_ts = np.empty(total, dtype=np.int64)
+    out_ty = np.empty(total, dtype=np.int32)
+    out_label = np.empty(total, dtype=bool)
+
+    clock = 0
+    filled = 0
+    n_random = 0
+    n_pattern = 0
+
+    def rate(t: int) -> float:
+        return rate_at(t, cfg.density_mode, cfg.density_base_rate,
+                       cfg.density_period, cfg.density_amp)
+
+    while filled < total:
+        ratio_now = n_random / max(1, n_random + n_pattern)
+        want_random = (
+            ratio_now < cfg.random_ratio or n_pattern + length > target_pattern
+        ) and n_random < target_random
+
+        if want_random:
+            # one noise event: interval → jitter → density divide → type
+            # (ref :314-348); the event lands at clock + gap
+            base = interval(cfg.rand_interval_base, cfg.rand_interval_dist, rng,
+                            cfg.rand_interval_low, cfg.rand_interval_high)
+            base = jittered(base, cfg.rand_jitter, cfg.rand_jitter_amount, rng)
+            gap = max(1, int(round(base / rate(clock))))
+            clock += gap
+            out_ts[filled] = clock
+            out_ty[filled] = int(rng.choice(cfg.n_types))
+            out_label[filled] = False
+            n_random += 1
+            filled += 1
+        else:
+            # one whole pattern instance, first event AT the incoming
+            # clock (ties with the preceding noise event — ref :357-359),
+            # +1 tick pad after a complete instance (ref :383-384)
+            pid = int(rng.integers(0, n_pats))
+            t_cur = clock
+            idx = filled
+            truncated = False
+            for j in range(length):
+                out_ts[idx] = t_cur
+                out_ty[idx] = pat_types[pid, j]
+                out_label[idx] = True
+                idx += 1
+                n_pattern += 1
+                if idx >= total:
+                    truncated = True
+                    break
+                if j < length - 1:
+                    gap = jittered(int(pat_gaps[pid, j]), cfg.pattern_jitter,
+                                   cfg.pattern_jitter_amount, rng)
+                    t_cur += max(1, int(round(gap / rate(t_cur))))
+            clock = t_cur if truncated else t_cur + 1
+            filled += length  # mirrors the reference's i += L overshoot
+
+    return out_ts, out_ty, out_label
+
+
+def shard_sizes(total_events: int, n_shards: int) -> list[int]:
+    """Near-even split of the event budget across shards."""
+    base = total_events // n_shards
+    extra = total_events % n_shards
+    return [base + (1 if s < extra else 0) for s in range(n_shards)]

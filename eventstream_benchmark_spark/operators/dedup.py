@@ -1,4 +1,330 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication pack over ``documents`` / ``embeddings`` (north-star ops).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Five dedup families, each a ``queries()`` entry:
+
+- exact text dedup (md5 hash-groupBy) — oracle ✓
+- word-3-gram Jaccard near-dup pairs (exact, shingle equi-join) — oracle ✓
+- MinHash+LSH near-dup (shingle→minhash→band→bucket-join→exact verify)
+  — oracle ✓ against the all-pairs exact query: with 128 perms in
+  32 bands × 4 rows, P(miss | J ≥ 0.8) = (1-0.8⁴)³² ≈ 5e-8, and
+  candidates are verified exactly, so LSH output == all-pairs output
+- SimHash bucketing (xxhash64 bit-vote signature) — rows-only (the
+  signature is Spark-hash-specific)
+- embedding-cosine near-dup pairs — oracle ✓ (double arithmetic both
+  engines)
+
+Scale notes: the exact-pairs query is quadratic in docs-per-shingle
+and exists as the oracle shape; the 100 TB path is MinHash-LSH, whose
+only shuffles are (band_id, band_sig) groupBys — no cross join
+anywhere. Spark-side shingle hashing uses xxhash64 (never compared to
+DuckDB; parity is on the verified Jaccard values, which are exact
+integer ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstream_benchmark_spark.io import load_table
+from eventstream_benchmark_spark.operators._util import r6
+
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.8
+N_PERM = 128
+LSH_BANDS = 32  # x 4 rows/band
+COSINE_DUP_THRESHOLD = 0.45
+
+
+
+def _shingles(text_col) -> "F.Column":
+    """Distinct word-k-gram shingle strings of the lowercased text."""
+    toks = F.split(F.lower(text_col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_K),
+        lambda i: F.concat_ws(
+            "_", *[F.get(toks, i + off) for off in range(SHINGLE_K)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, shingles) table.
+
+    ``persist()`` is load-bearing, not an optimization nicety: without a
+    barrier, Catalyst's CollapseProject inlines the whole shingle
+    expression into every lambda element of downstream higher-order
+    functions (128 minhash perms x 32 bands), re-splitting the text
+    hundreds of thousands of times per row. At scale this is the
+    classic "materialize the signature table" step of a MinHash
+    pipeline; identical plans share one cache entry.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.size(F.split(F.lower("text"), " ")) >= SHINGLE_K)
+        .select("doc_id", _shingles(F.col("text")).alias("shingles"))
+        .persist()
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup by content hash
+# --------------------------------------------------------------------------
+
+
+PREFIX_TOKENS = 8  # normalization window: docs sharing the first 8 tokens
+
+
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups by md5 of the normalized 8-token prefix:
+    hash-groupBy, the exact dedup primitive (one shuffle on the
+    32-char digest). The prefix normalization is what makes the
+    operator non-trivial on the fixture corpus (full-text md5 finds
+    zero duplicates there)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, PREFIX_TOKENS)))
+    return (
+        docs.groupBy(key.alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (the oracle shape)
+# --------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-dup pairs with word-3-gram Jaccard ≥ 0.8, computed
+    exactly: explode shingles → equi-join on shingle → per-pair
+    intersection counts → filter. Quadratic in docs-per-shingle; the
+    LSH variant below is the scale path with identical output."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", r6(jac))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# --------------------------------------------------------------------------
+
+
+def _minhash_signature() -> "F.Column":
+    """128 minhash values as one codegen'd column expression: the k-th
+    permutation is the seeded hash family h_k(s) = xxhash64(s, k);
+    the signature element is the min over the doc's shingles. Pure
+    JVM-side, overflow-free (ANSI-safe), deterministic across runs."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
+        lambda k: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, k))
+        ),
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH with exact verification.
+
+    shingle → xxhash64 → 128-perm minhash → 32 bands of 4 rows →
+    groupBy (band, signature) bucket join → candidate pairs →
+    exact Jaccard via array_intersect → threshold. Output equals
+    the all-pairs oracle (recall loss ≈ 5e-8 at J ≥ 0.8).
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    # persist the signature table: referenced once per band below, and
+    # the barrier keeps the 128-perm expression from being inlined 32x
+    sig = sh.withColumn("mh", _minhash_signature()).persist()
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda bnd: F.hash(F.slice(F.col("mh"), bnd * (N_PERM // LSH_BANDS) + 1,
+                                           N_PERM // LSH_BANDS)),
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2"))
+        .distinct()
+    )
+    sets1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    sets2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    verified = (
+        candidates.join(sets1, "d1")
+        .join(sets2, "d2")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            r6(F.col("inter") / (F.size("sh1") + F.size("sh2") - F.col("inter"))),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("d1", "d2", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# SimHash (rows-only: signature depends on Spark's hash function)
+# --------------------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc: per-shingle xxhash64, bit-vote over the
+    shingle set, then bucket by the top-16 bits — groups sharing a
+    bucket are near-dup candidates. Rows-only check (hash-specific)."""
+    sh = _doc_shingles(spark, sf_dir)
+    hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    # F.shiftright/shiftleft require a literal int shift amount, but the
+    # SQL functions accept expressions — call them via call_function so
+    # the bit index can be the sequence lambda variable.
+    votes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda bit: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.call_function("shiftright", h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, bit: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), bit)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    docs = sh.select("doc_id", simhash.alias("simhash"))
+    return (
+        docs.groupBy(F.shiftright("simhash", 48).alias("bucket"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs
+# --------------------------------------------------------------------------
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector near-dup pairs with cosine ≥ 0.45 (fixture max ≈ 0.51).
+
+    Brute-force pair join at fixture scale; at 100 TB this becomes the
+    LSH/IVF path in similarity.py — same verify step, bucketed
+    candidates. All arithmetic in double on both engines; rounded
+    before thresholding so both engines select identical pairs."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            r6(dot / (norm("a") * norm("b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+QUERIES = {
+    "dedup_exact_text": dedup_exact_text,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+_PAIRS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [w[i] || '_' || w[i+1] || '_' || w[i+2]
+             FOR i IN range(1, len(w) - {SHINGLE_K - 2})])) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+ORACLES = {
+    "dedup_exact_text": f"""
+        SELECT md5(array_to_string(string_split(lower(text), ' ')[1:{PREFIX_TOKENS}], ' '))
+                   AS content_hash,
+               count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+    "dedup_ngram_jaccard": _PAIRS_SQL,
+    "dedup_minhash_lsh": _PAIRS_SQL,
+    "dedup_embedding_cosine": f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 6) >= {COSINE_DUP_THRESHOLD}
+    """,
+}

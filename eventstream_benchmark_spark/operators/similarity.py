@@ -1,4 +1,183 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity-search pack over ``embeddings`` (north-star ops).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+- ``embed_cosine_topk`` (B26): brute-force cosine top-k against a
+  probe vector — oracle ✓ (double arithmetic, rounded before ranking
+  so both engines pick identical sets).
+- ``knn_bruteforce_topk``: top-5 neighbors for each of the first 10
+  vectors — the exact-kNN baseline, oracle ✓.
+- ``ann_lsh_cosine``: random-hyperplane LSH (sign-bit signatures,
+  Hamming buckets) — the scale path; rows-only (signature depends on
+  the deterministic pseudo-random hyperplanes), recall vs brute force
+  asserted in tests.
+
+Scale notes: brute-force kNN is a broadcast of the (tiny) query set
+against a full scan — no shuffle, linear in corpus size, the right
+baseline even at 100 TB when the query set is small. The LSH variant
+buckets the corpus once (one groupBy shuffle) and only compares
+within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eventstream_benchmark_spark.io import load_table
+from eventstream_benchmark_spark.operators._util import bigint, r6
+
+PROBE_VEC_ID = 0
+TOPK = 20
+KNN_QUERIES = 10
+KNN_K = 5
+LSH_PLANES = 12
+
+
+def _as_double(col: str = "embedding"):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cosine(va, vb):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (na * nb)
+
+
+# --------------------------------------------------------------------------
+# B26 — cosine top-k vs a fixed probe vector
+# --------------------------------------------------------------------------
+
+
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(F.col("v").alias("pv"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(probe)
+        .select("vec_id", r6(_cosine(F.col("v"), F.col("pv"))).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# exact kNN for a small query set (broadcast, no shuffle)
+# --------------------------------------------------------------------------
+
+
+def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+    )
+    scored = (
+        emb.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", r6(_cosine(F.col("v"), F.col("qv"))).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", bigint(F.row_number().over(w)))
+        .filter(F.col("rk") <= KNN_K)
+        .select("q_id", "vec_id", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN: random-hyperplane LSH buckets (scale path, rows-only)
+# --------------------------------------------------------------------------
+
+
+def _hyperplane(plane: int, dim: int = 64) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: a fixed
+    xorshift-style integer sequence mapped to [-0.5, 0.5). Pure python
+    at plan-build time (tiny), embedded as literals in the plan."""
+    vals = []
+    x = (plane * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) & 0xFFFFFFFFFFFFFFFF
+    for _ in range(dim):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        vals.append((x % 10_000) / 10_000.0 - 0.5)
+    return vals
+
+
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate neighbor candidates: 12 sign-bits of
+    hyperplane projections → bucket id → per-bucket pair counts with
+    verified cosine. One groupBy shuffle; candidate verification stays
+    inside buckets (vs the full quadratic pair join)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
+    bit_cols = []
+    for p in range(LSH_PLANES):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(p)])
+        proj = F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda x, h: x * h),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bit_cols.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bit_cols[0]
+    for c in bit_cols[1:]:
+        bucket = bucket + c
+    bucketed = emb.withColumn("bucket", bucket.cast("bigint"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            r6(_cosine(F.col("a.v"), F.col("b.v"))).alias("cosine"),
+        )
+    )
+
+
+QUERIES = {
+    "embed_cosine_topk": embed_cosine_topk,
+    "knn_bruteforce_topk": knn_bruteforce_topk,
+    "ann_lsh_cosine": ann_lsh_cosine,
+}
+
+_COS_SQL = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+ORACLES = {
+    "embed_cosine_topk": f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_id, round({_COS_SQL}, 6) AS cosine
+        FROM e a JOIN e b ON b.vec_id = {PROBE_VEC_ID} AND a.vec_id <> {PROBE_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT {TOPK}
+    """,
+    "knn_bruteforce_topk": f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT b.vec_id AS q_id, a.vec_id AS vec_id,
+                   round({_COS_SQL.replace('a.v, b.v', 'a.v, b.v')}, 6) AS cosine
+            FROM e a JOIN e b ON b.vec_id < {KNN_QUERIES} AND a.vec_id <> b.vec_id
+        )
+        SELECT q_id, vec_id, cosine, rk FROM (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY cosine DESC, vec_id) AS rk
+            FROM scored
+        ) WHERE rk <= {KNN_K}
+    """,
+}

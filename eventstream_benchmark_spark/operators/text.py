@@ -1,4 +1,249 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis pack over the ``documents`` fixture (north-star ops).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Language-ID (marker-word scoring), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + a BPE-ish regex),
+positional document fingerprinting, and top-terms-per-language — all
+pure column expressions (JVM-side, no Python UDFs), each with an exact
+DuckDB oracle twin.
+
+At 100 TB these are embarrassingly parallel scans: no shuffle except
+the explicit groupBys (top-terms aggregates on (lang, term)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from eventstream_benchmark_spark.io import load_table
+from eventstream_benchmark_spark.operators._util import bigint, r4, r6
+
+STOPWORDS = ("a", "the")
+
+# marker words per language for the n-gram/marker language scorer; the
+# fixture corpus shares one vocabulary so scores mostly favor 'en' —
+# the operator is the deterministic scoring machinery, not the model
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "los", "por"),
+    "fr": ("le", "les", "pour"),
+    "zh": ("de", "shi", "bu"),
+}
+
+# BPE-ish tokenizer: letter runs | digit runs | single non-alnum marks
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tokens(col):
+    return F.split(F.lower(col), " ")
+
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        bigint(F.size(toks)).alias("n_ws_tokens"),
+        bigint(F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_REGEX), 0))).alias(
+            "n_bpe_tokens"
+        ),
+        bigint(F.length("text")).alias("n_chars_seen"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / mean-token-length quality heuristic —
+    the standard pre-training corpus filter shape, as one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    chars_adj = F.length("text") - (n_tok - 1)  # chars sans separators
+    mean_tok_len = chars_adj / n_tok
+    stop_ratio = stop_hits / n_tok
+    # quality = least(1, n/100)*0.5 + (1-stop_ratio)*0.3 + least(1, mtl/8)*0.2,
+    # restructured as ONE integer-arithmetic ratio so Spark and DuckDB
+    # compute bit-identical doubles (a sum of three separately-divided
+    # doubles rounds differently across engines at 1e-6 boundaries):
+    quality = (
+        F.least(n_tok, F.lit(100)) * n_tok
+        + (n_tok - stop_hits) * 60
+        + F.least(n_tok * 8, chars_adj) * 5
+    ) / (n_tok * 200)
+    return docs.select(
+        "doc_id",
+        "lang",
+        bigint(n_tok).alias("n_tokens"),
+        r6(stop_ratio).alias("stop_ratio"),
+        r6(mean_tok_len).alias("mean_tok_len"),
+        r6(quality).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# language identification (marker scoring)
+# --------------------------------------------------------------------------
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each language by marker-word hits per token; predict the
+    argmax (ties broken by language code). Declarative: one scan, a
+    score column per language, greatest() for the argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    scores = {
+        lang: (F.size(F.filter(toks, lambda t: t.isin(*markers))) / n_tok).alias(
+            f"score_{lang}"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", "lang", *scores.values())
+    # argmax with deterministic lang-code tiebreak: max over (score, code)
+    pairs = [
+        F.struct(F.col(f"score_{lang}").alias("s"), F.lit(lang).alias("code"))
+        for lang in sorted(LANG_MARKERS, reverse=True)
+    ]
+    predicted = F.greatest(*pairs).getField("code")
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[r6(F.col(f"score_{lang}")).alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        predicted.alias("predicted_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# positional fingerprint
+# --------------------------------------------------------------------------
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive integer fingerprint: sum over positions of
+    (1-based pos) * (31*token_len + first-char codepoint). Pure bigint
+    arithmetic, so Spark and DuckDB agree bit-for-bit; reorderings of
+    the same bag of tokens fingerprint differently (unlike bag hashes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    code = lambda t: F.length(t) * 31 + F.ascii(F.substring(t, 1, 1))  # noqa: E731
+    fp = F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, i: i.cast("bigint") * code(t).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# B27 — top terms per language
+# --------------------------------------------------------------------------
+
+
+def text_tokenize_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+    counts = terms.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rk", bigint(F.row_number().over(w)))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "term", "n", "rk")
+    )
+
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_tokenize_topterms": text_tokenize_topterms,
+}
+
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+def _marker_score_sql(lang: str) -> str:
+    markers = "('" + "', '".join(LANG_MARKERS[lang]) + "')"
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), t -> t IN {markers}))"
+        f" * 1.0 / len(string_split(lower(text), ' '))"
+    )
+
+
+ORACLES = {
+    "text_token_count": f"""
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_seen
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   string_split(lower(text), ' ') AS toks,
+                   CAST(length(text) AS BIGINT) AS nchars
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks), 6)
+                   AS stop_ratio,
+               round((nchars - (len(toks) - 1)) * 1.0 / len(toks), 6) AS mean_tok_len,
+               round((least(len(toks), 100) * len(toks)
+                      + (len(toks) - len(list_filter(toks, x -> x IN {_STOP_SQL}))) * 60
+                      + least(len(toks) * 8, nchars - (len(toks) - 1)) * 5)
+                     * 1.0 / (len(toks) * 200), 6) AS quality
+        FROM t
+    """,
+    "text_langid": f"""
+        SELECT doc_id, lang AS labeled_lang,
+               {", ".join(f"round({_marker_score_sql(l)}, 6) AS score_{l}"
+                          for l in sorted(LANG_MARKERS))},
+               list_sort([{", ".join(
+                   f"struct_pack(s := {_marker_score_sql(l)}, code := '{l}')"
+                   for l in sorted(LANG_MARKERS))}])[-1].code
+                   AS predicted_lang
+        FROM documents
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               CAST(list_sum([CAST(i AS BIGINT) *
+                   CAST(31 * length(toks[i]) + ascii(substring(toks[i], 1, 1))
+                        AS BIGINT)
+                   FOR i IN range(1, len(toks) + 1)]) AS BIGINT) AS fingerprint
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    """,
+    "text_tokenize_topterms": f"""
+        SELECT lang, term, n, rk FROM (
+            SELECT lang, term, count(*) AS n,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY count(*) DESC, term) AS rk
+            FROM (
+                SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+            )
+            WHERE term <> '' AND term NOT IN {_STOP_SQL}
+            GROUP BY lang, term
+        ) WHERE rk <= 10
+    """,
+}
