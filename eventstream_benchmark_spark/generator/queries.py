@@ -1,4 +1,131 @@
-"""Placeholder — filled in as operators land."""
+"""Driver entries for the Layer A generator (B33-B35).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+All rows-only: the outputs are draws from NumPy RNG streams that no
+SQL engine reproduces (SURVEY §4.2 RNG note) — correctness is carried
+by the golden/property tests in ``tests/test_generator.py``, and the
+driver's rows-only check confirms the operators run and return stable
+row counts.
+
+The configs pin the reference's canonical ``main.py`` example
+(``main.py:4-38``): 8 patterns × L=10 over 6 types, poisson(6)±1
+noise intervals, ±2 pattern jitter, sin density (period 8000,
+amp 0.6) — with a sharded-scale variant at 8×.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstream_benchmark_spark.generator.config import PatternConfig, StreamConfig
+from eventstream_benchmark_spark.generator import spark_gen
+
+GOLDEN_PATTERNS = PatternConfig(
+    n_patterns=8, pattern_length=10, n_types=6,
+    gap_dist="uniform", gap_low=3, gap_high=9, seed=137,
+)
+
+GOLDEN_STREAM = StreamConfig(
+    n_types=6, total_events=40_000, random_ratio=0.7, seed=2025,
+    pattern_jitter="uniform", pattern_jitter_amount=2,
+    rand_interval_dist="poisson", rand_interval_base=6,
+    rand_interval_low=None, rand_interval_high=None,
+    rand_jitter="uniform", rand_jitter_amount=1,
+    density_mode="sin", density_period=8000, density_amp=0.6,
+    density_base_rate=1.0,
+)
+
+SCALE_SHARDS = 32
+SCALE_STREAM = dataclasses.replace(GOLDEN_STREAM, total_events=320_000)
+
+
+def generate_patterns_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 — the pattern set as a DataFrame (A5/A6)."""
+    return spark_gen.patterns_df(spark, GOLDEN_PATTERNS)
+
+
+def generate_stream_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 (exact mode) — the golden-config stream, bit-compatible
+    with the reference; summarized per (event_type, is_pattern) so the
+    driver check is compact while still covering every generated row."""
+    df = spark_gen.stream_df_exact(spark, GOLDEN_PATTERNS, GOLDEN_STREAM)
+    return (
+        df.groupBy("event_type", "is_pattern")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.sum("ts").alias("sum_ts"),
+        )
+        .orderBy("event_type", "is_pattern")
+    )
+
+
+def generate_stream_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 (scale mode) — 8× the golden config across 32 parallel
+    applyInPandas shards; per-shard invariant summary (monotone ts,
+    achieved ratio) so the driver sees one row per shard."""
+    df = spark_gen.stream_df_sharded(spark, GOLDEN_PATTERNS, SCALE_STREAM, SCALE_SHARDS)
+    return (
+        df.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg(F.col("is_pattern").cast("double")), 3).alias("pattern_frac"),
+            F.max("ts").alias("span_ticks"),
+        )
+        .orderBy("shard")
+    )
+
+
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 — the three Python-execution entry points the engine uses,
+    in one query over the events fixture: a scalar UDF (row-at-a-time,
+    the deliberately-slow path kept off hot loops), an Arrow-batched
+    pandas UDF (the A3 Poisson sampler shape), and a grouped-map
+    applyInPandas (per-type summary, the B34 shard shape)."""
+    import numpy as np
+
+    from eventstream_benchmark_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    @F.udf("string")
+    def tag(event_type: str) -> str:  # scalar UDF
+        return f"t:{event_type}"
+
+    @F.pandas_udf("long")
+    def poisson_of(value: pd.Series) -> pd.Series:  # vectorized sampler (A3 shape)
+        lam = value.clip(lower=0.1).to_numpy(dtype="float64")
+        rng = np.random.default_rng(7)
+        return pd.Series(np.maximum(1, rng.poisson(lam)))
+
+    def per_type(pdf: pd.DataFrame) -> pd.DataFrame:  # grouped map
+        return pd.DataFrame(
+            {
+                "tag": [pdf["tag"].iloc[0]],
+                "n": [len(pdf)],
+                "mean_draw": [float(pdf["draw"].mean())],
+            }
+        )
+
+    tagged = events.withColumn("tag", tag("event_type")).withColumn("draw", poisson_of("value"))
+    return (
+        tagged.groupBy("tag")
+        .applyInPandas(per_type, "tag string, n long, mean_draw double")
+        .select("tag", "n")  # mean_draw is sample-dependent; row counts are stable
+        .orderBy("tag")
+    )
+
+
+QUERIES = {
+    "generate_patterns_spark": generate_patterns_spark,
+    "generate_stream_exact": generate_stream_exact,
+    "generate_stream_sharded": generate_stream_sharded,
+    "udf_surface": udf_surface,
+}
+
+ORACLES: dict[str, str] = {}

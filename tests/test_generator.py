@@ -1,0 +1,204 @@
+"""Layer A generator tests (SURVEY §5.2.2-4).
+
+The golden test runs the ACTUAL reference implementation (imported
+from /root/reference with tqdm stubbed) against our NumPy exact mode
+and asserts element-wise equality — the strongest possible parity
+check. Property tests pin the §1.2 ordering semantics; Spark tests
+cover the sharded scale path, the parquet cache, and the CSV/iterator
+export surface.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from eventstream_benchmark_spark.generator import (
+    PatternConfig,
+    StreamConfig,
+    core,
+    patterns_df,
+    stream_df_cached,
+    stream_df_exact,
+    stream_df_sharded,
+    stream_iter,
+    write_csv,
+)
+
+PCFG = PatternConfig(n_patterns=8, pattern_length=10, n_types=6,
+                     gap_dist="uniform", gap_low=3, gap_high=9, seed=137)
+SCFG = StreamConfig(
+    n_types=6, total_events=40_000, random_ratio=0.7, seed=2025,
+    pattern_jitter="uniform", pattern_jitter_amount=2,
+    rand_interval_dist="poisson", rand_interval_base=6,
+    rand_interval_low=None, rand_interval_high=None,
+    rand_jitter="uniform", rand_jitter_amount=1,
+    density_mode="sin", density_period=8000, density_amp=0.6,
+)
+
+
+@pytest.fixture(scope="module")
+def reference():
+    """Import the read-only reference with its tqdm dependency stubbed."""
+    class _Bar:
+        def __init__(self, *a, **k):
+            self.n = 0
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def update(self, n):
+            self.n += n
+
+    sys.modules.setdefault("tqdm", types.SimpleNamespace(tqdm=_Bar))
+    spec = importlib.util.spec_from_file_location("ref_eventstream", "/root/reference/eventstream.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def golden(reference):
+    pats = reference.generate_patterns(
+        n_patterns=8, pattern_length=10, n_types=6,
+        gap_dist="uniform", gap_low=3, gap_high=9, seed=137,
+    )
+    stream = reference.EventStream(
+        patterns=pats, n_types=6, total_events=40_000, random_ratio=0.7,
+        seed=2025, pattern_jitter="uniform", pattern_jitter_amount=2,
+        rand_interval_dist="poisson", rand_interval_base=6,
+        rand_interval_low=None, rand_interval_high=None,
+        rand_jitter="uniform", rand_jitter_amount=1,
+        density_mode="sin", density_period=8000, density_amp=0.6,
+        density_base_rate=1.0, cache_dir=None,
+    )
+    return pats, stream
+
+
+def test_golden_patterns_bit_equal(golden):
+    pats, _ = golden
+    types, gaps = core.build_patterns(PCFG)
+    np.testing.assert_array_equal(types, pats.types)
+    np.testing.assert_array_equal(gaps, pats.gaps)
+
+
+def test_golden_stream_bit_equal(golden):
+    _, ref_stream = golden
+    types, gaps = core.build_patterns(PCFG)
+    ts, ty, label = core.build_stream(SCFG, types, gaps)
+    np.testing.assert_array_equal(ts, ref_stream.timestamps)
+    np.testing.assert_array_equal(ty, ref_stream.types)
+    np.testing.assert_array_equal(label, ref_stream.is_pattern)
+
+
+def _invariants(ts: np.ndarray, ty: np.ndarray, label: np.ndarray, cfg: StreamConfig, L: int):
+    n = ts.shape[0]
+    assert n == cfg.total_events
+    # timestamps never decrease (gap clamp >= 1 at every stage)
+    assert (np.diff(ts) >= 0).all()
+    # achieved random fraction is exact (closed-loop controller)
+    assert int((~label).sum()) == int(round(n * cfg.random_ratio))
+    # type codes in range
+    assert ty.min() >= 0 and ty.max() < cfg.n_types
+    # pattern instances are contiguous blocks of exactly L (last may truncate)
+    changes = np.flatnonzero(np.diff(label.astype(np.int8)))
+    bounds = np.concatenate(([0], changes + 1, [n]))
+    runs = [(label[a], b - a) for a, b in zip(bounds[:-1], bounds[1:])]
+    pat_runs = [r for flag, r in runs if flag]
+    assert all(r % L == 0 for r in pat_runs[:-1])
+    if pat_runs:
+        assert pat_runs[-1] % L == 0 or runs[-1][0]  # truncation only at the stream end
+    # ties only where a pattern block starts right after a random event
+    tie_idx = np.flatnonzero(np.diff(ts) == 0)
+    assert all((not label[i]) and label[i + 1] for i in tie_idx)
+
+
+def test_exact_mode_invariants():
+    types, gaps = core.build_patterns(PCFG)
+    ts, ty, label = core.build_stream(SCFG, types, gaps)
+    _invariants(ts, ty, label, SCFG, PCFG.pattern_length)
+
+
+def test_interval_laws_match_numpy():
+    """Distribution draws agree with NumPy's own samplers draw-for-draw."""
+    rng_a, rng_b = core.make_rng(9), np.random.default_rng(9)
+    for _ in range(200):
+        assert core.interval(6, "poisson", rng_a) == max(1, int(rng_b.poisson(6.0)))
+    rng_a, rng_b = core.make_rng(10), np.random.default_rng(10)
+    for _ in range(200):
+        assert core.interval(5, "geometric", rng_a) == int(rng_b.geometric(1 / 5))
+
+
+def test_uniform_interval_validation():
+    with pytest.raises(ValueError):
+        core.interval(5, "uniform", core.make_rng(0), low=0, high=9)
+    with pytest.raises(ValueError):
+        PatternConfig(n_patterns=1, pattern_length=1, n_types=2)
+    with pytest.raises(ValueError):
+        StreamConfig(n_types=2, total_events=10, random_ratio=1.5)
+
+
+def test_sharded_stream_invariants(spark):
+    scfg = StreamConfig(
+        n_types=6, total_events=8_000, random_ratio=0.7, seed=2025,
+        pattern_jitter="uniform", pattern_jitter_amount=2,
+        rand_interval_dist="poisson", rand_interval_base=6,
+        rand_interval_low=None, rand_interval_high=None,
+        density_mode="sin", density_period=8000, density_amp=0.6,
+    )
+    df = stream_df_sharded(spark, PCFG, scfg, n_shards=8)
+    pdf = df.toPandas().sort_values(["shard", "event_id"])
+    assert len(pdf) == scfg.total_events
+    for shard, grp in pdf.groupby("shard"):
+        ts = grp["ts"].to_numpy()
+        assert (np.diff(ts) >= 0).all()
+        frac = (~grp["is_pattern"]).mean()
+        assert abs(frac - 0.7) < 0.01
+    # different shards draw different streams
+    s0 = pdf[pdf["shard"] == 0]["ts"].to_numpy()
+    s1 = pdf[pdf["shard"] == 1]["ts"].to_numpy()
+    assert not np.array_equal(s0[: min(len(s0), len(s1))], s1[: min(len(s0), len(s1))])
+
+
+def test_patterns_df_matches_numpy(spark):
+    pdf = patterns_df(spark, PCFG).toPandas().sort_values("pattern_id")
+    types, gaps = core.build_patterns(PCFG)
+    for pid in range(PCFG.n_patterns):
+        assert list(pdf.iloc[pid]["types"]) == list(types[pid])
+        assert list(pdf.iloc[pid]["gaps"]) == list(gaps[pid])
+
+
+def test_cache_roundtrip(spark, tmp_path):
+    scfg = StreamConfig(n_types=4, total_events=2_000, random_ratio=0.5, seed=3,
+                        rand_interval_dist="fixed", rand_interval_base=3)
+    first = stream_df_cached(spark, PCFG, scfg, str(tmp_path), mode="exact").toPandas()
+    again = stream_df_cached(spark, PCFG, scfg, str(tmp_path), mode="exact").toPandas()
+    assert len(first) == 2_000
+    assert first.sort_values("event_id").equals(again.sort_values("event_id"))
+
+
+def test_csv_and_iterator_surface(spark, tmp_path):
+    scfg = StreamConfig(n_types=4, total_events=500, random_ratio=0.4, seed=11,
+                        rand_interval_dist="geometric", rand_interval_base=4)
+    df = stream_df_exact(spark, PCFG, scfg)
+    out = tmp_path / "stream_csv"
+    write_csv(df, str(out))
+    import glob
+
+    files = glob.glob(str(out / "part-*.csv"))
+    assert len(files) == 1
+    with open(files[0]) as fh:
+        header = fh.readline().strip()
+        assert header == "timestamp,event_type,is_pattern"
+        first = fh.readline().strip().split(",")
+        assert all(tok.lstrip("-").isdigit() for tok in first)
+    it = stream_iter(df)
+    t0, e0, p0 = next(it)
+    assert isinstance(t0, int) and isinstance(e0, int) and isinstance(p0, bool)
