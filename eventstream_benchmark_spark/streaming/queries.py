@@ -1,4 +1,214 @@
-"""Placeholder — filled in as operators land."""
+"""Structured Streaming surface (B36-B37) + session-window operator.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The reference's consumption model is a pull-based, one-event-at-a-time
+online loop (``main.py:44-46``, ``eventstream.py:429-432``); the Spark
+re-expression is a file-source ``readStream`` replay with event-time
+windows and watermarks (SURVEY §3 EP3). Three entries:
+
+- ``streaming_replay_tumbling`` (B36): replay the events fixture
+  through a real ``readStream`` → watermark → tumbling-window count →
+  memory sink (``availableNow`` trigger). Complete output mode means
+  every window is emitted, so the result equals the batch aggregation
+  and carries a full DuckDB oracle — a hash-checked streaming query.
+- ``streaming_pattern_state`` (B37): per-user stateful pattern-progress
+  tracking (view→click→purchase) via ``applyInPandasWithState`` — the
+  online sequence-learning loop shape. Rows-only.
+- ``session_window_agg``: the ``F.session_window`` operator (batch
+  evaluation of the same operator Structured Streaming uses), 30-min
+  gap sessions per user, with an exact lag-algebra oracle. New session
+  opens when the gap is ≥ the duration (Spark's window is half-open
+  ``[ts, ts+gap)``).
+
+Late-data drop semantics are exercised in ``tests/test_streaming.py``
+(the fixture stream is in-order, like the reference — §1.2 — so
+lateness is injected synthetically there).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstream_benchmark_spark.io import load_table
+
+SESSION_GAP = "30 minutes"
+PATTERN_SEQ = ("view", "click", "purchase")
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events fixture as a µs-timestamp parquet dir that
+    a vanilla ``readStream`` can consume (the raw fixture is
+    TIMESTAMP(NANOS), unreadable without a legacy conf)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"esb_replay_{tag}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the sink table."""
+    name = f"esb_sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def streaming_replay_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 — file-source replay → watermark → 1-hour tumbling counts.
+
+    ``complete`` output mode emits every window at the final trigger,
+    so the streaming answer is exactly the batch answer (the fixture
+    stream is in-order; nothing is late against the 1-hour watermark).
+    """
+    src = _replay_dir(spark, sf_dir)
+    events = spark.readStream.schema(
+        load_table(spark, sf_dir, "events").schema
+    ).parquet(src)
+    windowed = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    result = _run_to_memory(windowed, "complete")
+    return result.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+def streaming_pattern_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 — stateful per-user pattern-progress tracking.
+
+    State machine per user over the event-type sequence view→click→
+    purchase (the B32 pattern, tracked online instead of via lead()):
+    ``progress`` = current prefix length, ``completed`` = full matches
+    so far. State lives in the store across micro-batches via
+    ``applyInPandasWithState``; the replay ends with one summary row
+    per user.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _replay_dir(spark, sf_dir)
+    events = spark.readStream.schema(
+        load_table(spark, sf_dir, "events").schema
+    ).parquet(src)
+
+    seq = PATTERN_SEQ
+
+    def track(key, pdf_iter, state: GroupState):
+        progress, completed, seen = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for et in pdf["event_type"]:
+                seen += 1
+                if et == seq[progress]:
+                    progress += 1
+                    if progress == len(seq):
+                        completed += 1
+                        progress = 0
+                elif et == seq[0]:
+                    progress = 1
+                else:
+                    progress = 0
+        state.update((progress, completed, seen))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "progress": [progress],
+                "completed": [completed],
+                "n_events": [seen],
+            }
+        )
+
+    tracked = events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, progress int, completed int, n_events long",
+        stateStructType="progress int, completed int, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = _run_to_memory(tracked, "update")
+    # update-mode memory sink appends one row per (user, batch); keep the
+    # final (max n_events) row per user so output is batching-invariant
+    latest = result.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "progress", "completed")).alias("s")
+    )
+    return latest.select(
+        "user_id", F.col("s.progress").alias("progress"),
+        F.col("s.completed").alias("completed"), F.col("s.n_events").alias("n_events")
+    ).orderBy("user_id")
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window`` 30-min gap sessions per user — the operator
+    Structured Streaming session windows use, evaluated on the batch
+    fixture so it carries an exact oracle. One row per user: session
+    count, events, mean session length."""
+    events = load_table(spark, sf_dir, "events")
+    sessions = (
+        events.groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES = {
+    "streaming_replay_tumbling": streaming_replay_tumbling,
+    "streaming_pattern_state": streaming_pattern_state,
+    "session_window_agg": session_window_agg,
+}
+
+ORACLES = {
+    # hour-tumbling windows align to epoch hours == date_trunc('hour')
+    "streaming_replay_tumbling": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    # session_window: new session when gap >= 30 min (half-open window)
+    "session_window_agg": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM sessions GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               round(avg(n_events), 6) AS avg_session_events
+        FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+}
