@@ -1,0 +1,37 @@
+"""Generator throughput probe used by /root/repo/bench.py.
+
+Measures the sharded scale path (B34) end-to-end: driver pattern
+build → 32 applyInPandas tasks each running the sequential NumPy
+recurrence → full materialization via count. Baseline context: the
+reference generates ~98k ev/s single-threaded at the same canonical
+config (BASELINE.md); the sharded path should scale roughly linearly
+with cores.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from eventstream_benchmark_spark.generator.queries import GOLDEN_PATTERNS, GOLDEN_STREAM
+from eventstream_benchmark_spark.generator.spark_gen import stream_df_sharded
+
+BENCH_EVENTS = 3_200_000
+
+
+def generator_events_per_sec(spark: SparkSession, n_events: int = BENCH_EVENTS) -> float:
+    shards = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # spin up the Python workers first so the measurement is generation,
+    # not process startup (the reference baseline likewise excludes
+    # interpreter startup)
+    warm = dataclasses.replace(GOLDEN_STREAM, total_events=shards * 1_000)
+    stream_df_sharded(spark, GOLDEN_PATTERNS, warm, n_shards=shards).count()
+    cfg = dataclasses.replace(GOLDEN_STREAM, total_events=n_events)
+    t0 = time.perf_counter()
+    n = stream_df_sharded(spark, GOLDEN_PATTERNS, cfg, n_shards=shards).count()
+    wall = time.perf_counter() - t0
+    assert n == n_events
+    return round(n / wall)

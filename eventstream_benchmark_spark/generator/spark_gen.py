@@ -131,7 +131,9 @@ def stream_df_sharded(
             )
         shard_cfg = dataclasses.replace(cfg, total_events=n_events)
         rng = core.shard_rng(cfg.seed, shard)
-        ts, ty, label = core.build_stream(shard_cfg, types, gaps, rng=rng)
+        # fast path: same laws/schedule/clamps, batched draws (§4.2
+        # scale-mode fidelity is distributional, not draw-for-draw)
+        ts, ty, label = core.build_stream_fast(shard_cfg, types, gaps, rng=rng)
         return _arrays_to_pdf(ts, ty, label, shard, id_offset=shard * stride)
 
     shards = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
