@@ -142,10 +142,87 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# ANN: IVF (inverted-file) coarse quantizer — the other scale path
+# --------------------------------------------------------------------------
+
+IVF_CLUSTERS = 16
+IVF_PROBES = 4
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table
+    against the full scan — no shuffle on the corpus side; argmax via
+    max_by over the per-centroid cosine."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cluster", _cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cluster", "sim").alias("cluster"), F.first("v").alias("v")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """One Lloyd refinement, fully distributed: explode to (cluster,
+    dim, value), average per (cluster, dim) — one shuffle keyed on a
+    cluster·dim grid, never on raw vectors — and fold back to arrays."""
+    by_dim = assigned.select(
+        "cluster", F.posexplode("v").alias("dim", "x")
+    ).groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+    return by_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.getField("m")
+        ).alias("cv")
+    )
+
+
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN: deterministic seed centroids (first
+    IVF_CLUSTERS vectors) → one distributed Lloyd refinement →
+    inverted-file assignment → probe-limited search (each query scores
+    only the vectors in its IVF_PROBES nearest clusters ≈ probes/
+    clusters of the corpus). Rows-only (approximate); recall vs the
+    brute-force oracle is asserted in tests.
+
+    At 100 TB: centroids stay broadcast-size by construction, the
+    corpus is touched by two scans (assign, search) and shuffles only
+    on (cluster) keys — the canonical IVF cost shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
+    seed = emb.filter(F.col("vec_id") < IVF_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    assigned = _assign(emb, seed)
+    refined = _recompute_centroids(assigned)
+    assigned = _assign(emb, refined).persist()  # reused: probe join + search
+
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    probe = (
+        queries.crossJoin(F.broadcast(refined))
+        .select("q_id", "qv", "cluster", _cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .withColumn("pr", F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("sim"))))
+        .filter(F.col("pr") <= IVF_PROBES)
+        .select("q_id", "qv", "cluster")
+    )
+    candidates = probe.join(assigned, "cluster").filter(F.col("vec_id") != F.col("q_id"))
+    scored = candidates.select(
+        "q_id", "vec_id", r6(_cosine(F.col("qv"), F.col("v"))).alias("cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", bigint(F.row_number().over(w)))
+        .filter(F.col("rk") <= KNN_K)
+        .select("q_id", "vec_id", "cosine", "rk")
+    )
+
+
 QUERIES = {
     "embed_cosine_topk": embed_cosine_topk,
     "knn_bruteforce_topk": knn_bruteforce_topk,
     "ann_lsh_cosine": ann_lsh_cosine,
+    "ann_ivf_cosine": ann_ivf_cosine,
 }
 
 _COS_SQL = (

@@ -1,0 +1,115 @@
+"""Statistical tests for scale-mode generation (SURVEY §5.2.4).
+
+The fast path promises *distributional* fidelity, so these tests check
+laws, not draws: uniform type marginals (chi-square), geometric /
+poisson inter-arrival moments, and recovery of the sin-density
+(period, amp) from the realized event rate. No SciPy in the container;
+statistics are computed directly and compared against generous fixed
+critical values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from eventstream_benchmark_spark.generator import PatternConfig, StreamConfig, core
+
+PCFG = PatternConfig(n_patterns=8, pattern_length=10, n_types=6,
+                     gap_dist="uniform", gap_low=3, gap_high=9, seed=137)
+
+
+def _fast(cfg: StreamConfig, seed: int = 7):
+    types, gaps = core.build_patterns(PCFG)
+    return core.build_stream_fast(cfg, types, gaps, rng=core.make_rng(seed))
+
+
+def test_random_type_marginals_uniform():
+    """Noise-event types ~ U[0, n_types): chi-square against uniform.
+    df=5; critical value at p=0.001 is 20.5 — use 30 for slack."""
+    cfg = StreamConfig(n_types=6, total_events=120_000, random_ratio=1.0,
+                       rand_interval_dist="fixed", rand_interval_base=3,
+                       rand_jitter="none")
+    ts, ty, lb = _fast(cfg)
+    counts = np.bincount(ty, minlength=6)
+    expected = cfg.total_events / 6
+    chi2 = float(((counts - expected) ** 2 / expected).sum())
+    assert chi2 < 30, f"chi2={chi2:.1f}, counts={counts}"
+
+
+def test_geometric_interarrival_moments():
+    """Pure-noise stream, geometric(p=1/5) intervals, no jitter/density:
+    gaps are i.i.d. geometric — mean 5, var p^-2(1-p) = 20."""
+    cfg = StreamConfig(n_types=4, total_events=200_000, random_ratio=1.0,
+                       rand_interval_dist="geometric", rand_interval_base=5,
+                       rand_jitter="none")
+    ts, _, _ = _fast(cfg)
+    gaps = np.diff(ts)
+    assert abs(gaps.mean() - 5.0) < 0.05, gaps.mean()
+    assert abs(gaps.var() - 20.0) < 0.6, gaps.var()
+    assert gaps.min() >= 1
+
+
+def test_poisson_interarrival_moments():
+    """poisson(λ=6) clamped ≥1: mean ≈ 6 (clamp adds ~P(X=0)=e^-6,
+    negligible), variance ≈ 6."""
+    cfg = StreamConfig(n_types=4, total_events=200_000, random_ratio=1.0,
+                       rand_interval_dist="poisson", rand_interval_base=6,
+                       rand_jitter="none")
+    ts, _, _ = _fast(cfg)
+    gaps = np.diff(ts)
+    assert abs(gaps.mean() - 6.0) < 0.05, gaps.mean()
+    assert abs(gaps.var() - 6.0) < 0.3, gaps.var()
+
+
+def test_sin_density_recovery():
+    """sin density modulates the realized rate: r(t) = 1 + amp·sin(2πt/T).
+    Project the per-tick event indicator onto sin/cos at the known
+    period; the recovered relative amplitude must be amp within 25%
+    (rate ∝ r(t); rounding + clamping distort mildly)."""
+    amp, period = 0.6, 8000
+    cfg = StreamConfig(n_types=4, total_events=300_000, random_ratio=1.0,
+                       rand_interval_dist="fixed", rand_interval_base=4,
+                       rand_jitter="none",
+                       density_mode="sin", density_period=period, density_amp=amp)
+    ts, _, _ = _fast(cfg)
+    span = int(ts[-1])
+    # events per tick over whole periods only (partial periods bias the fit)
+    n_per = span // period
+    assert n_per >= 3
+    cut = n_per * period
+    sel = ts[ts < cut].astype(np.float64)
+    phase = 2.0 * np.pi * sel / period
+    n = sel.shape[0]
+    mean_rate = n / cut
+    # rate(t) = mean_rate * (1 + a·sin + b·cos); a ≈ 2/n · Σ sin(phase_i)
+    a = 2.0 * np.sin(phase).sum() / n
+    b = 2.0 * np.cos(phase).sum() / n
+    rec_amp = float(np.hypot(a, b))
+    assert abs(rec_amp - amp) / amp < 0.25, f"recovered amp {rec_amp:.3f} vs {amp}"
+    # phase: modulation must peak where sin peaks (angle near 0)
+    angle = float(np.arctan2(b, a))
+    assert abs(angle) < 0.5, f"phase offset {angle:.2f} rad"
+
+
+def test_exact_and_fast_agree_distributionally():
+    """Exact and fast paths at the same config: same label schedule,
+    same achieved ratio, spans within 1%, gap histograms close (total
+    variation distance < 0.05)."""
+    cfg = StreamConfig(n_types=6, total_events=60_000, random_ratio=0.7,
+                       pattern_jitter="uniform", pattern_jitter_amount=2,
+                       rand_interval_dist="poisson", rand_interval_base=6,
+                       rand_jitter="uniform", rand_jitter_amount=1,
+                       density_mode="sin", density_period=8000, density_amp=0.6)
+    types, gaps = core.build_patterns(PCFG)
+    ts_e, ty_e, lb_e = core.build_stream(cfg, types, gaps, rng=core.make_rng(3))
+    ts_f, ty_f, lb_f = core.build_stream_fast(cfg, types, gaps, rng=core.make_rng(3))
+    assert np.array_equal(lb_e, lb_f)
+    assert abs(int(ts_e[-1]) - int(ts_f[-1])) / int(ts_e[-1]) < 0.01
+    ge, gf = np.diff(ts_e), np.diff(ts_f)
+    hi = int(max(ge.max(), gf.max()))
+    he = np.bincount(ge, minlength=hi + 1) / ge.size
+    hf = np.bincount(gf, minlength=hi + 1) / gf.size
+    tvd = 0.5 * np.abs(he - hf).sum()
+    assert tvd < 0.05, f"gap TVD {tvd:.3f}"
