@@ -63,13 +63,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         extras[f"{name}_rows"] = n
 
-    # Layer-A generator throughput (events/sec), once available
-    try:
-        from eventstream_benchmark_spark.generator.bench import generator_events_per_sec
+    # Layer-A generator + CSV-sink throughput (vs BASELINE.md's
+    # 98k ev/s generation and 385k rows/s export)
+    from eventstream_benchmark_spark.generator.bench import (
+        csv_export_rows_per_sec,
+        generator_events_per_sec,
+    )
 
-        extras["generator_events_per_sec"] = generator_events_per_sec(spark)
-    except ImportError:
-        pass
+    extras["generator_events_per_sec"] = generator_events_per_sec(spark)
+    extras["csv_export_rows_per_sec"] = csv_export_rows_per_sec(spark)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -35,3 +35,24 @@ def generator_events_per_sec(spark: SparkSession, n_events: int = BENCH_EVENTS) 
     wall = time.perf_counter() - t0
     assert n == n_events
     return round(n / wall)
+
+
+def csv_export_rows_per_sec(spark: SparkSession, n_rows: int = 1_000_000) -> float:
+    """A10 CSV sink throughput at the baseline's 1M-row scale
+    (reference: ~385k rows/s via np.savetxt — BASELINE.md)."""
+    import shutil
+    import tempfile
+
+    from eventstream_benchmark_spark.generator.spark_gen import write_csv
+
+    shards = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    cfg = dataclasses.replace(GOLDEN_STREAM, total_events=n_rows)
+    df = stream_df_sharded(spark, GOLDEN_PATTERNS, cfg, n_shards=shards)
+    out = tempfile.mkdtemp(prefix="esb_csv_bench_")
+    try:
+        t0 = time.perf_counter()
+        write_csv(df, out)
+        wall = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return round(n_rows / wall)

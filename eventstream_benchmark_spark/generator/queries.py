@@ -93,9 +93,7 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
 
-    @F.udf("string")
-    def tag(event_type: str) -> str:  # scalar UDF
-        return f"t:{event_type}"
+    tag = F.udf(lambda event_type: f"t:{event_type}", "string")  # scalar UDF
 
     @F.pandas_udf("long")
     def poisson_of(value: pd.Series) -> pd.Series:  # vectorized sampler (A3 shape)

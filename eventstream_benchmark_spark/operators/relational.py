@@ -285,6 +285,36 @@ def agg_hash_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a pathologically skewed key.
+
+    ``event_type`` has 5 distinct values, so a direct groupBy at 100 TB
+    lands everything on 5 reducers. Stage 1 groups by (key, salt16)
+    spreading each hot key over 16 partials; stage 2 merges the 5×16
+    partials — the standard skew-neutralizing shape for algebraic
+    aggregates (sum/count/min/max recombine exactly). Results are
+    identical to the direct groupBy, which is the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            bigint(F.sum("n")).alias("n"),
+            r4(F.sum("sv")).alias("sum_value"),
+            r6(F.min("mn")).alias("min_value"),
+            r6(F.max("mx")).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # B11 — TPC-H Q1-shape grouped aggregate
 # --------------------------------------------------------------------------
@@ -603,6 +633,7 @@ QUERIES = {
     "agg_groupby_q1": agg_groupby_q1,
     "agg_distinct": agg_distinct,
     "agg_distinct_approx": agg_distinct_approx,
+    "agg_skew_salted": agg_skew_salted,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "win_ranking": win_ranking,
@@ -621,6 +652,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    # salting recombines exactly for algebraic aggregates: the oracle is
+    # the direct (unsalted) groupBy
+    "agg_skew_salted": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "scan_parquet_project_filter": """
         SELECT event_id, user_id, value FROM events WHERE event_type = 'error'
     """,

@@ -169,12 +169,52 @@ def text_tokenize_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# tf-idf term analytics (M5 extension)
+# --------------------------------------------------------------------------
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per language by summed tf-idf.
+
+    tf = term count / doc tokens (exact integer ratio); idf =
+    ln(N_docs / docfreq). Two shuffles: (doc, term) counts and the
+    (lang, term) rollup — the docfreq table is computed once and
+    joined back on term (broadcast-size: distinct terms ≪ corpus at
+    any scale with a bounded vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar: one lightweight job at plan build
+    terms = (
+        docs.select("doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("term"))
+        .filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+    )
+    per_doc = terms.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("n"))
+    doc_len = per_doc.groupBy("doc_id").agg(F.sum("n").alias("len"))
+    df_tbl = per_doc.groupBy("term").agg(F.countDistinct("doc_id").alias("docfreq"))
+    scored = (
+        per_doc.join(doc_len, "doc_id")
+        .join(F.broadcast(df_tbl), "term")
+        .withColumn(
+            "tfidf",
+            (F.col("n") / F.col("len")) * F.log(F.lit(float(n_docs)) / F.col("docfreq")),
+        )
+    )
+    by_lang = scored.groupBy("lang", "term").agg(r4(F.sum("tfidf")).alias("score"))
+    w = W.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        by_lang.withColumn("rk", bigint(F.row_number().over(w)))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "term", "score", "rk")
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_tokenize_topterms": text_tokenize_topterms,
+    "text_tfidf_topterms": text_tfidf_topterms,
 }
 
 _STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
@@ -232,6 +272,41 @@ ORACLES = {
                         AS BIGINT)
                    FOR i IN range(1, len(toks) + 1)]) AS BIGINT) AS fingerprint
         FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    """,
+    "text_tfidf_topterms": f"""
+        WITH filtered AS (
+            SELECT doc_id, lang, term FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+            ) WHERE term <> '' AND term NOT IN {_STOP_SQL}
+        ),
+        per_doc AS (
+            SELECT doc_id, lang, term, count(*) AS n
+            FROM filtered GROUP BY 1, 2, 3
+        ),
+        doc_len AS (SELECT doc_id, sum(n) AS len FROM per_doc GROUP BY 1),
+        df_tbl AS (
+            SELECT term, count(DISTINCT doc_id) AS docfreq FROM per_doc GROUP BY 1
+        ),
+        scored AS (
+            SELECT p.lang, p.term,
+                   (p.n * 1.0 / l.len) *
+                   ln((SELECT count(*) FROM documents) * 1.0 / d.docfreq) AS tfidf
+            FROM per_doc p
+            JOIN doc_len l USING (doc_id)
+            JOIN df_tbl d USING (term)
+        ),
+        by_lang AS (
+            SELECT lang, term, round(sum(tfidf), 4) AS score
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT lang, term, score, rk FROM (
+            SELECT lang, term, score,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY score DESC, term) AS rk
+            FROM by_lang
+        ) WHERE rk <= 10
     """,
     "text_tokenize_topterms": f"""
         SELECT lang, term, n, rk FROM (
