@@ -1,0 +1,80 @@
+"""Physical-plan regression tests (the 100 TB posture, pinned).
+
+Correct results can hide a plan that stopped scaling — a broadcast
+that became a shuffle join, a filter that no longer reaches the scan,
+a bucketed range join that degraded to a nested-loop cross product.
+These assertions read `.explain("formatted")` output so regressions
+fail loudly at fixture scale instead of at cluster scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from eventstream_benchmark_spark.operators import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_scan_pushdown_and_pruning(spark, sf_small):
+    plan = _plan(spark, sf_small, "scan_parquet_project_filter")
+    assert "PushedFilters: [" in plan
+    # the filter on event_type must reach the parquet reader
+    assert "event_type" in plan.split("PushedFilters")[1].splitlines()[0]
+    # projection pruning: lineitem-free query must not read full schema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema  # untouched wide column stays unread
+
+
+def test_q1_partial_aggregation(spark, sf_small):
+    plan = _plan(spark, sf_small, "agg_groupby_q1")
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    # tree nodes render as "Exchange (N)": one agg exchange + final sort
+    assert plan.count("Exchange (") <= 2
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_small):
+    plan = _plan(spark, sf_small, "join_broadcast_dims")
+    # every dimension side arrives by broadcast, never shuffled
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_stays_equi(spark, sf_small):
+    plan = _plan(spark, sf_small, "join_range_interval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_window_not_join(spark, sf_small):
+    plan = _plan(spark, sf_small, "join_asof")
+    # tagged-union + running last_value: no join operator at all
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_minhash_has_no_cross_join(spark, sf_small):
+    plan = _plan(spark, sf_small, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_broadcasts_queries(spark, sf_small):
+    plan = _plan(spark, sf_small, "knn_bruteforce_topk")
+    # the tiny query set is the broadcast side of the cross join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["text_token_count", "text_fingerprint", "text_langid"])
+def test_text_ops_are_single_scan_no_python(spark, sf_small, name):
+    plan = _plan(spark, sf_small, name)
+    assert "Scan parquet" in plan
+    for node in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"{name}: unexpected {node}"
