@@ -75,6 +75,27 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an events subset as JSON-lines, read it back with an
+    explicit schema (schema-on-read; no inference job at scale),
+    aggregate. The oracle aggregates the original table, proving the
+    round-trip lossless — including the nested ``props`` JSON string
+    carried through intact."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "props"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="esb_jsonl_"), "events_jsonl")
+    events.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id bigint, event_type string, value double, props string"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        r2(F.sum("value")).alias("sum_value"),
+        bigint(F.sum(F.get_json_object("props", "$.k").cast("bigint"))).alias("sum_k"),
+    )
+
+
 # --------------------------------------------------------------------------
 # B3 — compound predicates
 # --------------------------------------------------------------------------
@@ -632,6 +653,7 @@ QUERIES = {
     "agg_hash_global": agg_hash_global,
     "agg_groupby_q1": agg_groupby_q1,
     "agg_distinct": agg_distinct,
+    "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
     "agg_distinct_approx": agg_distinct_approx,
     "agg_skew_salted": agg_skew_salted,
     "agg_rollup": agg_rollup,
@@ -666,6 +688,12 @@ ORACLES = {
     """,
     "scan_csv_roundtrip": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "scan_jsonl_roundtrip": """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k
         FROM events GROUP BY event_type
     """,
     "predicate_combo": """

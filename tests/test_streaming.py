@@ -91,6 +91,37 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert int(hour1["n"].iloc[0]) == 3
 
 
+def test_foreachbatch_sink_parquet(spark, sf_small, tmp_path):
+    """B36's foreachBatch surface: replay the events fixture through a
+    stream and land each micro-batch in a parquet sink via custom
+    batch logic; total landed rows equal the source row count."""
+    from eventstream_benchmark_spark.streaming.queries import _replay_dir
+
+    src = _replay_dir(spark, sf_small)
+    schema = load_table(spark, sf_small, "events").schema
+    out = str(tmp_path / "landed")
+
+    def land(batch_df, batch_id: int):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(out)
+    assert landed.count() == load_table(spark, sf_small, "events").count()
+    assert "batch_id" in landed.columns
+
+
 def test_pattern_state_matches_offline_replay(spark, sf_small):
     got = streaming_pattern_state(spark, sf_small).toPandas().set_index("user_id")
 
