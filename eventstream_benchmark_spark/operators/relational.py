@@ -15,6 +15,7 @@ column names/types (see ``_util`` for the cross-engine conventions).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -200,6 +201,56 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("without_orders").alias("kind"), "n_customers")
     )
     return semi.unionAll(anti)
+
+
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free join via bucketed tables.
+
+    Both sides are written once as tables bucketed+sorted by the join
+    key (8 buckets on custkey); the subsequent sort-merge join then
+    needs NO exchange — the canonical amortization when a fact table
+    is joined on the same key repeatedly at warehouse scale. The plan
+    test asserts the exchange-free property; the oracle is the plain
+    join (bucketing must not change results).
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_cust = f"esb_bkt_orders_{tag}", f"esb_bkt_customer_{tag}"
+
+    def save_bucketed(name: str, df: DataFrame, key: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # a fresh session's in-memory catalog forgets tables but their
+        # managed locations survive on disk — clear before re-creating
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(
+            os.path.join(warehouse.removeprefix("file:"), name.lower()),
+            ignore_errors=True,
+        )
+        (
+            df.write.bucketBy(8, key).sortBy(key)
+            .mode("overwrite").format("parquet").saveAsTable(name)
+        )
+
+    save_bucketed(
+        t_orders,
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey",
+    )
+    save_bucketed(
+        t_cust,
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "c_custkey",
+    )
+    orders = spark.table(t_orders)
+    cust = spark.table(t_cust)
+    joined = orders.join(
+        cust.hint("merge"), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), r2(F.sum("o_totalprice")).alias("revenue"))
+        .orderBy("c_mktsegment")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -654,6 +705,7 @@ QUERIES = {
     "agg_groupby_q1": agg_groupby_q1,
     "agg_distinct": agg_distinct,
     "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
+    "join_bucketed_colocated": join_bucketed_colocated,
     "agg_distinct_approx": agg_distinct_approx,
     "agg_skew_salted": agg_skew_salted,
     "agg_rollup": agg_rollup,
@@ -695,6 +747,13 @@ ORACLES = {
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
                    AS sum_k
         FROM events GROUP BY event_type
+    """,
+    # bucketing is a physical property only — the oracle is the plain join
+    "join_bucketed_colocated": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "predicate_combo": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

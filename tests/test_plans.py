@@ -72,6 +72,16 @@ def test_knn_broadcasts_queries(spark, sf_small):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_small):
+    plan = _plan(spark, sf_small, "join_bucketed_colocated")
+    tree = plan.split("\n\n(1)")[0]
+    assert "SortMergeJoin" in tree
+    # everything under the join (both bucketed scans) is exchange-free;
+    # the only exchanges in the plan belong to the post-join aggregate
+    below_join = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in below_join
+
+
 @pytest.mark.parametrize("name", ["text_token_count", "text_fingerprint", "text_langid"])
 def test_text_ops_are_single_scan_no_python(spark, sf_small, name):
     plan = _plan(spark, sf_small, name)
