@@ -145,6 +145,38 @@ def stream_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_drift_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day type-distribution drift: L1 distance between
+    consecutive days' event-type share vectors.
+
+    Densifies the (day × type) grid first (missing combinations count
+    as share 0 — a cross join of two tiny distinct sets, never the
+    fact table), so the lag is well-defined for every type. This is
+    the detector for the generator's type-drift feature
+    (eventstream.py:7-8); a stable stream scores near 0, a drifting
+    one spikes."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    grid = counts.select("d").distinct().crossJoin(
+        counts.select("event_type").distinct()
+    )
+    dense = grid.join(counts, ["d", "event_type"], "left").fillna(0, ["n"])
+    share = dense.withColumn(
+        "share", F.col("n") / F.sum("n").over(W.partitionBy("d"))
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    drift = share.withColumn("prev", F.lag("share").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return (
+        drift.groupBy(fmt_date("d").alias("day"))
+        .agg(r6(F.sum(F.abs(F.col("share") - F.col("prev")))).alias("l1_drift"))
+        .orderBy("day")
+    )
+
+
 # --------------------------------------------------------------------------
 # B32 — fixed-sequence pattern matching (view -> click -> purchase)
 # --------------------------------------------------------------------------
@@ -190,6 +222,7 @@ QUERIES = {
     "stream_sliding_rate": stream_sliding_rate,
     "stream_sessionize": stream_sessionize,
     "stream_type_drift": stream_type_drift,
+    "stream_drift_score": stream_drift_score,
     "pattern_match_fixed": pattern_match_fixed,
 }
 
@@ -241,6 +274,36 @@ ORACLES = {
         SELECT day, event_type, n,
                round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day), 6) AS share
         FROM counts
+    """,
+    "stream_drift_score": f"""
+        WITH counts AS (
+            SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT d, event_type
+            FROM (SELECT DISTINCT d FROM counts)
+            CROSS JOIN (SELECT DISTINCT event_type FROM counts)
+        ),
+        dense AS (
+            SELECT g.d, g.event_type, coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON g.d = c.d AND g.event_type = c.event_type
+        ),
+        share AS (
+            SELECT d, event_type,
+                   n * 1.0 / sum(n) OVER (PARTITION BY d) AS share
+            FROM dense
+        ),
+        drift AS (
+            SELECT d, event_type, share,
+                   lag(share) OVER (PARTITION BY event_type ORDER BY d) AS prev
+            FROM share
+        )
+        SELECT {duck_fmt_date('d')} AS day,
+               round(sum(abs(share - prev)), 6) AS l1_drift
+        FROM drift WHERE prev IS NOT NULL
+        GROUP BY 1 ORDER BY 1
     """,
     "pattern_match_fixed": f"""
         WITH seq AS (
