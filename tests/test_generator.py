@@ -120,6 +120,30 @@ def _invariants(ts: np.ndarray, ty: np.ndarray, label: np.ndarray, cfg: StreamCo
     assert all((not label[i]) and label[i + 1] for i in tie_idx)
 
 
+def test_golden_csv_byte_match(golden, spark, tmp_path):
+    """SURVEY §5.2.2: the exported CSV byte-matches the reference's
+    ``to_csv`` output — same header, same %d row formatting, same
+    values, row for row."""
+    import glob
+
+    _, ref_stream = golden
+    ref_csv = tmp_path / "ref.csv"
+    ref_stream.to_csv(str(ref_csv))
+
+    from eventstream_benchmark_spark.generator import stream_df_exact, write_csv
+
+    ours = tmp_path / "ours_csv"
+    write_csv(stream_df_exact(spark, PCFG, SCFG), str(ours))
+    part = glob.glob(str(ours / "part-*.csv"))[0]
+
+    with open(ref_csv) as f:
+        ref_lines = f.read().splitlines()
+    with open(part) as f:
+        our_lines = f.read().splitlines()
+    assert our_lines[0] == ref_lines[0] == "timestamp,event_type,is_pattern"
+    assert our_lines == ref_lines
+
+
 def test_exact_mode_invariants():
     types, gaps = core.build_patterns(PCFG)
     ts, ty, label = core.build_stream(SCFG, types, gaps)
