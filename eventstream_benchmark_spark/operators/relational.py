@@ -387,6 +387,41 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) per return flag plus the
+    approx-sketch variant alongside — the exact form carries the
+    oracle (linear interpolation matches quantile_cont), the approx
+    column is what survives at 100 TB (no global sort, mergeable
+    sketches)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            r4(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50_price"),
+            r4(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90_price"),
+            r4(F.expr("percentile(l_quantity, 0.5)")).alias("p50_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates: sample stddev/variance, correlation,
+    covariance — single pass, mergeable (Welford-style partials), no
+    extra shuffle beyond the groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+            r4(F.var_samp("l_quantity")).alias("var_qty"),
+            r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+            r4(F.covar_samp("l_discount", "l_tax")).alias("cov_disc_tax"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 # --------------------------------------------------------------------------
 # B11 — TPC-H Q1-shape grouped aggregate
 # --------------------------------------------------------------------------
@@ -708,6 +743,8 @@ QUERIES = {
     "join_bucketed_colocated": join_bucketed_colocated,
     "agg_distinct_approx": agg_distinct_approx,
     "agg_skew_salted": agg_skew_salted,
+    "agg_percentiles": agg_percentiles,
+    "agg_stats_moments": agg_stats_moments,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "win_ranking": win_ranking,
@@ -747,6 +784,21 @@ ORACLES = {
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
                    AS sum_k
         FROM events GROUP BY event_type
+    """,
+    "agg_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "agg_stats_moments": """
+        SELECT l_linestatus,
+               round(stddev_samp(l_extendedprice), 4) AS sd_price,
+               round(var_samp(l_quantity), 4) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_discount, l_tax), 4) AS cov_disc_tax
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     """,
     # bucketing is a physical property only — the oracle is the plain join
     "join_bucketed_colocated": """
