@@ -568,6 +568,23 @@ def win_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based (RANGE) frame: per-event count and sum of value over
+    the trailing 1 hour per user — the value-based sibling of the
+    row-count frames in win_frame_running, ordered by epoch seconds so
+    the frame bound is a physical duration, not a row count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_seconds("ts").alias("sec")
+    )
+    w = W.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        bigint(F.count("*").over(w)).alias("n_last_hour"),
+        r2(F.sum("value").over(w)).alias("sum_last_hour"),
+    )
+
+
 # --------------------------------------------------------------------------
 # B17 — top-k per group
 # --------------------------------------------------------------------------
@@ -745,6 +762,7 @@ QUERIES = {
     "agg_skew_salted": agg_skew_salted,
     "agg_percentiles": agg_percentiles,
     "agg_stats_moments": agg_stats_moments,
+    "win_frame_range": win_frame_range,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "win_ranking": win_ranking,
@@ -799,6 +817,17 @@ ORACLES = {
                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                round(covar_samp(l_discount, l_tax), 4) AS cov_disc_tax
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    # whole-second epoch ordering on both sides (unix_seconds truncates;
+    # DuckDB epoch() is fractional for sub-second timestamps — cast)
+    "win_frame_range": """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+               round(sum(value) OVER w, 2) AS sum_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(date_part('epoch', ts) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     # bucketing is a physical property only — the oracle is the plain join
     "join_bucketed_colocated": """
