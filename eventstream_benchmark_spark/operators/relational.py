@@ -585,6 +585,25 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-
+    partition frame (the default frame stops at CURRENT ROW, where
+    last_value is just the current row — a classic window trap)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_full = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        r2(F.first_value("o_totalprice").over(w_full)).alias("best_price"),
+        r2(F.last_value("o_totalprice").over(w_full)).alias("worst_price"),
+        r2(F.nth_value("o_totalprice", 2).over(w_full)).alias("second_price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # B17 — top-k per group
 # --------------------------------------------------------------------------
@@ -669,6 +688,21 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.length("p_name")).alias("name_len"),
         F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0).alias("is_promo"),
         F.split(F.col("p_name"), " ").getItem(0).alias("first_token"),
+    )
+
+
+def scalar_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance + regex surgery on part names: levenshtein between
+    the name and its vowel-stripped form, regexp_replace/extract — the
+    fuzzy-matching scalar family (complements hash-based dedup)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    stripped = F.regexp_replace(F.col("p_name"), "[aeiou]", "")
+    return part.select(
+        "p_partkey",
+        bigint(F.levenshtein(F.col("p_name"), stripped)).alias("vowel_edits"),
+        stripped.alias("consonants"),
+        F.regexp_extract(F.col("p_name"), "^(\\w+)", 1).alias("head_word"),
+        bigint(F.instr(F.col("p_name"), " ")).alias("first_space"),
     )
 
 
@@ -763,6 +797,8 @@ QUERIES = {
     "agg_percentiles": agg_percentiles,
     "agg_stats_moments": agg_stats_moments,
     "win_frame_range": win_frame_range,
+    "win_value_functions": win_value_functions,
+    "scalar_string_distance": scalar_string_distance,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "win_ranking": win_ranking,
@@ -817,6 +853,25 @@ ORACLES = {
                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                round(covar_samp(l_discount, l_tax), 4) AS cov_disc_tax
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "win_value_functions": """
+        SELECT o_custkey, o_orderkey,
+               round(first_value(o_totalprice) OVER w, 2) AS best_price,
+               round(last_value(o_totalprice) OVER w, 2) AS worst_price,
+               round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "scalar_string_distance": """
+        SELECT p_partkey,
+               CAST(levenshtein(p_name, regexp_replace(p_name, '[aeiou]', '', 'g'))
+                    AS BIGINT) AS vowel_edits,
+               regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+               regexp_extract(p_name, '^(\\w+)', 1) AS head_word,
+               CAST(instr(p_name, ' ') AS BIGINT) AS first_space
+        FROM part WHERE p_partkey <= 200
     """,
     # whole-second epoch ordering on both sides (unix_seconds truncates;
     # DuckDB epoch() is fractional for sub-second timestamps — cast)
