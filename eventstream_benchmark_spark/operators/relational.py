@@ -469,6 +469,25 @@ def agg_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event counts pivoted to one column per event type.
+
+    The pivot values are declared explicitly — at scale an undeclared
+    pivot triggers an extra distinct-values job over the fact table.
+    Oracle is conditional aggregation (what pivot compiles to)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(fmt_date(F.date_trunc("day", "ts")).alias("day"))
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(PIVOT_TYPES))
+        .orderBy("day")
+    )
+
+
 # --------------------------------------------------------------------------
 # B13 — rollup + cube
 # --------------------------------------------------------------------------
@@ -796,6 +815,7 @@ QUERIES = {
     "agg_skew_salted": agg_skew_salted,
     "agg_percentiles": agg_percentiles,
     "agg_stats_moments": agg_stats_moments,
+    "agg_pivot": agg_pivot,
     "win_frame_range": win_frame_range,
     "win_value_functions": win_value_functions,
     "scalar_string_distance": scalar_string_distance,
@@ -853,6 +873,13 @@ ORACLES = {
                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                round(covar_samp(l_discount, l_tax), 4) AS cov_disc_tax
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "agg_pivot": f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               {", ".join(
+                   f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+                   for t in PIVOT_TYPES)}
+        FROM events GROUP BY 1 ORDER BY 1
     """,
     "win_value_functions": """
         SELECT o_custkey, o_orderkey,
