@@ -469,6 +469,32 @@ def agg_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority shape) through the SQL entry point:
+    views registered, query planned by spark.sql — proving the engine's
+    SQL surface produces the same plans/results as the DataFrame API
+    (Catalyst unifies both)."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < timestamp '1998-01-01'
+          AND l_shipdate > timestamp '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -816,6 +842,7 @@ QUERIES = {
     "agg_percentiles": agg_percentiles,
     "agg_stats_moments": agg_stats_moments,
     "agg_pivot": agg_pivot,
+    "sql_tpch_q3": sql_tpch_q3,
     "win_frame_range": win_frame_range,
     "win_value_functions": win_value_functions,
     "scalar_string_distance": scalar_string_distance,
@@ -873,6 +900,20 @@ ORACLES = {
                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                round(covar_samp(l_discount, l_tax), 4) AS cov_disc_tax
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "sql_tpch_q3": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
     """,
     "agg_pivot": f"""
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
