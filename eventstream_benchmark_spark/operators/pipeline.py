@@ -1,0 +1,100 @@
+"""Composed training-data pipeline stage (the north-star use case,
+end to end in one DataFrame program).
+
+``pipeline_corpus_prep`` chains the engine's north-star operators the
+way a real corpus-preparation job does:
+
+1. quality-score every document (pure column exprs — text.py),
+   keep docs above threshold;
+2. remove near-duplicates via MinHash-LSH (dedup.py): of every
+   verified duplicate pair, the higher doc_id is dropped
+   (keep-first policy);
+3. emit per-language corpus statistics (docs kept, tokens kept,
+   mean quality).
+
+Everything stays declarative: the dup-id set is a broadcast-size
+anti-join side (duplicate pairs ≪ corpus); the quality filter fuses
+into the scan. The DuckDB oracle recomputes the identical pipeline
+from the shared SQL building blocks, so the whole composition is
+hash-verified, not just its parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eventstream_benchmark_spark.io import load_table
+from eventstream_benchmark_spark.operators import dedup, text
+from eventstream_benchmark_spark.operators._util import bigint, r4
+
+QUALITY_THRESHOLD = 0.55
+
+
+def _quality_cols(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.lower("text"), " ")
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*text.STOPWORDS)))
+    chars_adj = F.length("text") - (n_tok - 1)
+    quality = (
+        F.least(n_tok, F.lit(100)) * n_tok
+        + (n_tok - stop_hits) * 60
+        + F.least(n_tok * 8, chars_adj) * 5
+    ) / (n_tok * 200)
+    return docs.select("doc_id", "lang", n_tok.alias("n_tokens"), quality.alias("quality"))
+
+
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _quality_cols(docs).filter(F.col("quality") >= QUALITY_THRESHOLD)
+
+    # near-dup pairs (verified Jaccard >= 0.8); drop the larger id of
+    # each pair — broadcast the (tiny) drop list into an anti-join
+    dup_ids = (
+        dedup.dedup_minhash_lsh(spark, sf_dir).select(F.col("d2").alias("doc_id")).distinct()
+    )
+    kept = scored.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            bigint(F.sum("n_tokens")).alias("n_tokens"),
+            r4(F.avg("quality")).alias("mean_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES = {
+    "pipeline_corpus_prep": pipeline_corpus_prep,
+}
+
+ORACLES = {
+    "pipeline_corpus_prep": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   string_split(lower(text), ' ') AS toks,
+                   CAST(length(text) AS BIGINT) AS nchars
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang, len(toks) AS n_tokens,
+                   (least(len(toks), 100) * len(toks)
+                    + (len(toks) - len(list_filter(toks, x -> x IN {text._STOP_SQL}))) * 60
+                    + least(len(toks) * 8, nchars - (len(toks) - 1)) * 5)
+                   * 1.0 / (len(toks) * 200) AS quality
+            FROM t
+        ),
+        dup_ids AS (
+            SELECT DISTINCT d2 AS doc_id FROM ({dedup._PAIRS_SQL})
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               round(avg(quality), 4) AS mean_quality
+        FROM scored
+        WHERE quality >= {QUALITY_THRESHOLD}
+          AND doc_id NOT IN (SELECT doc_id FROM dup_ids)
+        GROUP BY lang ORDER BY lang
+    """,
+}
