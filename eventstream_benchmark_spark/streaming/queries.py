@@ -154,6 +154,47 @@ def streaming_pattern_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def streaming_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    clicks joined to same-user purchases within the following hour.
+
+    Both sides are streaming DataFrames (derived from the same replay
+    source); watermarks bound the join state on each side — at 100 TB
+    this is what keeps the state store finite. The replay is in-order
+    and complete, so append-mode output equals the batch join — the
+    DuckDB oracle. Pairs land in a memory sink; the compact per-user
+    aggregate is computed on the sink table after termination."""
+    src = _replay_dir(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "events").schema
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    sunk = _run_to_memory(pairs, "append")
+    return (
+        sunk.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``F.session_window`` 30-min gap sessions per user — the operator
     Structured Streaming session windows use, evaluated on the batch
@@ -178,6 +219,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "streaming_replay_tumbling": streaming_replay_tumbling,
     "streaming_pattern_state": streaming_pattern_state,
+    "streaming_join_clicks_purchases": streaming_join_clicks_purchases,
     "session_window_agg": session_window_agg,
 }
 
@@ -187,6 +229,15 @@ ORACLES = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n, round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    # in-order complete replay: streaming join == batch join
+    "streaming_join_clicks_purchases": """
+        SELECT c.user_id AS user_id, count(*) AS n_pairs
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY 1 ORDER BY 1
     """,
     # session_window: new session when gap >= 30 min (half-open window)
     "session_window_agg": """
