@@ -124,26 +124,36 @@ def build_stream(
     n_random = 0
     n_pattern = 0
 
+    # hot-loop local bindings (attribute lookups per event otherwise
+    # dominate; RNG call order is untouched)
+    random_ratio = cfg.random_ratio
+    ri_base, ri_dist = cfg.rand_interval_base, cfg.rand_interval_dist
+    ri_low, ri_high = cfg.rand_interval_low, cfg.rand_interval_high
+    rj_dist, rj_amount = cfg.rand_jitter, cfg.rand_jitter_amount
+    pj_dist, pj_amount = cfg.pattern_jitter, cfg.pattern_jitter_amount
+    n_types = cfg.n_types
+    d_mode, d_rate = cfg.density_mode, cfg.density_base_rate
+    d_period, d_amp = cfg.density_period, cfg.density_amp
+    density_off = d_mode == "none"
+
     def rate(t: int) -> float:
-        return rate_at(t, cfg.density_mode, cfg.density_base_rate,
-                       cfg.density_period, cfg.density_amp)
+        return rate_at(t, d_mode, d_rate, d_period, d_amp)
 
     while filled < total:
         ratio_now = n_random / max(1, n_random + n_pattern)
         want_random = (
-            ratio_now < cfg.random_ratio or n_pattern + length > target_pattern
+            ratio_now < random_ratio or n_pattern + length > target_pattern
         ) and n_random < target_random
 
         if want_random:
             # one noise event: interval → jitter → density divide → type
             # (ref :314-348); the event lands at clock + gap
-            base = interval(cfg.rand_interval_base, cfg.rand_interval_dist, rng,
-                            cfg.rand_interval_low, cfg.rand_interval_high)
-            base = jittered(base, cfg.rand_jitter, cfg.rand_jitter_amount, rng)
-            gap = max(1, int(round(base / rate(clock))))
+            base = interval(ri_base, ri_dist, rng, ri_low, ri_high)
+            base = jittered(base, rj_dist, rj_amount, rng)
+            gap = base if density_off else max(1, int(round(base / rate(clock))))
             clock += gap
             out_ts[filled] = clock
-            out_ty[filled] = int(rng.choice(cfg.n_types))
+            out_ty[filled] = int(rng.choice(n_types))
             out_label[filled] = False
             n_random += 1
             filled += 1
@@ -152,12 +162,14 @@ def build_stream(
             # clock (ties with the preceding noise event — ref :357-359),
             # +1 tick pad after a complete instance (ref :383-384)
             pid = int(rng.integers(0, n_pats))
+            p_types = pat_types[pid]
+            p_gaps = pat_gaps[pid]
             t_cur = clock
             idx = filled
             truncated = False
             for j in range(length):
                 out_ts[idx] = t_cur
-                out_ty[idx] = pat_types[pid, j]
+                out_ty[idx] = p_types[j]
                 out_label[idx] = True
                 idx += 1
                 n_pattern += 1
@@ -165,9 +177,10 @@ def build_stream(
                     truncated = True
                     break
                 if j < length - 1:
-                    gap = jittered(int(pat_gaps[pid, j]), cfg.pattern_jitter,
-                                   cfg.pattern_jitter_amount, rng)
-                    t_cur += max(1, int(round(gap / rate(t_cur))))
+                    gap = jittered(int(p_gaps[j]), pj_dist, pj_amount, rng)
+                    if not density_off:
+                        gap = max(1, int(round(gap / rate(t_cur))))
+                    t_cur += gap
             clock = t_cur if truncated else t_cur + 1
             filled += length  # mirrors the reference's i += L overshoot
 
