@@ -63,6 +63,46 @@ def test_poisson_interarrival_moments():
     assert abs(gaps.var() - 6.0) < 0.3, gaps.var()
 
 
+def _ks_distance(samples: np.ndarray, cdf) -> float:
+    """Kolmogorov-Smirnov distance of integer samples vs a theoretical CDF."""
+    values, counts = np.unique(samples, return_counts=True)
+    emp = np.cumsum(counts) / samples.size
+    theo = np.array([cdf(int(v)) for v in values])
+    return float(np.abs(emp - theo).max())
+
+
+def test_geometric_interarrival_ks():
+    """Full-distribution check (beyond moments): KS distance of the
+    realized gaps vs the geometric CDF 1-(1-p)^k. For n=200k draws the
+    5% critical value is ~0.003; 0.01 allows seed-to-seed slack."""
+    cfg = StreamConfig(n_types=4, total_events=200_000, random_ratio=1.0,
+                       rand_interval_dist="geometric", rand_interval_base=5,
+                       rand_jitter="none")
+    ts, _, _ = _fast(cfg)
+    gaps = np.diff(ts)
+    p = 1.0 / 5.0
+    d = _ks_distance(gaps, lambda k: 1.0 - (1.0 - p) ** k)
+    assert d < 0.01, f"KS distance {d:.4f}"
+
+
+def test_poisson_interarrival_ks():
+    """KS distance of realized gaps vs the >=1-clamped Poisson(6) CDF."""
+    from math import exp, factorial
+
+    cfg = StreamConfig(n_types=4, total_events=200_000, random_ratio=1.0,
+                       rand_interval_dist="poisson", rand_interval_base=6,
+                       rand_jitter="none")
+    ts, _, _ = _fast(cfg)
+    gaps = np.diff(ts)
+    lam = 6.0
+    pmf = [exp(-lam) * lam**k / factorial(k) for k in range(80)]
+    pmf[1] += pmf[0]  # the clamp folds P(X=0) into P(X=1)
+    pmf[0] = 0.0
+    cum = np.cumsum(pmf)
+    d = _ks_distance(gaps, lambda k: float(cum[min(k, 79)]))
+    assert d < 0.01, f"KS distance {d:.4f}"
+
+
 def test_sin_density_recovery():
     """sin density modulates the realized rate: r(t) = 1 + amp·sin(2πt/T).
     Project the per-tick event indicator onto sin/cos at the known
