@@ -17,6 +17,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from eventstream_benchmark_spark.operators import (
         dedup,
         eventstream,
+        funnel,
         multimodal,
         pipeline,
         relational,
@@ -27,7 +28,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from eventstream_benchmark_spark.streaming import queries as streaming_queries
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, eventstream, dedup, similarity, text, multimodal, pipeline):
+    for mod in (relational, eventstream, funnel, dedup, similarity, text, multimodal, pipeline):
         merged.update(mod.QUERIES)
     merged.update(gen_queries.QUERIES)
     merged.update(streaming_queries.QUERIES)
@@ -38,6 +39,7 @@ def all_oracles() -> dict[str, str]:
     from eventstream_benchmark_spark.operators import (
         dedup,
         eventstream,
+        funnel,
         multimodal,
         pipeline,
         relational,
@@ -48,7 +50,7 @@ def all_oracles() -> dict[str, str]:
     from eventstream_benchmark_spark.streaming import queries as streaming_queries
 
     merged: dict[str, str] = {}
-    for mod in (relational, eventstream, dedup, similarity, text, multimodal, pipeline):
+    for mod in (relational, eventstream, funnel, dedup, similarity, text, multimodal, pipeline):
         merged.update(mod.ORACLES)
     merged.update(gen_queries.ORACLES)
     merged.update(streaming_queries.ORACLES)
