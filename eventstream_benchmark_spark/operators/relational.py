@@ -496,6 +496,7 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+HIST_WIDTH = 25  # events.value spans ~[0, 500] -> ~20 buckets
 
 
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,6 +551,59 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_qty",
         )
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube compile to
+    (one shuffle; Spark expands sets via a single Expand node, not one
+    scan per set). grouping_id() disambiguates subtotal rows the same
+    way on both engines."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+    """)
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (25-unit buckets) with per-bucket
+    share. Bucketing by floor(value/width) needs no prior min/max pass,
+    so it stays a single scan + one small-key groupBy at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / HIST_WIDTH) * HIST_WIDTH).cast("bigint")
+    total = W.partitionBy()
+    return (
+        ev.groupBy(bucket.alias("bucket_lo"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket_lo",
+            "n",
+            r6(F.col("n") / F.sum("n").over(total)).alias("share"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style dedup: keep each (user_id, event_type)'s latest event,
+    ties broken by event_id (SURVEY §1.2 — timestamps tie, so a total
+    order needs the id). row_number over a per-key sort: one shuffle on
+    the dedup key, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", fmt_ts("ts").alias("ts"), "value")
     )
 
 
@@ -848,6 +902,9 @@ QUERIES = {
     "scalar_string_distance": scalar_string_distance,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_histogram": agg_histogram,
+    "dedup_keep_latest": dedup_keep_latest,
     "win_ranking": win_ranking,
     "win_lag_inter_arrival": win_lag_inter_arrival,
     "win_frame_running": win_frame_running,
@@ -864,6 +921,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+    """,
+    "agg_histogram": f"""
+        SELECT CAST(floor(value / {HIST_WIDTH}) * {HIST_WIDTH} AS BIGINT)
+                   AS bucket_lo,
+               count(*) AS n,
+               round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "dedup_keep_latest": f"""
+        SELECT user_id, event_type, event_id,
+               {duck_fmt_ts('ts')} AS ts, value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    """,
     # salting recombines exactly for algebraic aggregates: the oracle is
     # the direct (unsalted) groupBy
     "agg_skew_salted": """
