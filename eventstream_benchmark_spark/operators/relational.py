@@ -495,6 +495,88 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier-volume shape): six-table star join where
+    the dims (region, nation, supplier, customer) are broadcast under
+    AQE's size thresholds and only the orders⋈lineitem edge shuffles.
+    The c_nationkey = s_nationkey condition makes the join graph cyclic
+    — a shape Catalyst's join reordering has to handle, which is why the
+    classic benchmark includes it."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    return spark.sql(
+        """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= timestamp '1996-01-01'
+          AND o_orderdate < timestamp '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression family (CASE WHEN / coalesce / nullif /
+    least / greatest) over lineitem, aggregated per branch. All of these
+    fold into whole-stage-codegen'd expressions — no UDF, no extra
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tier = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+    )
+    return (
+        li.groupBy(tier.alias("qty_tier"))
+        .agg(
+            F.count("*").alias("n"),
+            # nullif(discount, 0) -> avg over the discounted rows only
+            r6(F.avg(F.nullif(F.col("l_discount"), F.lit(0.0)))).alias(
+                "avg_nonzero_discount"
+            ),
+            r2(
+                F.sum(F.coalesce(F.nullif("l_tax", F.lit(0.0)), F.lit(0.01)))
+            ).alias("sum_tax_floored"),
+            r2(F.sum(F.least("l_quantity", F.lit(25.0)))).alias("sum_qty_cap25"),
+            r2(F.sum(F.greatest("l_quantity", F.lit(5.0)))).alias("sum_qty_floor5"),
+        )
+        .orderBy("qty_tier")
+    )
+
+
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers whose account balance beats
+    their nation's average. Catalyst decorrelates this into an aggregate
+    + join (no per-row re-execution) — the subquery is planned once over
+    the 25-key nation grouping, then broadcast."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_above,
+               round(max(c_acctbal), 2) AS max_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c_nationkey)
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+
+
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 HIST_WIDTH = 25  # events.value spans ~[0, 500] -> ~20 buckets
 
@@ -902,6 +984,9 @@ QUERIES = {
     "scalar_string_distance": scalar_string_distance,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
+    "sql_tpch_q5": sql_tpch_q5,
+    "scalar_conditional": scalar_conditional,
+    "subquery_correlated": subquery_correlated,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_histogram": agg_histogram,
     "dedup_keep_latest": dedup_keep_latest,
@@ -921,6 +1006,43 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_tpch_q5": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= timestamp '1996-01-01'
+          AND o_orderdate < timestamp '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "scalar_conditional": """
+        SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity < 30 THEN 'medium'
+                    ELSE 'large' END AS qty_tier,
+               count(*) AS n,
+               round(avg(nullif(l_discount, 0.0)), 6) AS avg_nonzero_discount,
+               round(sum(coalesce(nullif(l_tax, 0.0), 0.01)), 2)
+                   AS sum_tax_floored,
+               round(sum(least(l_quantity, 25.0)), 2) AS sum_qty_cap25,
+               round(sum(greatest(l_quantity, 5.0)), 2) AS sum_qty_floor5
+        FROM lineitem
+        GROUP BY 1 ORDER BY 1
+    """,
+    "subquery_correlated": """
+        SELECT n_name, count(*) AS n_above,
+               round(max(c_acctbal), 2) AS max_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c_nationkey)
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
     "agg_grouping_sets": """
         SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                coalesce(l_linestatus, 'ALL') AS l_linestatus,
