@@ -88,3 +88,38 @@ def test_text_ops_are_single_scan_no_python(spark, sf_small, name):
     assert "Scan parquet" in plan
     for node in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, f"{name}: unexpected {node}"
+
+
+def test_q5_cyclic_star_join_broadcasts(spark, sf_small):
+    plan = _plan(spark, sf_small, "sql_tpch_q5")
+    # the c_nationkey = s_nationkey cycle must not degrade the join graph
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # region/nation/supplier/customer all arrive by broadcast at fixture SF
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_correlated_subquery_is_decorrelated(spark, sf_small):
+    plan = _plan(spark, sf_small, "subquery_correlated")
+    # Catalyst rewrites the per-row scalar subquery into agg + join:
+    # the plan must contain a real join and no nested-loop re-execution
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_keep_latest_dedup_single_shuffle_no_join(spark, sf_small):
+    plan = _plan(spark, sf_small, "dedup_keep_latest")
+    # row_number-over-key dedup: one exchange on the dedup key, no self-join
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("Exchange (") == 1
+
+
+def test_grouping_sets_single_expand_single_agg_shuffle(spark, sf_small):
+    plan = _plan(spark, sf_small, "agg_grouping_sets")
+    # all three grouping sets come from ONE scan via ONE Expand node,
+    # with map-side partial aggregation before the single agg exchange
+    assert plan.count("Expand (") == 1
+    assert "partial_" in plan
+    assert plan.count("Exchange (") <= 2
