@@ -704,6 +704,8 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.rank().over(w)).alias("rk"),
         bigint(F.dense_rank().over(w)).alias("drk"),
         bigint(F.ntile(4).over(w)).alias("quartile"),
+        r6(F.percent_rank().over(w)).alias("pct_rk"),
+        r6(F.cume_dist().over(w)).alias("cume"),
     )
 
 
@@ -1267,7 +1269,9 @@ ORACLES = {
                row_number() OVER w AS rn,
                rank() OVER w AS rk,
                dense_rank() OVER w AS drk,
-               ntile(4) OVER w AS quartile
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rk,
+               round(cume_dist() OVER w, 6) AS cume
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
