@@ -218,8 +218,29 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std across the corpus (the centroid + scale a
+    training pipeline computes for feature normalization). posexplode
+    turns [N, 64] wide rows into 64N long rows; the groupBy key space is
+    exactly the dimensionality, so the shuffle output is 64 rows no
+    matter how large N grows — partial aggregation does all the work
+    map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .select("pos", F.col("x").cast("double").alias("x"))
+        .groupBy(bigint(F.col("pos")).alias("pos"))
+        .agg(
+            r6(F.avg("x")).alias("mean_x"),
+            r6(F.stddev_samp("x")).alias("std_x"),
+        )
+        .orderBy("pos")
+    )
+
+
 QUERIES = {
     "embed_cosine_topk": embed_cosine_topk,
+    "embed_dim_stats": embed_dim_stats,
     "knn_bruteforce_topk": knn_bruteforce_topk,
     "ann_lsh_cosine": ann_lsh_cosine,
     "ann_ivf_cosine": ann_ivf_cosine,
@@ -231,6 +252,15 @@ _COS_SQL = (
 )
 
 ORACLES = {
+    # generate_series can't reference len(embedding) laterally in DuckDB;
+    # the fixture dimensionality is fixed at 64
+    "embed_dim_stats": """
+        SELECT i - 1 AS pos,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_x,
+               round(stddev_samp(CAST(embedding[i] AS DOUBLE)), 6) AS std_x
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY 1 ORDER BY 1
+    """,
     "embed_cosine_topk": f"""
         WITH e AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -208,7 +208,34 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_HASH_MULT = 2654435761  # Knuth multiplicative hash, mod 2^32
+SPLIT_HASH_MOD = 4294967296
+
+
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by hashing the
+    document id — the reproducible held-out split a training pipeline
+    needs (resharding or re-reading the corpus never moves a doc across
+    splits). The multiplicative hash here is chosen for cross-engine
+    oracle portability; at production scale use F.xxhash64(doc_id) %
+    100 — same plan shape, better mixing."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * SPLIT_HASH_MULT) % SPLIT_HASH_MOD % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 QUERIES = {
+    "sample_hash_split": sample_hash_split,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -229,6 +256,17 @@ def _marker_score_sql(lang: str) -> str:
 
 
 ORACLES = {
+    "sample_hash_split": f"""
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (SELECT lang, n_chars,
+                     (doc_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD} % 100 AS b
+              FROM documents)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "text_token_count": f"""
         SELECT doc_id,
                CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws_tokens,

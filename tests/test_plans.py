@@ -123,3 +123,12 @@ def test_grouping_sets_single_expand_single_agg_shuffle(spark, sf_small):
     assert plan.count("Expand (") == 1
     assert "partial_" in plan
     assert plan.count("Exchange (") <= 2
+
+
+def test_dim_stats_partial_agg_no_python(spark, sf_small):
+    plan = _plan(spark, sf_small, "embed_dim_stats")
+    # 64N exploded rows collapse map-side: the exchange carries ≤64 keys
+    assert "partial_" in plan
+    assert plan.count("Exchange (") <= 2
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
