@@ -577,6 +577,28 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money arithmetic in DECIMAL: revenue per return flag with
+    no float rounding anywhere — price and discount multiplier are cast
+    to fixed-point before the multiply, and the final sums are emitted
+    as strings so the oracle comparison proves digit-for-digit equality
+    rather than within-epsilon agreement. Decimal aggregation stays in
+    Tungsten (long-backed for precision ≤ 18), so exactness costs no
+    plan change."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    mult = (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_price"),
+            F.sum(price * mult).cast("decimal(38,4)").cast("string").alias("sum_revenue"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 HIST_WIDTH = 25  # events.value spans ~[0, 500] -> ~20 buckets
 
@@ -987,6 +1009,7 @@ QUERIES = {
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "sql_tpch_q5": sql_tpch_q5,
+    "scalar_decimal": scalar_decimal,
     "scalar_conditional": scalar_conditional,
     "subquery_correlated": subquery_correlated,
     "agg_grouping_sets": agg_grouping_sets,
@@ -1008,6 +1031,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scalar_decimal": """
+        SELECT l_returnflag,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (CAST(1 AS DECIMAL(4,2))
+                                - CAST(l_discount AS DECIMAL(4,2))))
+                         AS DECIMAL(38,4)) AS VARCHAR) AS sum_revenue,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "sql_tpch_q5": """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
