@@ -923,6 +923,32 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))).alias(
             "days_since_95"
         ),
+        fmt_date(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_90d"),
+    )
+
+
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event_type→count map built with
+    map_from_entries, then element_at/size lookups. The map is an
+    in-flight shape only — the emitted columns are plain scalars, so
+    the oracle is the conditional aggregation the map lookup is
+    equivalent to."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "cnt"))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("n_click"),
+            F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchase"),
+            bigint(F.size(F.map_keys("m"))).alias("n_types"),
+        )
+        .orderBy("user_id")
     )
 
 
@@ -1010,6 +1036,7 @@ QUERIES = {
     "agg_cube": agg_cube,
     "sql_tpch_q5": sql_tpch_q5,
     "scalar_decimal": scalar_decimal,
+    "scalar_map": scalar_map,
     "scalar_conditional": scalar_conditional,
     "subquery_correlated": subquery_correlated,
     "agg_grouping_sets": agg_grouping_sets,
@@ -1384,8 +1411,16 @@ ORACLES = {
                CAST(isodow(o_orderdate) AS BIGINT) AS dow_iso,
                {duck_fmt_date("date_trunc('month', o_orderdate)")} AS month_start,
                CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
-                   AS BIGINT) AS days_since_95
+                   AS BIGINT) AS days_since_95,
+               {duck_fmt_date("o_orderdate + INTERVAL 90 DAY")} AS due_90d
         FROM orders
+    """,
+    "scalar_map": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id ORDER BY user_id
     """,
     "scalar_math": """
         SELECT l_orderkey, l_linenumber,
