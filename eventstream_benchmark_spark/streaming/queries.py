@@ -216,14 +216,42 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` — the
+    operator that makes the north-star exact-dedup lane incremental.
+    State holds one row per key only until the watermark passes it; a
+    horizon wider than the fixture's 30-day span makes the streaming
+    answer equal batch DISTINCT, which is what the oracle checks. The
+    emitted per-type counts are key counts, so they are deterministic
+    regardless of which duplicate instance survived."""
+    src = _replay_dir(spark, sf_dir)
+    events = spark.readStream.schema(
+        load_table(spark, sf_dir, "events").schema
+    ).parquet(src)
+    deduped = (
+        events.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_keys"))
+    )
+    return _run_to_memory(deduped, "complete").orderBy("event_type")
+
+
 QUERIES = {
     "streaming_replay_tumbling": streaming_replay_tumbling,
+    "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_pattern_state": streaming_pattern_state,
     "streaming_join_clicks_purchases": streaming_join_clicks_purchases,
     "session_window_agg": session_window_agg,
 }
 
 ORACLES = {
+    # watermark horizon > stream span: streaming dedup == batch DISTINCT
+    "streaming_dedup_watermark": """
+        SELECT event_type, count(*) AS n_keys
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY 1 ORDER BY 1
+    """,
     # hour-tumbling windows align to epoch hours == date_trunc('hour')
     "streaming_replay_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
