@@ -41,6 +41,18 @@ SESSION_GAP = "30 minutes"
 PATTERN_SEQ = ("view", "click", "purchase")
 
 
+def _size_state_shuffle(spark: SparkSession) -> None:
+    """Size ``spark.sql.shuffle.partitions`` to the session's cores for
+    streaming plans. AQE coalesces over-partitioned batch shuffles at
+    runtime, but stateful streaming shuffles bypass AQE — the number is
+    the state-store shard count, and a vanilla session's 200 means 200
+    tasks per micro-batch regardless of data volume. Runtime-settable,
+    so this works on the driver's own session; fresh checkpoints per
+    run make it safe to (re)size."""
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(2 * cores, 64))))
+
+
 def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the events fixture as a µs-timestamp parquet dir that
     a vanilla ``readStream`` can consume (the raw fixture is
@@ -76,6 +88,7 @@ def streaming_replay_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the streaming answer is exactly the batch answer (the fixture
     stream is in-order; nothing is late against the 1-hour watermark).
     """
+    _size_state_shuffle(spark)
     src = _replay_dir(spark, sf_dir)
     events = spark.readStream.schema(
         load_table(spark, sf_dir, "events").schema
@@ -101,6 +114,7 @@ def streaming_pattern_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState``; the replay ends with one summary row
     per user.
     """
+    _size_state_shuffle(spark)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     src = _replay_dir(spark, sf_dir)
@@ -164,6 +178,7 @@ def streaming_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFra
     and complete, so append-mode output equals the batch join — the
     DuckDB oracle. Pairs land in a memory sink; the compact per-user
     aggregate is computed on the sink table after termination."""
+    _size_state_shuffle(spark)
     src = _replay_dir(spark, sf_dir)
     schema = load_table(spark, sf_dir, "events").schema
 
@@ -224,6 +239,7 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer equal batch DISTINCT, which is what the oracle checks. The
     emitted per-type counts are key counts, so they are deterministic
     regardless of which duplicate instance survived."""
+    _size_state_shuffle(spark)
     src = _replay_dir(spark, sf_dir)
     events = spark.readStream.schema(
         load_table(spark, sf_dir, "events").schema
