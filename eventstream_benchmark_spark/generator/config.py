@@ -74,17 +74,18 @@ class StreamConfig:
 
 
 def cache_key(pcfg: PatternConfig, scfg: StreamConfig) -> str:
-    """md5[:10] of the joined config fields — the same key scheme the
-    reference uses for its pickle cache (``eventstream.py:254-264``),
-    here keying a parquet path instead."""
-    parts = (
-        f"{pcfg.n_patterns}-{pcfg.pattern_length}-{scfg.n_types}-"
-        f"{scfg.total_events}-{scfg.random_ratio}-{scfg.seed}-"
-        f"{scfg.pattern_jitter}-{scfg.pattern_jitter_amount}-"
-        f"{scfg.rand_interval_dist}-{scfg.rand_interval_base}-"
-        f"{scfg.rand_interval_low}-{scfg.rand_interval_high}-"
-        f"{scfg.rand_jitter}-{scfg.rand_jitter_amount}-"
-        f"{scfg.density_mode}-{scfg.density_period}-{scfg.density_amp}-"
-        f"{scfg.density_base_rate}"
+    """md5[:10] of EVERY config field of both dataclasses — the same key
+    scheme the reference uses for its pickle cache
+    (``eventstream.py:254-264``), here keying a parquet path instead.
+
+    Unlike the reference's key (which omits the pattern seed and gap
+    parameters — a silent cache-collision bug we deliberately do NOT
+    mirror), the key covers the full pattern config: two configs that
+    generate different streams can never share a cache entry.
+    Field-name prefixes keep pattern/stream fields unambiguous."""
+    parts = "|".join(
+        f"p.{name}={getattr(pcfg, name)!r}" for name in sorted(PatternConfig.__dataclass_fields__)
+    ) + "|" + "|".join(
+        f"s.{name}={getattr(scfg, name)!r}" for name in sorted(StreamConfig.__dataclass_fields__)
     )
     return hashlib.md5(parts.encode()).hexdigest()[:10]

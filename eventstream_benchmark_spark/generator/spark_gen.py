@@ -156,8 +156,11 @@ def stream_df_cached(
     ``mode('ignore')`` gives the write-through-once semantics: first
     call generates + writes ``stream_<md5>.parquet``, later calls with
     the same config read the materialization (unless ``regenerate``).
+    The path carries the shard count in sharded mode — shard layout
+    changes the emitted stream, so it is part of the cache identity.
     """
-    path = os.path.join(cache_dir, f"stream_{cache_key(pcfg, scfg)}-{mode}.parquet")
+    variant = mode if mode == "exact" else f"{mode}{n_shards}"
+    path = os.path.join(cache_dir, f"stream_{cache_key(pcfg, scfg)}-{variant}.parquet")
     if regenerate or not os.path.exists(path):
         df = (
             stream_df_exact(spark, pcfg, scfg)

@@ -23,10 +23,16 @@ integer ratios).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstream_benchmark_spark.io import load_table
+from eventstream_benchmark_spark.operators._cache import (
+    release_scoped_persists,
+    scoped_persist,
+)
 from eventstream_benchmark_spark.operators._util import r6
 
 SHINGLE_K = 3
@@ -59,13 +65,13 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions (128 minhash perms x 32 bands), re-splitting the text
     hundreds of thousands of times per row. At scale this is the
     classic "materialize the signature table" step of a MinHash
-    pipeline; identical plans share one cache entry.
+    pipeline; identical plans share one cache entry. Registered with the
+    scoped-persist registry so the next query releases it.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    return scoped_persist(
         docs.filter(F.size(F.split(F.lower("text"), " ")) >= SHINGLE_K)
         .select("doc_id", _shingles(F.col("text")).alias("shingles"))
-        .persist()
     )
 
 
@@ -102,6 +108,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly: explode shingles → equi-join on shingle → per-pair
     intersection counts → filter. Quadratic in docs-per-shingle; the
     LSH variant below is the scale path with identical output."""
+    release_scoped_persists()
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
@@ -150,10 +157,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard via array_intersect → threshold. Output equals
     the all-pairs oracle (recall loss ≈ 5e-8 at J ≥ 0.8).
     """
+    release_scoped_persists()
     sh = _doc_shingles(spark, sf_dir)
     # persist the signature table: referenced once per band below, and
     # the barrier keeps the 128-perm expression from being inlined 32x
-    sig = sh.withColumn("mh", _minhash_signature()).persist()
+    sig = scoped_persist(sh.withColumn("mh", _minhash_signature()))
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -200,6 +208,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc: per-shingle xxhash64, bit-vote over the
     shingle set, then bucket by the top-16 bits — groups sharing a
     bucket are near-dup candidates. Rows-only check (hash-specific)."""
+    release_scoped_persists()
     sh = _doc_shingles(spark, sf_dir)
     hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
     # F.shiftright/shiftleft require a literal int shift amount, but the

@@ -18,7 +18,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eventstream_benchmark_spark.io import load_table
@@ -407,19 +407,48 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregates: sample stddev/variance, correlation,
-    covariance — single pass, mergeable (Welford-style partials), no
-    extra shuffle beyond the groupBy."""
+    covariance — single pass, mergeable power sums, no extra shuffle
+    beyond the groupBy.
+
+    Cross-engine hash parity: native ``stddev``/``corr``/``covar``
+    accumulate doubles in engine-specific order, so Spark and DuckDB can
+    disagree at the rounding boundary (the one hash failure in round 1).
+    Both engines therefore sum EXACT decimals (n, Σx, Σx², Σxy — the
+    fixture doubles carry ≤2 decimals, so DECIMAL(18,2) casts are
+    lossless and the sums are integer-exact) and derive each moment with
+    the identical IEEE-double expression; pre-rounding doubles are then
+    bit-identical, making the rounded hash deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_linestatus")
-        .agg(
-            r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
-            r4(F.var_samp("l_quantity")).alias("var_qty"),
-            r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
-            r4(F.covar_samp("l_discount", "l_tax")).alias("cov_disc_tax"),
-        )
-        .orderBy("l_linestatus")
+
+    def dec(c: str) -> Column:
+        return F.col(c).cast("decimal(18,2)")
+
+    x, q, d, t = dec("l_extendedprice"), dec("l_quantity"), dec("l_discount"), dec("l_tax")
+    sums = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(q * x).alias("sqx"),
+        F.sum(d).alias("sd"),
+        F.sum(t).alias("st"),
+        F.sum(d * t).alias("sdt"),
     )
+    n = F.col("n").cast("double")
+    dbl = {c: F.col(c).cast("double") for c in ("sx", "sxx", "sq", "sqq", "sqx", "sd", "st", "sdt")}
+    # centered second moments: M_ab = Σab − Σa·Σb/n (same shape in the oracle)
+    mxx = dbl["sxx"] - dbl["sx"] * dbl["sx"] / n
+    mqq = dbl["sqq"] - dbl["sq"] * dbl["sq"] / n
+    mqx = dbl["sqx"] - dbl["sq"] * dbl["sx"] / n
+    mdt = dbl["sdt"] - dbl["sd"] * dbl["st"] / n
+    return sums.select(
+        "l_linestatus",
+        r4(F.sqrt(mxx / (n - 1))).alias("sd_price"),
+        r4(mqq / (n - 1)).alias("var_qty"),
+        r6(mqx / F.sqrt(mqq * mxx)).alias("corr_qty_price"),
+        r4(mdt / (n - 1)).alias("cov_disc_tax"),
+    ).orderBy("l_linestatus")
 
 
 # --------------------------------------------------------------------------
@@ -1161,12 +1190,33 @@ ORACLES = {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "agg_stats_moments": """
+        WITH sums AS (
+            SELECT l_linestatus,
+                   count(*) AS n,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                   sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+                   sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqx,
+                   sum(CAST(l_discount AS DECIMAL(18,2))) AS sd,
+                   sum(CAST(l_tax AS DECIMAL(18,2))) AS st,
+                   sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS sdt
+            FROM lineitem GROUP BY l_linestatus
+        ), m AS (
+            SELECT l_linestatus,
+                   CAST(n AS DOUBLE) AS n,
+                   CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mxx,
+                   CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mqq,
+                   CAST(sqx AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mqx,
+                   CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS mdt
+            FROM sums
+        )
         SELECT l_linestatus,
-               round(stddev_samp(l_extendedprice), 4) AS sd_price,
-               round(var_samp(l_quantity), 4) AS var_qty,
-               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               round(covar_samp(l_discount, l_tax), 4) AS cov_disc_tax
-        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+               round(sqrt(mxx / (n - 1)), 4) AS sd_price,
+               round(mqq / (n - 1), 4) AS var_qty,
+               round(mqx / sqrt(mqq * mxx), 6) AS corr_qty_price,
+               round(mdt / (n - 1), 4) AS cov_disc_tax
+        FROM m ORDER BY l_linestatus
     """,
     "sql_tpch_q3": """
         SELECT l_orderkey,

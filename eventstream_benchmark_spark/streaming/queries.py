@@ -26,9 +26,11 @@ lateness is injected synthetically there).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 import pandas as pd
 
@@ -41,24 +43,34 @@ SESSION_GAP = "30 minutes"
 PATTERN_SEQ = ("view", "click", "purchase")
 
 
-def _size_state_shuffle(spark: SparkSession) -> None:
+@contextmanager
+def _state_shuffle(spark: SparkSession):
     """Size ``spark.sql.shuffle.partitions`` to the session's cores for
-    streaming plans. AQE coalesces over-partitioned batch shuffles at
-    runtime, but stateful streaming shuffles bypass AQE — the number is
-    the state-store shard count, and a vanilla session's 200 means 200
-    tasks per micro-batch regardless of data volume. Runtime-settable,
-    so this works on the driver's own session; fresh checkpoints per
-    run make it safe to (re)size."""
+    the duration of a streaming run, then restore the previous value.
+    AQE coalesces over-partitioned batch shuffles at runtime, but
+    stateful streaming shuffles bypass AQE — the number is the
+    state-store shard count, and a vanilla session's 200 means 200
+    tasks per micro-batch regardless of data volume. Restoring on exit
+    keeps the setting from leaking into later batch queries (which
+    would skew bench timings depending on execution order)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     cores = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(2 * cores, 64))))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the events fixture as a µs-timestamp parquet dir that
     a vanilla ``readStream`` can consume (the raw fixture is
-    TIMESTAMP(NANOS), unreadable without a legacy conf)."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"esb_replay_{tag}")
+    TIMESTAMP(NANOS), unreadable without a legacy conf). Keyed on the
+    fixture's resolved path + mtime so regenerated fixtures (or two
+    roots sharing a basename) never serve stale replay data."""
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    key = hashlib.md5(f"{src}:{os.stat(src).st_mtime_ns}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"esb_replay_{key}")
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
@@ -88,17 +100,17 @@ def streaming_replay_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the streaming answer is exactly the batch answer (the fixture
     stream is in-order; nothing is late against the 1-hour watermark).
     """
-    _size_state_shuffle(spark)
-    src = _replay_dir(spark, sf_dir)
-    events = spark.readStream.schema(
-        load_table(spark, sf_dir, "events").schema
-    ).parquet(src)
-    windowed = (
-        events.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
-    )
-    result = _run_to_memory(windowed, "complete")
+    with _state_shuffle(spark):
+        src = _replay_dir(spark, sf_dir)
+        events = spark.readStream.schema(
+            load_table(spark, sf_dir, "events").schema
+        ).parquet(src)
+        windowed = (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        )
+        result = _run_to_memory(windowed, "complete")
     return result.select(
         F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
     )
@@ -114,20 +126,19 @@ def streaming_pattern_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState``; the replay ends with one summary row
     per user.
     """
-    _size_state_shuffle(spark)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    src = _replay_dir(spark, sf_dir)
-    events = spark.readStream.schema(
-        load_table(spark, sf_dir, "events").schema
-    ).parquet(src)
 
     seq = PATTERN_SEQ
 
     def track(key, pdf_iter, state: GroupState):
         progress, completed, seen = state.get if state.exists else (0, 0, 0)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # A group's micro-batch arrives as multiple Arrow chunks with no
+        # global order guarantee — concatenate first, sort once; sorting
+        # per-chunk would replay events out of (ts, event_id) order for
+        # any user whose batch exceeds arrow.maxRecordsPerBatch.
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
             for et in pdf["event_type"]:
                 seen += 1
                 if et == seq[progress]:
@@ -149,14 +160,19 @@ def streaming_pattern_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    tracked = events.groupBy("user_id").applyInPandasWithState(
-        track,
-        outputStructType="user_id long, progress int, completed int, n_events long",
-        stateStructType="progress int, completed int, n_events long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    result = _run_to_memory(tracked, "update")
+    with _state_shuffle(spark):
+        src = _replay_dir(spark, sf_dir)
+        events = spark.readStream.schema(
+            load_table(spark, sf_dir, "events").schema
+        ).parquet(src)
+        tracked = events.groupBy("user_id").applyInPandasWithState(
+            track,
+            outputStructType="user_id long, progress int, completed int, n_events long",
+            stateStructType="progress int, completed int, n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        result = _run_to_memory(tracked, "update")
     # update-mode memory sink appends one row per (user, batch); keep the
     # final (max n_events) row per user so output is batching-invariant
     latest = result.groupBy("user_id").agg(
@@ -178,31 +194,31 @@ def streaming_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFra
     and complete, so append-mode output equals the batch join — the
     DuckDB oracle. Pairs land in a memory sink; the compact per-user
     aggregate is computed on the sink table after termination."""
-    _size_state_shuffle(spark)
-    src = _replay_dir(spark, sf_dir)
-    schema = load_table(spark, sf_dir, "events").schema
+    with _state_shuffle(spark):
+        src = _replay_dir(spark, sf_dir)
+        schema = load_table(spark, sf_dir, "events").schema
 
-    def side(event_type: str, prefix: str):
-        return (
-            spark.readStream.schema(schema).parquet(src)
-            .filter(F.col("event_type") == event_type)
-            .withWatermark("ts", "2 hours")
-            .select(
-                F.col("user_id").alias(f"{prefix}_user"),
-                F.col("event_id").alias(f"{prefix}_id"),
-                F.col("ts").alias(f"{prefix}_ts"),
+        def side(event_type: str, prefix: str):
+            return (
+                spark.readStream.schema(schema).parquet(src)
+                .filter(F.col("event_type") == event_type)
+                .withWatermark("ts", "2 hours")
+                .select(
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("ts").alias(f"{prefix}_ts"),
+                )
             )
-        )
 
-    clicks = side("click", "c")
-    purchases = side("purchase", "p")
-    pairs = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
-        ),
-    )
-    sunk = _run_to_memory(pairs, "append")
+        clicks = side("click", "c")
+        purchases = side("purchase", "p")
+        pairs = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        sunk = _run_to_memory(pairs, "append")
     return (
         sunk.groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count("*").alias("n_pairs"))
@@ -239,18 +255,19 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer equal batch DISTINCT, which is what the oracle checks. The
     emitted per-type counts are key counts, so they are deterministic
     regardless of which duplicate instance survived."""
-    _size_state_shuffle(spark)
-    src = _replay_dir(spark, sf_dir)
-    events = spark.readStream.schema(
-        load_table(spark, sf_dir, "events").schema
-    ).parquet(src)
-    deduped = (
-        events.withWatermark("ts", "90 days")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_keys"))
-    )
-    return _run_to_memory(deduped, "complete").orderBy("event_type")
+    with _state_shuffle(spark):
+        src = _replay_dir(spark, sf_dir)
+        events = spark.readStream.schema(
+            load_table(spark, sf_dir, "events").schema
+        ).parquet(src)
+        deduped = (
+            events.withWatermark("ts", "90 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_keys"))
+        )
+        result = _run_to_memory(deduped, "complete")
+    return result.orderBy("event_type")
 
 
 QUERIES = {

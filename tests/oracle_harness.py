@@ -40,8 +40,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(spark_df, duck_df: pd.DataFrame, rel_tol: float = 1e-9) -> list[str]:
-    """Return a list of mismatch descriptions (empty == parity)."""
+def compare(spark_df, duck_df: pd.DataFrame, rel_tol: float = 0.0) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity).
+
+    Default is EXACT float equality: the driver compares an exact value
+    hash, so rounded outputs must be bit-identical across engines — a
+    tolerance here would mask driver-level failures (it hid the round-1
+    ``agg_stats_moments`` hash mismatch).
+    """
     issues: list[str] = []
     s = _normalize(spark_df.toPandas())
     d = _normalize(duck_df)
