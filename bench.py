@@ -58,6 +58,8 @@ def main() -> None:
     for name in ("agg_groupby_q1", "join_broadcast_dims"):
         queries[name](spark, sf_dir).count()
 
+    from eventstream_benchmark_spark.operators._cache import release_scoped_persists
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     for name in HEADLINE:
@@ -66,6 +68,8 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         extras[f"{name}_rows"] = n
+    # the last persisting query's intermediates must not outlive the sweep
+    release_scoped_persists()
 
     # Layer-A generator + CSV-sink throughput (vs BASELINE.md's
     # 98k ev/s generation and 385k rows/s export)

@@ -8,7 +8,7 @@ Public API (mirrors the reference surface, Spark-first):
 - :func:`stream_df_exact` — bit-compatible single stream (golden path).
 - :func:`stream_df_sharded` — the parallel 100 TB path.
 - :func:`stream_df_cached` — A7 config-hash materialization.
-- :func:`write_csv` / :func:`stream_iter` — A10/A11 export surface.
+- :func:`to_numpy` / :func:`write_csv` / :func:`stream_iter` — A9-A11 export surface.
 """
 
 from eventstream_benchmark_spark.generator.config import (
@@ -24,6 +24,7 @@ from eventstream_benchmark_spark.generator.spark_gen import (
     stream_df_exact,
     stream_df_sharded,
     stream_iter,
+    to_numpy,
     write_csv,
 )
 
@@ -38,5 +39,6 @@ __all__ = [
     "stream_df_exact",
     "stream_df_sharded",
     "stream_iter",
+    "to_numpy",
     "write_csv",
 ]

@@ -44,8 +44,28 @@ SCALE_STREAM = dataclasses.replace(GOLDEN_STREAM, total_events=320_000)
 
 
 def generate_patterns_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B33 — the pattern set as a DataFrame (A5/A6)."""
-    return spark_gen.patterns_df(spark, GOLDEN_PATTERNS)
+    """B33 — the pattern set as scalar rows (A5/A6).
+
+    ``patterns_df`` keeps the reference's matrix shape (types[n,L],
+    gaps[n,L-1] — ``eventstream.py:124-126``) as array columns for
+    internal use; the driver-facing result is
+    ``posexplode(arrays_zip(...))`` to one row per pattern position so
+    the rows-only canonicalizer (a pandas sort) sees hashable scalars.
+    ``gap`` is null at the final position (L-1 gaps for L types)."""
+    pats = spark_gen.patterns_df(spark, GOLDEN_PATTERNS)
+    return (
+        pats.select(
+            "pattern_id",
+            F.posexplode(F.arrays_zip("types", "gaps")).alias("pos", "z"),
+        )
+        .select(
+            "pattern_id",
+            "pos",
+            F.col("z.types").alias("event_type"),
+            F.col("z.gaps").alias("gap"),
+        )
+        .orderBy("pattern_id", "pos")
+    )
 
 
 def generate_stream_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,8 +18,9 @@ Three generation paths, one schema:
   md5(config) — the reference's pickle-cache semantics
   (``eventstream.py:249-284``) re-expressed as a warehouse table.
 
-Export surface mirrors A9-A11: ``write_csv`` (header
-``timestamp,event_type,is_pattern``, ints — ``eventstream.py:417-427``),
+Export surface mirrors A9-A11: ``to_numpy`` ([N,3] int array, bool
+upcast — ``eventstream.py:413-415``), ``write_csv`` (header
+``timestamp,event_type,is_pattern``, ints — ``:417-427``),
 ``stream_iter`` (ordered row generator — ``:429-432``).
 """
 
@@ -169,6 +170,20 @@ def stream_df_cached(
         )
         df.write.mode("overwrite" if regenerate else "ignore").parquet(path)
     return spark.read.parquet(path)
+
+
+def to_numpy(df: DataFrame) -> np.ndarray:
+    """A9's ``[N, 3]`` int array (reference ``eventstream.py:413-415``):
+    columns ``(timestamp, event_type, is_pattern)`` in stream order,
+    the bool label upcast to int exactly as ``np.stack`` does in the
+    reference. Driver-side materialization — test/demo scale only, like
+    the reference's own ``to_numpy``."""
+    pdf = (
+        df.orderBy("shard", "event_id")
+        .select("ts", "event_type", F.col("is_pattern").cast("long"))
+        .toPandas()
+    )
+    return pdf.to_numpy(dtype=np.int64)
 
 
 def write_csv(df: DataFrame, path: str) -> None:

@@ -13,73 +13,78 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (round 1 covered exactly the first 50 of 85), so registry order decides
-# which queries earn a CORRECTNESS row this round.  Queries with no
-# driver-green row yet go first: the north-star packs (dedup, similarity,
-# text, multimodal, pipeline, funnel), the two eventstream queries past
-# round 1's cutoff, the generator surface, and streaming.  Then the
-# round-1 hash-FAIL (agg_stats_moments, fixed this round) and a headline
-# slice of the relational pack; the remaining relational queries — all
-# hash-green in CORRECTNESS_r01.json — close the list.
+# (~50 of 85 per round), so registry order decides which queries earn a
+# CORRECTNESS row this round.  Round-3 rotation: queries CHANGED this
+# round go first (their fixes must re-land inside the window), then the
+# 35 entries whose only driver row is from round 1 (re-checked so every
+# entry has a row no older than one round), then fresh re-checks of the
+# north-star lane; the entries green in CORRECTNESS_r02.json close the
+# list.
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
-    # never driver-checked in round 1 (35)
-    "pattern_match_fixed",
-    "stream_drift_score",
-    "dedup_exact_text",
-    "dedup_ngram_jaccard",
+    # changed this round — must land in the window
+    "agg_stats_moments",       # r01+r02 hash fail -> fixed-decimal strings
+    "generate_patterns_spark",  # r02 driver ERR -> scalar rows
+    "dedup_embedding_cosine",  # all-pairs BNLJ -> LSH-bucketed candidates
+    "funnel_conversion",       # driver-side loop -> one composed plan
+    "ann_ivf_cosine",          # bare persist -> scoped
+    # only driver row is from round 1 (35) — re-check
+    "scan_parquet_project_filter",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "predicate_combo",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_semi_anti",
+    "join_bucketed_colocated",
+    "agg_hash_global",
+    "agg_distinct",
+    "agg_skew_salted",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_cube",
+    "agg_histogram",
+    "win_frame_range",
+    "win_frame_running",
+    "win_value_functions",
+    "win_lag_inter_arrival",
+    "topk_per_group",
+    "sort_limit_topk",
+    "set_ops",
+    "dedup_keep_latest",
+    "scalar_string",
+    "scalar_string_distance",
+    "scalar_datetime",
+    "scalar_math",
+    "scalar_math_density",
+    "scalar_decimal",
+    "scalar_map",
+    "scalar_conditional",
+    "stream_sliding_rate",
+    "stream_sessionize",
+    "stream_type_drift",
+    # north-star re-checks filling the ~50-entry window
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "embed_cosine_topk",
-    "embed_dim_stats",
-    "knn_bruteforce_topk",
-    "ann_lsh_cosine",
-    "ann_ivf_cosine",
-    "sample_hash_split",
-    "text_token_count",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "text_tokenize_topterms",
-    "text_tfidf_topterms",
-    "multimodal_extract",
-    "multimodal_resize",
-    "multimodal_frame_sample",
+    "dedup_ngram_jaccard",
     "pipeline_corpus_prep",
-    "funnel_conversion",
-    "retention_cohort",
-    "attribution_last_touch",
-    "generate_patterns_spark",
-    "generate_stream_exact",
-    "generate_stream_sharded",
-    "udf_surface",
+    "knn_bruteforce_topk",
+    "text_tfidf_topterms",
+    "pattern_match_fixed",
     "streaming_replay_tumbling",
-    "streaming_dedup_watermark",
-    "streaming_pattern_state",
-    "streaming_join_clicks_purchases",
     "session_window_agg",
-    # round-1 hash fail, fixed this round — must re-land in the window
-    "agg_stats_moments",
-    # headline relational re-checks filling the ~50-entry window
-    "agg_groupby_q1",
-    "join_broadcast_dims",
-    "join_range_interval",
     "join_asof",
-    "sql_tpch_q3",
     "sql_tpch_q5",
-    "win_ranking",
-    "dedup_exact",
-    "scalar_json",
-    "agg_distinct_approx",
-    "agg_grouping_sets",
-    "subquery_correlated",
-    "scalar_array",
-    "stream_tumbling_rate",
 )
 
 
 def _ordered(merged: dict) -> dict:
-    front = {n: merged.pop(n) for n in _FRONT_OF_REGISTRY if n in merged}
+    missing = [n for n in _FRONT_OF_REGISTRY if n not in merged]
+    assert not missing, (
+        f"_FRONT_OF_REGISTRY names absent from the registry: {missing} — "
+        "a rename/removal would silently demote the query past the "
+        "driver's per-round window"
+    )
+    front = {n: merged.pop(n) for n in _FRONT_OF_REGISTRY}
     front.update(merged)
     return front
 

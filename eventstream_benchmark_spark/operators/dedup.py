@@ -10,8 +10,9 @@ Five dedup families, each a ``queries()`` entry:
   candidates are verified exactly, so LSH output == all-pairs output
 - SimHash bucketing (xxhash64 bit-vote signature) — rows-only (the
   signature is Spark-hash-specific)
-- embedding-cosine near-dup pairs — oracle ✓ (double arithmetic both
-  engines)
+- embedding-cosine near-dup pairs (banded hyperplane-LSH candidates,
+  exact verify) — oracle ✓ against the all-pairs SQL (miss ≈ 3.5e-10
+  at the 0.45 threshold; double arithmetic both engines)
 
 Scale notes: the exact-pairs query is quadratic in docs-per-shingle
 and exists as the oracle shape; the 100 TB path is MinHash-LSH, whose
@@ -249,33 +250,88 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+EMB_LSH_BANDS = 40
+EMB_LSH_ROWS = 2  # hyperplanes per band
+
+
+def _emb_band_sigs() -> "F.Column":
+    """Per-vector array of 40 band signatures, each the 2-bit sign
+    pattern of random-hyperplane projections (reusing similarity's
+    deterministic plane family). One codegen'd projection per plane,
+    computed once per row."""
+    from eventstream_benchmark_spark.operators.similarity import _hyperplane
+
+    sigs = []
+    for band in range(EMB_LSH_BANDS):
+        bits = None
+        for r in range(EMB_LSH_ROWS):
+            plane = F.array(
+                *[F.lit(c) for c in _hyperplane(band * EMB_LSH_ROWS + r)]
+            )
+            proj = F.aggregate(
+                F.zip_with(F.col("v"), plane, lambda x, h: x * h),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        sigs.append(bits)
+    return F.array(*sigs)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector near-dup pairs with cosine ≥ 0.45 (fixture max ≈ 0.51).
 
-    Brute-force pair join at fixture scale; at 100 TB this becomes the
-    LSH/IVF path in similarity.py — same verify step, bucketed
-    candidates. All arithmetic in double on both engines; rounded
-    before thresholding so both engines select identical pairs."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    Banded hyperplane-LSH candidates + exact cosine verification — the
+    same candidate→verify structure as ``dedup_minhash_lsh``, so every
+    join is an equi-join on (band_id, band_sig) and the plan contains
+    no nested-loop/cartesian node (pinned by a plan test). The oracle
+    stays the all-pairs SQL: sign-agreement probability per plane is
+    p = 1 − θ/π, so a pair at the 0.45 threshold (p ≈ 0.648) misses
+    all 40 two-plane bands with probability (1 − p²)⁴⁰ ≈ 3.5e-10 —
+    candidates are verified exactly, so LSH output == all-pairs output.
+    At production thresholds (cosine ≥ 0.9, p ≈ 0.86) the same bands
+    prune candidates aggressively; at the fixture's deliberately low
+    threshold the pruning is weaker but the plan SHAPE (bucket
+    equi-join, linear explode factor, no O(n²) operator) is what must
+    survive the 100 TB scale-up. All cosine arithmetic in double on
+    both engines; rounded before thresholding so both select identical
+    pairs."""
+    release_scoped_persists()
+    emb = scoped_persist(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    bands = emb.select(
+        "vec_id", F.posexplode(_emb_band_sigs()).alias("band_id", "band_sig")
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("v1"), F.col("r.vec_id").alias("v2"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
     )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            r6(dot / (norm("a") * norm("b"))).alias("cosine"),
-        )
+        candidates.join(va, "v1")
+        .join(vb, "v2")
+        .select("v1", "v2", r6(dot / (norm("va") * norm("vb"))).alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
 

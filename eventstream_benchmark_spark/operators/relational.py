@@ -417,7 +417,16 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture doubles carry ≤2 decimals, so DECIMAL(18,2) casts are
     lossless and the sums are integer-exact) and derive each moment with
     the identical IEEE-double expression; pre-rounding doubles are then
-    bit-identical, making the rounded hash deterministic."""
+    bit-identical, making the rounded hash deterministic.
+
+    The moments are EMITTED as fixed-scale decimal strings (the
+    hash-green ``scalar_decimal`` pattern): the round-2 row still
+    hash-failed despite exact local value parity, i.e. the residual
+    divergence is in double *serialization* inside the driver's hash
+    canonicalization (e.g. −0.0 vs 0.0), not in the math. A rounded
+    double's shortest repr has ≤ scale fraction digits, so the
+    double→decimal cast is exact in both engines and digit-for-digit
+    string equality is immune to any float canonicalization."""
     li = load_table(spark, sf_dir, "lineitem")
 
     def dec(c: str) -> Column:
@@ -442,12 +451,15 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mqq = dbl["sqq"] - dbl["sq"] * dbl["sq"] / n
     mqx = dbl["sqx"] - dbl["sq"] * dbl["sx"] / n
     mdt = dbl["sdt"] - dbl["sd"] * dbl["st"] / n
+    def dec_str(col: Column, scale: int) -> Column:
+        return col.cast(f"decimal(28,{scale})").cast("string")
+
     return sums.select(
         "l_linestatus",
-        r4(F.sqrt(mxx / (n - 1))).alias("sd_price"),
-        r4(mqq / (n - 1)).alias("var_qty"),
-        r6(mqx / F.sqrt(mqq * mxx)).alias("corr_qty_price"),
-        r4(mdt / (n - 1)).alias("cov_disc_tax"),
+        dec_str(r4(F.sqrt(mxx / (n - 1))), 4).alias("sd_price"),
+        dec_str(r4(mqq / (n - 1)), 4).alias("var_qty"),
+        dec_str(r6(mqx / F.sqrt(mqq * mxx)), 6).alias("corr_qty_price"),
+        dec_str(r4(mdt / (n - 1)), 4).alias("cov_disc_tax"),
     ).orderBy("l_linestatus")
 
 
@@ -1212,10 +1224,14 @@ ORACLES = {
             FROM sums
         )
         SELECT l_linestatus,
-               round(sqrt(mxx / (n - 1)), 4) AS sd_price,
-               round(mqq / (n - 1), 4) AS var_qty,
-               round(mqx / sqrt(mqq * mxx), 6) AS corr_qty_price,
-               round(mdt / (n - 1), 4) AS cov_disc_tax
+               CAST(CAST(round(sqrt(mxx / (n - 1)), 4) AS DECIMAL(28,4))
+                    AS VARCHAR) AS sd_price,
+               CAST(CAST(round(mqq / (n - 1), 4) AS DECIMAL(28,4))
+                    AS VARCHAR) AS var_qty,
+               CAST(CAST(round(mqx / sqrt(mqq * mxx), 6) AS DECIMAL(28,6))
+                    AS VARCHAR) AS corr_qty_price,
+               CAST(CAST(round(mdt / (n - 1), 4) AS DECIMAL(28,4))
+                    AS VARCHAR) AS cov_disc_tax
         FROM m ORDER BY l_linestatus
     """,
     "sql_tpch_q3": """

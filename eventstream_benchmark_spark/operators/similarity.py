@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eventstream_benchmark_spark.io import load_table
+from eventstream_benchmark_spark.operators._cache import (
+    release_scoped_persists,
+    scoped_persist,
+)
 from eventstream_benchmark_spark.operators._util import bigint, r6
 
 PROBE_VEC_ID = 0
@@ -188,13 +192,15 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is touched by two scans (assign, search) and shuffles only
     on (cluster) keys — the canonical IVF cost shape.
     """
+    release_scoped_persists()
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
     seed = emb.filter(F.col("vec_id") < IVF_CLUSTERS).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
     )
     assigned = _assign(emb, seed)
     refined = _recompute_centroids(assigned)
-    assigned = _assign(emb, refined).persist()  # reused: probe join + search
+    # reused by the probe join + search; scoped so the sweep releases it
+    assigned = scoped_persist(_assign(emb, refined))
 
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")

@@ -19,6 +19,11 @@ def spark():
 
     spark = get_spark("esb-tests")
     yield spark
+    # enforce the scoped-persist contract (_cache.py): nothing a query
+    # persisted outlives the harness
+    from eventstream_benchmark_spark.operators._cache import release_scoped_persists
+
+    release_scoped_persists()
 
 
 @pytest.fixture(scope="session")

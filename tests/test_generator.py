@@ -26,6 +26,7 @@ from eventstream_benchmark_spark.generator import (
     stream_df_exact,
     stream_df_sharded,
     stream_iter,
+    to_numpy,
     write_csv,
 )
 
@@ -226,3 +227,9 @@ def test_csv_and_iterator_surface(spark, tmp_path):
     it = stream_iter(df)
     t0, e0, p0 = next(it)
     assert isinstance(t0, int) and isinstance(e0, int) and isinstance(p0, bool)
+    # A9: [N,3] int array, bool upcast, same order as the iterator
+    arr = to_numpy(df)
+    assert arr.shape == (500, 3) and arr.dtype == np.int64
+    assert (arr[0] == np.array([t0, e0, int(p0)])).all()
+    assert set(np.unique(arr[:, 2])) <= {0, 1}
+    assert (np.diff(arr[:, 0]) >= 0).all()

@@ -65,3 +65,25 @@ def test_frame_sample_fanout(spark, sf_small):
     pdf = vids.select("payload").toPandas()
     want = sum(int(np.frombuffer(p, dtype=np.uint8).astype(np.int64).sum()) for p in pdf["payload"])
     assert int(out["checksum_sum"].sum()) == want
+
+
+def test_scoped_persists_bounded_and_released(spark, sf_small):
+    """The _cache.py contract, end to end: during a sweep at most one
+    query's intermediates occupy executor storage (each persisting query
+    releases its predecessor's at entry), and the harness-side release
+    leaves nothing behind."""
+    from eventstream_benchmark_spark.operators import _cache, all_queries
+
+    qs = all_queries()
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_ivf_cosine",
+    ):
+        df = qs[name](spark, sf_small)
+        df.count()
+        # minhash persists shingles + signatures; everything else one table
+        assert len(_cache._LIVE) <= 2, name
+    _cache.release_scoped_persists()
+    assert not _cache._LIVE

@@ -65,6 +65,14 @@ def test_minhash_has_no_cross_join(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_dedup_has_no_cross_join(spark, sf_small):
+    # round-2 verdict: the all-pairs BNLJ was the last quadratic
+    # scale-killer — candidates must come from LSH band equi-joins
+    plan = _plan(spark, sf_small, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_knn_broadcasts_queries(spark, sf_small):
     plan = _plan(spark, sf_small, "knn_bruteforce_topk")
     # the tiny query set is the broadcast side of the cross join
