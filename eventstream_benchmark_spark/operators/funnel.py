@@ -8,11 +8,12 @@ cohort retention, and last-touch attribution over the ``events``
 table.
 
 Scale notes (100 TB): every stage here shuffles on ``user_id`` only —
-the funnel step frontiers (one row per user) broadcast back into the
-fact scan, so N-step funnels cost one fact shuffle, not N; retention
-reduces the fact table to distinct (user, day) before any join; the
-attribution window is a single per-user sort reused by both ``last``
-calls.
+the funnel folds each user's sorted step events through one
+``aggregate`` pass, so an N-step funnel costs one fact scan + one
+user_id shuffle regardless of N (and builds lazily: zero driver-side
+actions); retention reduces the fact table to distinct (user, day)
+before any join; the attribution window is a single per-user sort
+reused by both ``last`` calls.
 """
 
 from __future__ import annotations
@@ -45,34 +46,59 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eventstream.py:293 "Events within a pattern remain intact"), steps
     here may have any events interleaved — the classic product funnel.
 
-    Each frontier (one row per reaching user) is broadcast into the next
-    step's scan, so the events table is shuffled once per step on
-    nothing — only filtered + broadcast-joined — and aggregated
-    map-side."""
+    ONE composed plan, no driver-side actions (the round-2 shape ran a
+    synchronous ``.count()`` per step): funnel-relevant events fold per
+    user into sequential funnel state — sort by (us, step_idx) once,
+    then a single ``aggregate`` pass carries "earliest qualifying
+    timestamp per step" (a step-k event qualifies iff step k−1 already
+    fired, which on a sorted timeline is exactly the ``us_k`` chain;
+    the step_idx sort tiebreak lets an equal-timestamp later step
+    qualify, matching ``>=``). Cost at any N or step count: one
+    user_id shuffle + one tiny global aggregate — the events table is
+    scanned once, and adding funnel steps adds zero jobs, shuffles, or
+    scans."""
+    k = len(FUNNEL_STEPS)
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    frontier = (
-        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+    step_idx = F.when(F.col("event_type") == FUNNEL_STEPS[0], 0)
+    for i, s in enumerate(FUNNEL_STEPS[1:], 1):
+        step_idx = step_idx.when(F.col("event_type") == s, i)
+    per_user = (
+        ev.filter(F.col("event_type").isin(*FUNNEL_STEPS))
+        .select("user_id", "us", step_idx.alias("step_idx"))
         .groupBy("user_id")
-        .agg(F.min("us").alias("us_k"))
+        .agg(F.sort_array(F.collect_list(F.struct("us", "step_idx"))).alias("evs"))
     )
-    counts = [frontier.count()]
-    for step in FUNNEL_STEPS[1:]:
-        frontier = (
-            ev.filter(F.col("event_type") == step)
-            .join(F.broadcast(frontier), "user_id")
-            .filter(F.col("us") >= F.col("us_k"))
-            .groupBy("user_id")
-            .agg(F.min("us").alias("us_k"))
+    null_t = "CAST(NULL AS BIGINT)"
+    init = ", ".join(f"'t{i}', {null_t}" for i in range(1, k + 1))
+    upd = [f"'t1', coalesce(s.t1, IF(e.step_idx = 0, e.us, {null_t}))"]
+    for i in range(2, k + 1):
+        upd.append(
+            f"'t{i}', coalesce(s.t{i}, IF(e.step_idx = {i - 1} "
+            f"AND s.t{i - 1} IS NOT NULL, e.us, {null_t}))"
         )
-        counts.append(frontier.count())
-    rows = [
-        (i + 1, step, counts[i], round(counts[i] / counts[0], 6))
-        for i, step in enumerate(FUNNEL_STEPS)
-    ]
-    return spark.createDataFrame(
-        rows, "step int, step_type string, users bigint, conv_rate double"
+    fold = F.expr(
+        f"aggregate(evs, named_struct({init}), "
+        f"(s, e) -> named_struct({', '.join(upd)}))"
+    )
+    totals = per_user.select(fold.alias("st")).agg(
+        *[
+            F.sum(F.col(f"st.t{i}").isNotNull().cast("long")).alias(f"u{i}")
+            for i in range(1, k + 1)
+        ]
+    )
+    stack_args = ", ".join(f"{i}, '{s}', u{i}" for i, s in enumerate(FUNNEL_STEPS, 1))
+    return (
+        totals.selectExpr(
+            f"stack({k}, {stack_args}) AS (step, step_type, users)", "u1"
+        )
+        .select(
+            "step",
+            "step_type",
+            "users",
+            F.round(F.col("users") / F.col("u1"), 6).alias("conv_rate"),
+        )
     )
 
 

@@ -133,6 +133,32 @@ def test_grouping_sets_single_expand_single_agg_shuffle(spark, sf_small):
     assert plan.count("Exchange (") <= 2
 
 
+def test_funnel_is_one_lazy_plan(spark, sf_small):
+    """Round-2 verdict: the funnel ran a driver-side loop of one
+    .count() job per step. The rewrite must build a single lazy plan —
+    zero Spark jobs at build time — with one user_id exchange for the
+    fold and one single-partition exchange for the global totals."""
+    from eventstream_benchmark_spark.io import load_table
+
+    load_table(spark, sf_small, "events").schema  # warm parquet footer read
+    sc = spark.sparkContext
+    sc.setJobGroup("funnel-build", "plan build only")
+    try:
+        df = all_queries()["funnel_conversion"](spark, sf_small)
+        # spark.read.parquet costs one footer-inference metadata job; the
+        # old shape additionally ran one full .count() job per step
+        assert len(sc.statusTracker().getJobIdsForGroup("funnel-build")) <= 1
+    finally:
+        sc.setJobGroup(None, None)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("Exchange (") <= 2
+    assert [r.step for r in df.collect()] == [1, 2, 3]
+
+
 def test_dim_stats_partial_agg_no_python(spark, sf_small):
     plan = _plan(spark, sf_small, "embed_dim_stats")
     # 64N exploded rows collapse map-side: the exchange carries ≤64 keys
