@@ -22,7 +22,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-# headline set: one per operator family, heaviest variants
+# headline set: one per operator family, heaviest variants, plus the
+# LLM-pipeline (north-star) lane so its perf is tracked round-over-round
 HEADLINE = (
     "agg_groupby_q1",
     "join_broadcast_dims",
@@ -34,7 +35,17 @@ HEADLINE = (
     "pattern_match_fixed",
     "dedup_exact",
     "scalar_json",
+    "dedup_minhash_lsh",
+    "text_tfidf_topterms",
+    "knn_bruteforce_topk",
+    "pipeline_corpus_prep",
 )
+
+# runs per query: report min (the VM downclocks idle cores and first
+# runs absorb JIT/cache warmup — see BASELINE.md variance note); the
+# max-min spread is recorded so round-over-round deltas are
+# distinguishable from clock noise
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:
@@ -64,10 +75,14 @@ def main() -> None:
     extras: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
         extras[f"{name}_rows"] = n
+        extras[f"{name}_spread"] = round(max(samples) - min(samples), 3)
     # the last persisting query's intermediates must not outlive the sweep
     release_scoped_persists()
 

@@ -44,17 +44,29 @@ COSINE_DUP_THRESHOLD = 0.45
 
 
 
+_SLICE_ALL = 1 << 30  # slice() length is clamped to the array end
+
+
 def _shingles(text_col) -> "F.Column":
-    """Distinct word-k-gram shingle strings of the lowercased text."""
+    """Distinct word-3-gram shingle strings of the lowercased text.
+
+    Built by zipping the token array with its 1- and 2-shifted slices
+    (``concat`` propagates the nulls zip_with pads with, so the two
+    ragged tail positions drop in the null filter). The earlier
+    index-based form (``transform(sequence(0, n-3), i -> get(toks,
+    i+off))``) inlined the ``split`` into every lambda element —
+    ~3·n re-splits of the full text per row, the Catalyst
+    lambda-inlining trap — and was 5.5 s of the 6.5 s sf0.1 LSH wall.
+    Here ``split`` appears only outside lambdas (3 structurally equal
+    subtrees, deduped by codegen subexpression elimination)."""
     toks = F.split(F.lower(text_col), " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - SHINGLE_K),
-        lambda i: F.concat_ws(
-            "_", *[F.get(toks, i + off) for off in range(SHINGLE_K)]
-        ),
+    pair = F.zip_with(
+        toks, F.slice(toks, 2, _SLICE_ALL), lambda x, y: F.concat(x, F.lit("_"), y)
     )
-    return F.array_distinct(grams)
+    tri = F.zip_with(
+        pair, F.slice(toks, 3, _SLICE_ALL), lambda xy, z: F.concat(xy, F.lit("_"), z)
+    )
+    return F.array_distinct(F.filter(tri, lambda g: g.isNotNull()))
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,32 +149,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _minhash_signature() -> "F.Column":
-    """128 minhash values as one codegen'd column expression: the k-th
-    permutation is the seeded hash family h_k(s) = xxhash64(s, k);
-    the signature element is the min over the doc's shingles. Pure
-    JVM-side, overflow-free (ANSI-safe), deterministic across runs."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
-        lambda k: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, k))
-        ),
+_MASK31 = (1 << 31) - 1
+
+
+def _perm_consts() -> list[tuple[int, int]]:
+    """N_PERM deterministic (a, b) pairs, a odd: π_k(h) = (a_k·h + b_k)
+    mod 2³¹ is a bijection of the 31-bit hash space (odd multiplier),
+    so each k is a genuine pseudo-random permutation and the k
+    permutations are decorrelated by independent constants — the
+    datasketch-style family. (A shared-slope family h + k·b was tried
+    first and LOSES RECALL: the per-k minimum then tracks the lower
+    envelope of n lines, so only a handful of shingles ever achieve
+    the min and signature agreement no longer estimates Jaccard.)
+    Plain xorshift at plan-build time, embedded as literals."""
+    consts = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(N_PERM):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        a = (x & _MASK31) | 1
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        consts.append((a, x & _MASK31))
+    return consts
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh): the 128-permutation minhash signature, computed
+    relationally — explode shingles, hash each string ONCE (31-bit
+    base hash), then one groupBy(doc_id) with 128 ``min`` aggregates
+    of (a_k·h + b_k) mod 2³¹. All arithmetic stays under 2⁶² (no long
+    overflow on ANSI sessions); the HashAggregate does the transpose
+    map-side with zero per-row array allocation, and the one shuffle
+    carries just (doc_id, 128 longs) per doc."""
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").bitwiseAND(F.lit(_MASK31)).alias("h")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)).bitwiseAND(F.lit(_MASK31))).alias(
+            f"m{k}"
+        )
+        for k, (a, b) in enumerate(_perm_consts())
+    ]
+    per_doc = exploded.groupBy("doc_id").agg(*mins)
+    return per_doc.select(
+        "doc_id", F.array(*[f"m{k}" for k in range(N_PERM)]).alias("mh")
     )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash-LSH with exact verification.
 
-    shingle → xxhash64 → 128-perm minhash → 32 bands of 4 rows →
-    groupBy (band, signature) bucket join → candidate pairs →
+    shingle → two base hashes → 128 affine permutations → 32 bands of
+    4 rows → groupBy (band, signature) bucket join → candidate pairs →
     exact Jaccard via array_intersect → threshold. Output equals
     the all-pairs oracle (recall loss ≈ 5e-8 at J ≥ 0.8).
     """
     release_scoped_persists()
     sh = _doc_shingles(spark, sf_dir)
     # persist the signature table: referenced once per band below, and
-    # the barrier keeps the 128-perm expression from being inlined 32x
-    sig = scoped_persist(sh.withColumn("mh", _minhash_signature()))
+    # the barrier keeps the signature aggregate from being re-run 32x
+    sig = scoped_persist(_minhash_signatures(sh))
     bands = sig.select(
         "doc_id",
         F.posexplode(

@@ -83,7 +83,8 @@ def test_scoped_persists_bounded_and_released(spark, sf_small):
     ):
         df = qs[name](spark, sf_small)
         df.count()
-        # minhash persists shingles + signatures; everything else one table
-        assert len(_cache._LIVE) <= 2, name
+        # minhash persists shingles + base hashes + signatures;
+        # everything else one table
+        assert len(_cache._LIVE) <= 3, name
     _cache.release_scoped_persists()
     assert not _cache._LIVE
