@@ -146,4 +146,36 @@ QUERIES = {
     "udf_surface": udf_surface,
 }
 
-ORACLES: dict[str, str] = {}
+# The exact-mode stream is a pure function of (GOLDEN_PATTERNS,
+# GOLDEN_STREAM) — same seed, same NumPy bit stream, same 40k events —
+# so its per-(type, label) summary carries a precomputed-constant
+# oracle: the driver's hash check then covers the generator end-to-end
+# instead of a rows-only count. Constants generated by
+# core.build_stream on NumPy 1.26.4; tests/test_generator.py pins them
+# against a fresh run so an environment drift fails loudly here first.
+_EXACT_SUMMARY_ROWS = (
+    (0, "false", 4621, 99, 233796, 537665071),
+    (0, "true", 1675, 21, 233721, 198042219),
+    (1, "false", 4665, 56, 233768, 542202656),
+    (1, "true", 1932, 31, 233594, 221848269),
+    (2, "false", 4707, 8, 233821, 545826125),
+    (2, "true", 2488, 8, 233711, 286588082),
+    (3, "false", 4571, 93, 233811, 529534123),
+    (3, "true", 1911, 35, 233696, 226847207),
+    (4, "false", 4709, 75, 233814, 552491186),
+    (4, "true", 1854, 22, 233727, 214418854),
+    (5, "false", 4727, 63, 233806, 554250172),
+    (5, "true", 2140, 40, 233717, 249061335),
+)
+
+ORACLES: dict[str, str] = {
+    "generate_stream_exact": (
+        "SELECT CAST(c0 AS INTEGER) AS event_type,"
+        " CAST(c1 AS BOOLEAN) AS is_pattern, CAST(c2 AS BIGINT) AS n,"
+        " CAST(c3 AS BIGINT) AS min_ts, CAST(c4 AS BIGINT) AS max_ts,"
+        " CAST(c5 AS BIGINT) AS sum_ts FROM (VALUES "
+        + ", ".join(f"({t}, {p}, {n}, {lo}, {hi}, {s})"
+                    for t, p, n, lo, hi, s in _EXACT_SUMMARY_ROWS)
+        + ") v(c0, c1, c2, c3, c4, c5) ORDER BY event_type, is_pattern"
+    ),
+}

@@ -27,6 +27,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "dedup_embedding_cosine",  # all-pairs BNLJ -> LSH-bucketed candidates
     "funnel_conversion",       # driver-side loop -> one composed plan
     "ann_ivf_cosine",          # bare persist -> scoped
+    "generate_stream_exact",   # rows-only -> precomputed-constant oracle
+    "streaming_rate_replay",   # new: rate-micro-batch paced replay
     # only driver row is from round 1 (35) — re-check
     "scan_parquet_project_filter",
     "scan_csv_roundtrip",
@@ -72,8 +74,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "pattern_match_fixed",
     "streaming_replay_tumbling",
     "session_window_agg",
-    "join_asof",
-    "sql_tpch_q5",
 )
 
 

@@ -13,6 +13,10 @@ windows and watermarks (SURVEY §3 EP3). Three entries:
 - ``streaming_pattern_state`` (B37): per-user stateful pattern-progress
   tracking (view→click→purchase) via ``applyInPandasWithState`` — the
   online sequence-learning loop shape. Rows-only.
+- ``streaming_rate_replay``: the ``rate-micro-batch`` source pacing a
+  broadcast stream-static join over the events fixture — the replay
+  cadence comes from the source, not a file backlog; id-bounded, so
+  hash-checked against a batch oracle.
 - ``session_window_agg``: the ``F.session_window`` operator (batch
   evaluation of the same operator Structured Streaming uses), 30-min
   gap sessions per user, with an exact lag-algebra oracle. New session
@@ -29,6 +33,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import time
 import uuid
 from contextlib import contextmanager
 
@@ -226,6 +231,68 @@ def streaming_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+RATE_REPLAY_LIMIT = 6_000  # replay events with event_id < LIMIT
+RATE_ROWS_PER_BATCH = 2_000
+
+
+def streaming_rate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paced real-time replay driven by the ``rate-micro-batch`` source
+    — the Spark analog of the reference's online consumer loop
+    (``main.py:44-46``) when no file backlog exists: the rate source
+    manufactures the micro-batch cadence, and each batch's ``value``
+    ids pull the matching event slice through a broadcast stream-static
+    equi-join (the static side is pre-filtered to the replayed id
+    range, so the source's unbounded tail joins to nothing). The sink
+    is cut off once the id range is covered; because batch k carries
+    exactly ids [k·rows, (k+1)·rows), the joined output is a
+    deterministic set and the per-type summary carries a full DuckDB
+    oracle — a hash-checked rate-source query."""
+    with _state_shuffle(spark):
+        static = F.broadcast(
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < RATE_REPLAY_LIMIT)
+            .select("event_id", "event_type", "user_id")
+        )
+        rate = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", RATE_ROWS_PER_BATCH)
+            .load()
+        )
+        paced = rate.join(static, rate["value"] == static["event_id"]).select(
+            "value", "event_id", "event_type", "user_id"
+        )
+        name = f"esb_rate_{uuid.uuid4().hex[:8]}"
+        query = (
+            paced.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 120.0
+            while True:
+                mx = spark.table(name).agg(F.max("value")).collect()[0][0]
+                if mx is not None and mx >= RATE_REPLAY_LIMIT - 1:
+                    break
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        "rate-micro-batch replay did not cover the id range"
+                    )
+                time.sleep(0.3)
+        finally:
+            query.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``F.session_window`` 30-min gap sessions per user — the operator
     Structured Streaming session windows use, evaluated on the batch
@@ -275,10 +342,19 @@ QUERIES = {
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_pattern_state": streaming_pattern_state,
     "streaming_join_clicks_purchases": streaming_join_clicks_purchases,
+    "streaming_rate_replay": streaming_rate_replay,
     "session_window_agg": session_window_agg,
 }
 
 ORACLES = {
+    # the rate-paced replay joins exactly the ids below the limit, so
+    # the streaming answer equals a batch filter + aggregate
+    "streaming_rate_replay": f"""
+        SELECT event_type, count(*) AS n,
+               min(event_id) AS min_id, max(event_id) AS max_id
+        FROM events WHERE event_id < {RATE_REPLAY_LIMIT}
+        GROUP BY 1 ORDER BY 1
+    """,
     # watermark horizon > stream span: streaming dedup == batch DISTINCT
     "streaming_dedup_watermark": """
         SELECT event_type, count(*) AS n_keys

@@ -233,3 +233,26 @@ def test_csv_and_iterator_surface(spark, tmp_path):
     assert (arr[0] == np.array([t0, e0, int(p0)])).all()
     assert set(np.unique(arr[:, 2])) <= {0, 1}
     assert (np.diff(arr[:, 0]) >= 0).all()
+
+
+def test_exact_summary_oracle_constants_pinned():
+    """The generate_stream_exact oracle is a precomputed VALUES table
+    (a pure function of the golden config); recompute it from core so
+    any NumPy/bit-stream drift fails here before the driver hashes a
+    stale constant."""
+    from eventstream_benchmark_spark.generator.queries import (
+        GOLDEN_PATTERNS,
+        GOLDEN_STREAM,
+        _EXACT_SUMMARY_ROWS,
+    )
+
+    types, gaps = core.build_patterns(GOLDEN_PATTERNS)
+    ts, ty, label = core.build_stream(GOLDEN_STREAM, types, gaps)
+    got = {}
+    for t, p in {(int(a), bool(b)) for a, b in zip(ty, label)}:
+        sel = ts[(ty == t) & (label == p)]
+        got[(t, str(p).lower())] = (
+            len(sel), int(sel.min()), int(sel.max()), int(sel.sum())
+        )
+    want = {(t, p): (n, lo, hi, s) for t, p, n, lo, hi, s in _EXACT_SUMMARY_ROWS}
+    assert got == want
