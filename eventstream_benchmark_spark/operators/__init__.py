@@ -29,6 +29,12 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "ann_ivf_cosine",          # bare persist -> scoped
     "generate_stream_exact",   # rows-only -> precomputed-constant oracle
     "streaming_rate_replay",   # new: rate-micro-batch paced replay
+    "dedup_cluster_cc",        # new: connected-components dup clusters
+    "pack_sequences_chunked",  # new: concat-and-chunk sequence packing
+    "text_bigram_surprisal",   # new: bigram-LM perplexity-filter scoring
+    "sample_topn_per_stratum",  # new: fixed-n per-stratum sampling
+    "join_runtime_filtered",   # new: runtime bloom-filter join probe
+    "streaming_foreach_batch_sink",  # new: foreachBatch custom sink
     # only driver row is from round 1 (35) — re-check
     "scan_parquet_project_filter",
     "scan_csv_roundtrip",
@@ -65,15 +71,10 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "stream_sliding_rate",
     "stream_sessionize",
     "stream_type_drift",
-    # north-star re-checks filling the ~50-entry window
+    # north-star re-checks filling the ~50-entry window (the rest of
+    # the r02-green pack cycles back next round)
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "pipeline_corpus_prep",
-    "knn_bruteforce_topk",
-    "text_tfidf_topterms",
     "pattern_match_fixed",
-    "streaming_replay_tumbling",
-    "session_window_agg",
 )
 
 

@@ -385,12 +385,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# duplicate-cluster assignment (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+
+CC_ROUNDS = 5  # each round halves path lengths: diameter up to ~2^5 joins
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the verified
+    MinHash-LSH near-dup pairs, labeling every document with the
+    smallest doc_id reachable through dup edges (the canonical keeper a
+    corpus-dedup pass keeps per cluster — pairwise output alone
+    over-deletes when dups chain a-b, b-c).
+
+    Iterative min-label propagation with pointer doubling: each round
+    takes the min label over graph neighbors, then short-circuits
+    label chains (``label ← label[label]``), so convergence needs
+    O(log diameter) rounds — CC_ROUNDS=5 covers diameters to ~2³². The
+    loop is equi-joins over the (tiny relative to the corpus) dup-edge
+    set — no collect, no driver-side convergence actions. The edge set
+    is ``localCheckpoint``-ed first: iterative plans over an un-truncated
+    lineage re-canonicalize the whole upstream LSH subtree at every
+    join (OOMs the driver at round 3 — measured), and at 100 TB the
+    same truncation bounds both plan size and recovery cost per round.
+    Each round shuffles only (node, label) pairs; for graphs too deep
+    for fixed unrolling, checkpoint per round and loop to fixpoint —
+    same join shapes. Oracle: DuckDB recursive-CTE transitive closure
+    over the same pairs."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(CC_ROUNDS):
+        nbr = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("dl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dl").alias("nbr"))
+        )
+        labels = labels.join(
+            nbr.select(F.col("src").alias("doc_id"), "nbr"), "doc_id", "left"
+        ).select(
+            "doc_id", F.least("label", F.coalesce("nbr", "label")).alias("label")
+        )
+        hop = labels.select(F.col("doc_id").alias("p"), F.col("label").alias("pl"))
+        labels = labels.join(hop, labels["label"] == hop["p"]).select(
+            "doc_id", F.col("pl").alias("label")
+        )
+    from pyspark.sql import Window as W
+
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .withColumn(
+            "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact_text": dedup_exact_text,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_cluster_cc": dedup_cluster_cc,
 }
 
 _PAIRS_SQL = f"""
@@ -419,6 +487,27 @@ _PAIRS_SQL = f"""
 """
 
 ORACLES = {
+    "dedup_cluster_cc": f"""
+        WITH RECURSIVE
+        pairs AS (SELECT d1, d2 FROM ({_PAIRS_SQL}) p),
+        edges AS (
+            SELECT d1 AS a, d2 AS b FROM pairs
+            UNION
+            SELECT d2, d1 FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp ORDER BY doc_id
+    """,
     "dedup_exact_text": f"""
         SELECT md5(array_to_string(string_split(lower(text), ' ')[1:{PREFIX_TOKENS}], ' '))
                    AS content_hash,

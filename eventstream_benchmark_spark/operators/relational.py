@@ -341,6 +341,43 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# runtime-filtered join (bloom-filter semi-join pushdown probe)
+# --------------------------------------------------------------------------
+
+
+def join_runtime_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side scan guarded by a runtime bloom filter of the filtered
+    dim keys. The orders side keeps ~20% of rows (one orderpriority);
+    with the join forced to shuffle (MERGE hint — at 100 TB neither
+    side broadcasts), Spark's runtime-filter rule
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, default on)
+    plants ``BloomFilterMightContain(l_orderkey)`` in the lineitem scan
+    so non-matching fact rows die before the shuffle — the dynamic
+    analog of static partition pruning for unpartitioned fact tables.
+    On fixture-scale input the injection thresholds
+    (``applicationSideScanSizeThreshold`` 10 GB) keep the filter off;
+    ``tests/test_plans.py`` lowers them and pins the bloom node in the
+    plan, which is exactly the plan this query produces on a real
+    cluster. Semantics are filter+join+agg either way — one oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+        .select(fmt_ts("month").alias("month"), "n_items", "revenue")
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------------------------------------
 # B10 — global hash aggregate
 # --------------------------------------------------------------------------
 
@@ -1059,6 +1096,7 @@ QUERIES = {
     "join_semi_anti": join_semi_anti,
     "join_range_interval": join_range_interval,
     "join_asof": join_asof,
+    "join_runtime_filtered": join_runtime_filtered,
     "agg_hash_global": agg_hash_global,
     "agg_groupby_q1": agg_groupby_q1,
     "agg_distinct": agg_distinct,
@@ -1099,6 +1137,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_runtime_filtered": """
+        SELECT strftime(date_trunc('month', o_orderdate),
+                        '%Y-%m-%d %H:%M:%S.%f') AS month,
+               count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1 ORDER BY 1
+    """,
     "scalar_decimal": """
         SELECT l_returnflag,
                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))

@@ -234,8 +234,112 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATUM_N = 20
+
+
+def sample_topn_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size uniform sample per stratum: rank docs
+    inside each ``lang`` by a multiplicative hash of doc_id and keep the
+    first STRATUM_N — the eval-set carving step (same-sized held-out
+    slice per language regardless of language skew). Unlike
+    ``sample_hash_split`` (fixed FRACTION per doc) this yields a fixed
+    COUNT per stratum; one window shuffle on lang, deterministic under
+    resharding because rank depends only on ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * SPLIT_HASH_MULT) % SPLIT_HASH_MOD
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", bigint(F.row_number().over(w)))
+        .filter(F.col("rk") <= STRATUM_N)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
+PACK_SHARDS = 8
+PACK_CAPACITY = 256  # tokens per context window
+
+
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-and-chunk flavor: documents are laid
+    end-to-end in doc_id order and cut into PACK_CAPACITY-token context
+    windows; a doc's pack is where its first token lands (GPT-style
+    pretraining packing — no padding, docs may straddle windows). The
+    layout is per-shard (``doc_id % PACK_SHARDS``) so the running-sum
+    window partitions by shard: at scale shard count ≈ cluster
+    parallelism and no global single-partition window ever exists.
+    Output is the pack manifest a data loader would consume."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens(F.col("text")))
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        n_tok.alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_CAPACITY),
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal −avg ln p(w₂|w₁) under the
+    corpus's own bigram counts — the perplexity-filter shape of LLM
+    data pipelines (score docs with a cheap LM, drop the tails), with
+    the LM trained and applied in one relational plan. Two shuffles:
+    the (w1, w2) count aggregate and the join back of the (broadcast-
+    size, bounded-vocabulary) count tables onto the exploded bigrams."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    pair = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, 1 << 30),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+        lambda s: s.getField("w2").isNotNull(),
+    )
+    bigrams = docs.select("doc_id", F.explode(pair).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bigrams.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select("doc_id", (-F.log(F.col("c12") / F.col("c1"))).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r4(F.avg("s")).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "sample_hash_split": sample_hash_split,
+    "sample_topn_per_stratum": sample_topn_per_stratum,
+    "pack_sequences_chunked": pack_sequences_chunked,
+    "text_bigram_surprisal": text_bigram_surprisal,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -256,6 +360,54 @@ def _marker_score_sql(lang: str) -> str:
 
 
 ORACLES = {
+    "sample_topn_per_stratum": f"""
+        SELECT lang, rk, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY (doc_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD},
+                                doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= {STRATUM_N} ORDER BY lang, rk
+    """,
+    "pack_sequences_chunked": f"""
+        WITH sized AS (
+            SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        packed AS (
+            SELECT shard, doc_id, n_tok,
+                   CAST(coalesce(CAST(sum(n_tok) OVER (PARTITION BY shard
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS BIGINT), 0)
+                       // {PACK_CAPACITY} AS BIGINT) AS pack_id
+            FROM sized
+        )
+        SELECT shard, pack_id, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "text_bigram_surprisal": """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        bigrams AS (
+            SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+                SELECT doc_id, unnest([struct_pack(w1 := w[i], w2 := w[i+1])
+                                       FOR i IN range(1, len(w))]) AS bg
+                FROM toks
+            )
+        ),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY 1)
+        SELECT b.doc_id, count(*) AS n_bigrams,
+               round(avg(-ln(c12.c12 * 1.0 / c1.c1)), 4) AS avg_surprisal
+        FROM bigrams b
+        JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        JOIN c1 ON b.w1 = c1.w1
+        GROUP BY 1 ORDER BY 1
+    """,
     "sample_hash_split": f"""
         SELECT CASE WHEN b < 80 THEN 'train'
                     WHEN b < 90 THEN 'val'

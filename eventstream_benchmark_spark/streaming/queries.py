@@ -293,6 +293,60 @@ def streaming_rate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FOREACH_BATCH_TYPES = ("view", "click", "purchase")
+
+
+def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36's ``foreachBatch`` sink — the custom-sink escape hatch a
+    production pipeline uses for engines with no native streaming
+    writer (JDBC upserts, vector stores, feature stores). Replay the
+    events fixture as a file stream, project/filter it, and have each
+    micro-batch land in a parquet directory partitioned by batch_id
+    (restart-idempotent: a re-run of a batch overwrites its own
+    partition instead of double-appending — the exactly-once recipe the
+    Spark docs prescribe for foreachBatch). The sink dir is then read
+    back with one batch aggregate; the oracle is the same aggregate on
+    the source table, so the driver hash-checks that no row was lost or
+    duplicated across the micro-batch boundary."""
+    with _state_shuffle(spark):
+        src = _replay_dir(spark, sf_dir)
+        out = os.path.join(
+            tempfile.gettempdir(), f"esb_fb_{uuid.uuid4().hex[:8]}"
+        )
+        events = spark.readStream.schema(
+            load_table(spark, sf_dir, "events").schema
+        ).parquet(src)
+        slim = events.filter(
+            F.col("event_type").isin(*FOREACH_BATCH_TYPES)
+        ).select("event_id", "event_type", "value")
+
+        def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            bdf.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "batch_id"
+            ).parquet(out)
+
+        query = (
+            slim.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", out + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``F.session_window`` 30-min gap sessions per user — the operator
     Structured Streaming session windows use, evaluated on the batch
@@ -343,10 +397,21 @@ QUERIES = {
     "streaming_pattern_state": streaming_pattern_state,
     "streaming_join_clicks_purchases": streaming_join_clicks_purchases,
     "streaming_rate_replay": streaming_rate_replay,
+    "streaming_foreach_batch_sink": streaming_foreach_batch_sink,
     "session_window_agg": session_window_agg,
 }
 
 ORACLES = {
+    # the foreachBatch parquet sink preserves the filtered stream
+    # exactly, so reading the sink back equals aggregating the source
+    "streaming_foreach_batch_sink": f"""
+        SELECT event_type, count(*) AS n,
+               min(event_id) AS min_id, max(event_id) AS max_id,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        WHERE event_type IN {FOREACH_BATCH_TYPES!r}
+        GROUP BY 1 ORDER BY 1
+    """,
     # the rate-paced replay joins exactly the ids below the limit, so
     # the streaming answer equals a batch filter + aggregate
     "streaming_rate_replay": f"""

@@ -166,3 +166,46 @@ def test_dim_stats_partial_agg_no_python(spark, sf_small):
     assert plan.count("Exchange (") <= 2
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_runtime_bloom_filter_injected(spark, sf_small):
+    """With the size thresholds scaled to fixture data, Spark's
+    runtime-filter rule must plant a bloom filter of the filtered
+    orderkeys on the lineitem side of the shuffle join — the plan
+    `join_runtime_filtered` produces unaided on cluster-scale input
+    (where the 10 GB application-side threshold is genuinely met)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # at cluster scale neither side fits the broadcast threshold;
+        # injection only triggers for probable shuffle joins, so
+        # simulate that sizing here
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = _plan(spark, sf_small, "join_runtime_filtered")
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    assert "bloom" in plan.lower(), "no runtime bloom filter in plan"
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_cc_iterations_are_equi_joins_over_checkpoint(spark, sf_small):
+    """The connected-components rounds must stay equi-joins over the
+    checkpointed edge set — no nested-loop node, and the upstream LSH
+    pipeline must NOT be re-planned inside the loop (the lineage
+    truncation is what keeps plan size O(rounds) instead of
+    O(rounds x LSH-plan))."""
+    plan = _plan(spark, sf_small, "dedup_cluster_cc")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the LSH subtree would reintroduce parquet scans of documents;
+    # after the checkpoint the iterative plan reads only the RDD scan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
