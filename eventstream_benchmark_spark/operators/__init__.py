@@ -35,6 +35,13 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "sample_topn_per_stratum",  # new: fixed-n per-stratum sampling
     "join_runtime_filtered",   # new: runtime bloom-filter join probe
     "streaming_foreach_batch_sink",  # new: foreachBatch custom sink
+    "decontaminate_ngram_overlap",  # new: train/eval n-gram leak check
+    "sql_tpch_q4",             # new: EXISTS -> left-semi shape
+    "sql_tpch_q12",            # new: conditional-sum join shape
+    "sql_tpch_q14",            # new: promo revenue ratio shape
+    "scan_orc_roundtrip",      # new: ORC source/sink surface
+    "write_partitioned_pruned",  # new: hive-partitioned write + pruning
+    "streaming_session_window",  # new: incremental session merge
     # only driver row is from round 1 (35) — re-check
     "scan_parquet_project_filter",
     "scan_csv_roundtrip",

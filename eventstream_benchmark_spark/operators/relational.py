@@ -605,6 +605,130 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority-checking shape, adapted to the fixture
+    schema: the late-delivery EXISTS predicate uses l_shipdate >
+    o_orderdate since the fixture lineitem carries no commit/receipt
+    dates). The correlated EXISTS plans as a left-semi join — Catalyst
+    never materializes the subquery per row — and the lineitem side of
+    the semi-join carries only l_orderkey + the pushed date filter."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= timestamp '1997-01-01'
+          AND o_orderdate < timestamp '1997-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+def sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority-class shape; the fixture has no
+    l_shipmode, so the classification pivots on o_orderpriority and
+    groups by l_linestatus). One fact⋈fact equi-join plus conditional
+    sums — the CASE folds into the aggregate, no second pass."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= timestamp '1997-01-01'
+          AND l_shipdate < timestamp '1998-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+        """
+    )
+
+
+def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion-effect shape): per-month share of revenue
+    from PROMO parts. The part dim broadcasts; the ratio of two
+    conditional sums happens once per group after the single shuffled
+    aggregate."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('month', l_shipdate), 'yyyy-MM-dd')
+                   AS month,
+               round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= timestamp '1997-01-01'
+          AND l_shipdate < timestamp '1998-01-01'
+        GROUP BY 1
+        ORDER BY 1
+        """
+    )
+
+
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an events subset as ORC, read it back with an explicit
+    schema, aggregate — the third columnar/row format of the source
+    surface (parquet, CSV, JSONL, ORC). The oracle aggregates the
+    original table, proving the round-trip lossless."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="esb_orc_"), "events_orc")
+    events.write.mode("overwrite").orc(out)
+    back = spark.read.schema("event_id bigint, event_type string, value double").orc(
+        out
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        r2(F.sum("value")).alias("sum_value"),
+    )
+
+
+PRUNED_TYPES = ("purchase", "click")
+
+
+def write_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write + partition-pruned read: the
+    events fixture lands partitioned by event_type, and the read-back
+    filter on the partition column prunes directories at planning time —
+    the scan never opens the other types' files (``PartitionFilters`` in
+    the plan, pinned by ``tests/test_plans.py``). At 100 TB this is the
+    static sibling of the runtime bloom filter: layout decided at write
+    time, pruning free at read time. The oracle aggregates the source
+    with the same filter, proving the round-trip lossless."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="esb_part_"), "events_by_type")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type").isin(*PRUNED_TYPES))
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            bigint(F.count_distinct("user_id")).alias("n_users"),
+            r2(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-expression family (CASE WHEN / coalesce / nullif /
     least / greatest) over lineitem, aggregated per branch. All of these
@@ -1101,6 +1225,8 @@ QUERIES = {
     "agg_groupby_q1": agg_groupby_q1,
     "agg_distinct": agg_distinct,
     "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
+    "scan_orc_roundtrip": scan_orc_roundtrip,
+    "write_partitioned_pruned": write_partitioned_pruned,
     "join_bucketed_colocated": join_bucketed_colocated,
     "agg_distinct_approx": agg_distinct_approx,
     "agg_skew_salted": agg_skew_salted,
@@ -1113,7 +1239,10 @@ QUERIES = {
     "scalar_string_distance": scalar_string_distance,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
+    "sql_tpch_q4": sql_tpch_q4,
     "sql_tpch_q5": sql_tpch_q5,
+    "sql_tpch_q12": sql_tpch_q12,
+    "sql_tpch_q14": sql_tpch_q14,
     "scalar_decimal": scalar_decimal,
     "scalar_map": scalar_map,
     "scalar_conditional": scalar_conditional,
@@ -1240,6 +1369,55 @@ ORACLES = {
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
                    AS sum_k
         FROM events GROUP BY event_type
+    """,
+    "scan_orc_roundtrip": """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "write_partitioned_pruned": f"""
+        SELECT event_type, count(*) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE event_type IN {PRUNED_TYPES!r}
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "sql_tpch_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "sql_tpch_q12": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "sql_tpch_q14": """
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month,
+               round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        ORDER BY 1
     """,
     "agg_percentiles": """
         SELECT l_returnflag,

@@ -234,6 +234,55 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 5  # contamination n-gram size
+_SLICE_ALL = 1 << 30  # slice() length is clamped to the array end
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training docs that share any
+    word-5-gram with a held-out doc (the eval-leak check every LLM data
+    pipeline runs before training; the split is the same deterministic
+    hash as ``sample_hash_split``, val+test collapsed to 'eval'). The
+    5-grams are built with the same zip-with-shifted-slices idiom as
+    ``dedup._shingles`` — ``split`` stays outside the lambdas so
+    Catalyst's projection collapse can't inline a re-tokenize per
+    element. At 100 TB the eval side is a fixed-size held-out set, so
+    its distinct n-gram list broadcasts and the train side is one scan
+    with no shuffle before the per-doc aggregate; output is the
+    contamination report (shared grams + how many eval docs are hit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * SPLIT_HASH_MULT) % SPLIT_HASH_MOD % 100
+    split = F.when(bucket < 80, "train").otherwise("eval")
+    toks = _tokens(F.col("text"))
+    gram = toks
+    for off in range(2, DECON_N + 1):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, off, _SLICE_ALL),
+            lambda acc, nxt: F.concat(acc, F.lit("_"), nxt),
+        )
+    grams = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(
+            F.array_distinct(F.filter(gram, lambda g: g.isNotNull()))
+        ).alias("gram"),
+    )
+    train = grams.filter(F.col("split") == "train").select("doc_id", "gram")
+    held_out = grams.filter(F.col("split") == "eval").select(
+        F.col("gram"), F.col("doc_id").alias("eval_doc_id")
+    )
+    return (
+        train.join(F.broadcast(held_out), "gram")
+        .groupBy("doc_id")
+        .agg(
+            bigint(F.count_distinct("gram")).alias("n_shared_grams"),
+            bigint(F.count_distinct("eval_doc_id")).alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 STRATUM_N = 20
 
 
@@ -337,6 +386,7 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sample_hash_split": sample_hash_split,
+    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "sample_topn_per_stratum": sample_topn_per_stratum,
     "pack_sequences_chunked": pack_sequences_chunked,
     "text_bigram_surprisal": text_bigram_surprisal,
@@ -360,6 +410,29 @@ def _marker_score_sql(lang: str) -> str:
 
 
 ORACLES = {
+    "decontaminate_ngram_overlap": f"""
+        WITH splitdocs AS (
+            SELECT doc_id,
+                   CASE WHEN (doc_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD}
+                             % 100 < 80
+                        THEN 'train' ELSE 'eval' END AS split,
+                   string_split(lower(text), ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, split,
+                   array_to_string(w[i:i+{DECON_N - 1}], '_') AS gram
+            FROM (SELECT doc_id, split, w,
+                         unnest(range(1, len(w) - {DECON_N - 2})) AS i
+                  FROM splitdocs)
+        )
+        SELECT t.doc_id,
+               CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+               CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+        FROM grams t JOIN grams e ON t.gram = e.gram
+        WHERE t.split = 'train' AND e.split = 'eval'
+        GROUP BY 1 ORDER BY 1
+    """,
     "sample_topn_per_stratum": f"""
         SELECT lang, rk, doc_id FROM (
             SELECT lang, doc_id,

@@ -347,6 +347,38 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming session windows: the same 30-min-gap
+    ``F.session_window`` as ``session_window_agg``, but evaluated
+    incrementally over the file-replay stream — the state store merges
+    sessions that grow or fuse across micro-batch boundaries, which is
+    the part batch evaluation never exercises. Complete output mode
+    emits the final merged sessions, so the per-user rollup equals the
+    batch answer and shares its exact lag-algebra oracle. State at
+    scale: one open session per (user, gap) kept only until the
+    watermark closes it."""
+    with _state_shuffle(spark):
+        src = _replay_dir(spark, sf_dir)
+        events = spark.readStream.schema(
+            load_table(spark, sf_dir, "events").schema
+        ).parquet(src)
+        sessions = (
+            events.withWatermark("ts", "90 days")
+            .groupBy(F.session_window("ts", SESSION_GAP).alias("sw"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        result = _run_to_memory(sessions, "complete")
+    return (
+        result.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``F.session_window`` 30-min gap sessions per user — the operator
     Structured Streaming session windows use, evaluated on the batch
@@ -399,6 +431,7 @@ QUERIES = {
     "streaming_rate_replay": streaming_rate_replay,
     "streaming_foreach_batch_sink": streaming_foreach_batch_sink,
     "session_window_agg": session_window_agg,
+    "streaming_session_window": streaming_session_window,
 }
 
 ORACLES = {
@@ -465,3 +498,5 @@ ORACLES = {
         FROM per_session GROUP BY user_id ORDER BY user_id
     """,
 }
+
+ORACLES["streaming_session_window"] = ORACLES["session_window_agg"]

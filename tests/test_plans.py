@@ -209,3 +209,32 @@ def test_cc_iterations_are_equi_joins_over_checkpoint(spark, sf_small):
     # after the checkpoint the iterative plan reads only the RDD scan
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_small):
+    """The read-back filter on the partition column must prune
+    directories at planning time — the scan's partition count equals
+    the selected types, and no pushed data filter is needed (pruning
+    happens above the reader)."""
+    plan = _plan(spark, sf_small, "write_partitioned_pruned")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, "no PartitionFilters entry in the partitioned scan"
+    assert "event_type" in pf[0]
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_small):
+    """The held-out side of the contamination join is a fixed-size set
+    at any corpus scale — it must arrive by broadcast, leaving the
+    train-side gram stream shuffle-free before the per-doc aggregate."""
+    plan = _plan(spark, sf_small, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q4_exists_plans_as_semi_join(spark, sf_small):
+    """EXISTS must decorrelate to a (left-)semi join, never a per-row
+    subquery or nested loop."""
+    plan = _plan(spark, sf_small, "sql_tpch_q4")
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
