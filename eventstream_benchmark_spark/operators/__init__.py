@@ -42,6 +42,10 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "scan_orc_roundtrip",      # new: ORC source/sink surface
     "write_partitioned_pruned",  # new: hive-partitioned write + pruning
     "streaming_session_window",  # new: incremental session merge
+    "text_repetition_score",   # new: Gopher-style repetition filter
+    "vocab_oov_rate",          # new: top-K vocab coverage
+    "embed_quantize_int8",     # new: int8 quantization + error report
+    "stream_anomaly_mad",      # new: robust MAD outlier detection
     # only driver row is from round 1 (35) — re-check
     "scan_parquet_project_filter",
     "scan_csv_roundtrip",

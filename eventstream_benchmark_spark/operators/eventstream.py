@@ -217,6 +217,50 @@ def pattern_match_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 3.0  # outlier threshold in MAD units
+
+
+def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: median + median-absolute-
+    deviation of ``value``, then count events beyond MAD_K·MAD — the
+    monitoring-side anomaly check a stream consumer runs (robust to the
+    heavy tails that break mean/stddev z-scores). Two aggregation
+    passes (median, then MAD of residuals) plus one flagging pass; the
+    per-type stats are a handful of rows, so both join-backs are
+    broadcasts and the events side is never shuffled — at 100 TB this
+    is three scans and zero exchanges of the fact table."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("dev"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            r6(F.first("med")).alias("med"),
+            r6(F.first("mad")).alias("mad"),
+            bigint(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("value") - F.col("med"))
+                        > MAD_K * F.col("mad"),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "stream_tumbling_rate": stream_tumbling_rate,
     "stream_sliding_rate": stream_sliding_rate,
@@ -224,9 +268,31 @@ QUERIES = {
     "stream_type_drift": stream_type_drift,
     "stream_drift_score": stream_drift_score,
     "pattern_match_fixed": pattern_match_fixed,
+    "stream_anomaly_mad": stream_anomaly_mad,
 }
 
 ORACLES = {
+    "stream_anomaly_mad": f"""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            GROUP BY e.event_type
+        )
+        SELECT e.event_type, count(*) AS n,
+               round(any_value(m.med), 6) AS med,
+               round(any_value(d.mad), 6) AS mad,
+               CAST(sum(CASE WHEN abs(e.value - m.med) > {MAD_K} * d.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e
+        JOIN med m ON e.event_type = m.event_type
+        JOIN mad d ON e.event_type = d.event_type
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
     "stream_tumbling_rate": f"""
         SELECT {duck_fmt_ts("date_trunc('hour', ts)")} AS win_start,
                event_type, count(*) AS n, round(sum(value), 2) AS sum_value

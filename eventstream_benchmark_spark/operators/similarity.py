@@ -244,9 +244,51 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x| / 127)
+    with reconstruction-error report — the compression step before
+    shipping embeddings to an ANN index or a feature store. The
+    (vec_id, v, amax) frame is persisted first: the barrier keeps
+    Catalyst's projection collapse from inlining the array_max
+    reduction into every element of the downstream quantize/dequantize
+    lambdas (the O(d²)-per-row trap — see ``_doc_shingles``).
+    Quantize, dequantize, and the error fold are then per-row array
+    exprs — single scan, no shuffle. The fold runs in array order in
+    both engines, so the MSE is bit-identical cross-engine."""
+    release_scoped_persists()
+    emb = load_table(spark, sf_dir, "embeddings")
+    based = scoped_persist(
+        emb.select(
+            "vec_id",
+            "label",
+            _as_double("embedding").alias("v"),
+        ).withColumn("amax", F.array_max(F.transform("v", F.abs)))
+    )
+    scale = F.col("amax") / 127.0
+    dq = F.transform("v", lambda x: F.round(x / scale) * scale)
+    sqerr = F.aggregate(
+        F.zip_with("v", dq, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n_sat = F.size(F.filter("v", lambda x: F.abs(x) == F.col("amax")))
+    return (
+        based.select(
+            "vec_id",
+            "label",
+            r6(scale).alias("scale"),
+            r6(sqerr / F.size("v")).alias("mse"),
+            bigint(n_sat).alias("n_saturated"),
+        )
+        .filter(F.col("amax") > 0)
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "embed_cosine_topk": embed_cosine_topk,
     "embed_dim_stats": embed_dim_stats,
+    "embed_quantize_int8": embed_quantize_int8,
     "knn_bruteforce_topk": knn_bruteforce_topk,
     "ann_lsh_cosine": ann_lsh_cosine,
     "ann_ivf_cosine": ann_ivf_cosine,
@@ -260,6 +302,28 @@ _COS_SQL = (
 ORACLES = {
     # generate_series can't reference len(embedding) laterally in DuckDB;
     # the fixture dimensionality is fixed at 64
+    "embed_quantize_int8": """
+        WITH e AS (
+            SELECT vec_id, label,
+                   [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, label, v,
+                   list_max([abs(x) FOR x IN v]) AS amax
+            FROM e
+        )
+        SELECT vec_id, label,
+               round(amax / 127.0, 6) AS scale,
+               round(list_reduce(
+                   [(x - round(x / (amax/127.0)) * (amax/127.0))
+                    * (x - round(x / (amax/127.0)) * (amax/127.0))
+                    FOR x IN v],
+                   (a, x) -> a + x) / len(v), 6) AS mse,
+               CAST(len(list_filter(v, x -> abs(x) = amax)) AS BIGINT)
+                   AS n_saturated
+        FROM s WHERE amax > 0 ORDER BY vec_id
+    """,
     "embed_dim_stats": """
         SELECT i - 1 AS pos,
                round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_x,

@@ -238,6 +238,76 @@ DECON_N = 5  # contamination n-gram size
 _SLICE_ALL = 1 << 30  # slice() length is clamped to the array end
 
 
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher-style quality filter):
+    fraction of word-3-grams that are repeats of an earlier one in the
+    same doc. Duplicated boilerplate scores high and gets dropped
+    before training. Pure array exprs — trigrams via the
+    zip-with-shifted-slices idiom, ratio as one division — a single
+    scan, no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    pair = F.zip_with(
+        toks, F.slice(toks, 2, _SLICE_ALL),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    tri = F.filter(
+        F.zip_with(
+            pair, F.slice(toks, 3, _SLICE_ALL),
+            lambda ab, c: F.concat(ab, F.lit("_"), c),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    n = F.size(tri)
+    d = F.size(F.array_distinct(tri))
+    return (
+        docs.select(
+            "doc_id",
+            bigint(n).alias("n_trigrams"),
+            bigint(d).alias("n_distinct"),
+            r6((n - d) / n).alias("rep_ratio"),
+        )
+        .filter(F.col("n_trigrams") > 0)
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_K = 500  # top-K corpus vocabulary
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-VOCAB_K word list — the tokenizer-coverage check run before
+    committing to a vocab. The vocabulary is a global top-K
+    (TakeOrdered — distributed heap-merge, never a single-partition
+    window) and is broadcast back onto the exploded token stream, so
+    the corpus side shuffles once (the word-count aggregate) no matter
+    the scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(VOCAB_K)
+        .select("w")
+    )
+    hits = words.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left"
+    )
+    n = F.count("*")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            bigint(n).alias("n_tokens"),
+            bigint(n_oov).alias("n_oov"),
+            r6(n_oov / n).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag training docs that share any
     word-5-gram with a held-out doc (the eval-leak check every LLM data
@@ -387,6 +457,8 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sample_hash_split": sample_hash_split,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "text_repetition_score": text_repetition_score,
+    "vocab_oov_rate": vocab_oov_rate,
     "sample_topn_per_stratum": sample_topn_per_stratum,
     "pack_sequences_chunked": pack_sequences_chunked,
     "text_bigram_surprisal": text_bigram_surprisal,
@@ -410,6 +482,41 @@ def _marker_score_sql(lang: str) -> str:
 
 
 ORACLES = {
+    "text_repetition_score": """
+        WITH tri AS (
+            SELECT doc_id,
+                   [array_to_string(w[i:i+2], '_')
+                    FOR i IN range(1, len(w) - 1)] AS g
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                  FROM documents)
+        )
+        SELECT doc_id,
+               CAST(len(g) AS BIGINT) AS n_trigrams,
+               CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+               round((len(g) - len(list_distinct(g))) * 1.0 / len(g), 6)
+                   AS rep_ratio
+        FROM tri WHERE len(g) > 0 ORDER BY doc_id
+    """,
+    "vocab_oov_rate": f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        vocab AS (
+            SELECT w FROM (
+                SELECT w, count(*) AS c FROM words GROUP BY w
+                ORDER BY c DESC, w LIMIT {VOCAB_K}
+            )
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS oov_rate
+        FROM words t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY doc_id ORDER BY doc_id
+    """,
     "decontaminate_ngram_overlap": f"""
         WITH splitdocs AS (
             SELECT doc_id,

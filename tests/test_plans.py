@@ -190,8 +190,14 @@ def test_runtime_bloom_filter_injected(spark, sf_small):
         plan = _plan(spark, sf_small, "join_runtime_filtered")
     finally:
         for k, v in prev.items():
+            # a key that was never explicitly set must be unset, not
+            # skipped — leaving e.g. autoBroadcastJoinThreshold=-1 in
+            # the session turns every later test's broadcasts into
+            # sort-merge joins
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
     assert "bloom" in plan.lower(), "no runtime bloom filter in plan"
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
@@ -238,3 +244,21 @@ def test_tpch_q4_exists_plans_as_semi_join(spark, sf_small):
     assert "LeftSemi" in plan or "left_semi" in plan.lower()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_score_single_scan_no_python(spark, sf_small):
+    """The repetition filter must stay a pure-JVM single scan: no
+    Python eval nodes, no exchange (per-row array exprs only)."""
+    plan = _plan(spark, sf_small, "text_repetition_score")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert "Exchange (" not in plan or plan.count("Exchange (") <= 1  # orderBy only
+
+
+def test_anomaly_mad_broadcasts_stats(spark, sf_small):
+    """Per-type stats are a handful of rows at any scale — every
+    join-back onto the events fact must be a broadcast, never a
+    shuffle of the fact side."""
+    plan = _plan(spark, sf_small, "stream_anomaly_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
