@@ -39,6 +39,8 @@ HEADLINE = (
     "text_tfidf_topterms",
     "knn_bruteforce_topk",
     "pipeline_corpus_prep",
+    "dedup_cluster_cc",
+    "decontaminate_ngram_overlap",
 )
 
 # runs per query: report min (the VM downclocks idle cores and first

@@ -46,6 +46,11 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "vocab_oov_rate",          # new: top-K vocab coverage
     "embed_quantize_int8",     # new: int8 quantization + error report
     "stream_anomaly_mad",      # new: robust MAD outlier detection
+    "scd2_user_state",         # new: SCD-2 intervals from the event log
+    "rollup_hourly_daily",     # new: continuous-aggregate re-rollup
+    "streaming_left_outer_join",  # new: outer-emission state eviction
+    "time_weighted_avg",       # new: TWAP per type
+    "events_gap_fill_locf",    # new: hour spine + LOCF gap fill
     # only driver row is from round 1 (35) — re-check
     "scan_parquet_project_filter",
     "scan_csv_roundtrip",

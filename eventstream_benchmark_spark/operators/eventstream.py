@@ -217,6 +217,142 @@ def pattern_match_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build from the event stream: collapse each user's
+    event sequence into validity intervals of their current event_type
+    (a change opens a new version, ``lead`` closes the previous one) —
+    the CDC pattern that turns an append-only log into a
+    slowly-changing dimension. Two windows over the same (user_id)
+    shuffle — Catalyst plans one Exchange, the second window reuses the
+    partitioning/sort. Output is the compact per-type interval summary;
+    dwell time uses epoch-µs integer subtraction divided once (never
+    double-arithmetic on epoch values)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    intervals = changed.withColumn("valid_to", F.lead("ts").over(w))
+    dwell_secs = (
+        F.unix_micros("valid_to") - F.unix_micros("ts")
+    ).cast("double") / 1_000_000.0
+    return (
+        intervals.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_versions"),
+            bigint(F.sum(F.col("valid_to").isNotNull().cast("int"))).alias(
+                "n_closed"
+            ),
+            r6(F.avg(dwell_secs)).alias("avg_dwell_secs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (the continuous-aggregate pattern): daily
+    stats derived by RE-aggregating the hourly aggregate — sum of
+    sums, sum of counts, max hourly count as the peak — never
+    re-scanning raw events. At 100 TB the hourly table is what a
+    materialized rollup job maintains incrementally; dailies (and
+    weeklies, monthlies) fold from it at 1/3600th the input size. The
+    oracle recomputes the same two-level shape in DuckDB, proving the
+    re-aggregation algebra exact."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    return (
+        hourly.groupBy(
+            fmt_date(F.to_date(F.col("w.start"))).alias("day"), "event_type"
+        )
+        .agg(
+            bigint(F.sum("n")).alias("n_events"),
+            r6(F.sum("sum_value")).alias("sum_value"),
+            bigint(F.max("n")).alias("peak_hour_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type (the TWAP
+    shape of timeseries engines): each observation holds until the
+    next one of the same type, so its weight is its dwell time. One
+    window shuffle on event_type for the lead(), then a tiny per-type
+    aggregate; the weight arithmetic stays in integer µs until the
+    single final division (epoch values never pass through doubles)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    stepped = (
+        ev.select("event_type", "ts", "event_id", "value")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .withColumn(
+            "dt_us", F.unix_micros("next_ts") - F.unix_micros("ts")
+        )
+    )
+    return (
+        stepped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_obs"),
+            bigint(F.sum("dt_us")).alias("total_us"),
+            r6(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us")
+            ).alias("twap"),
+            r6(F.avg("value")).alias("plain_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with last-observation-carried-forward
+    (the timeseries-engine gap_fill/locf pair): build the full
+    hour×type spine, left-join the hourly aggregate, and fill silent
+    hours with the last seen hourly average. The spine is generated
+    from the global [min, max] hour — its size is bounded by the time
+    range and the type vocabulary, never by event volume, so the
+    explode and the spine×types cross join stay broadcast-tiny at any
+    corpus scale; the event side pays one aggregate shuffle and the
+    LOCF one window shuffle on event_type. The hourly average is
+    rounded BEFORE the carry-forward so copied values are
+    representation-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), r6(F.avg("value")).alias("avg_v"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = (
+        grid.join(hourly, ["h", "event_type"], "left")
+        .withColumn("is_gap", F.col("n").isNull())
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("v_filled", F.last("avg_v", ignorenulls=True).over(w))
+    )
+    return filled.select(
+        fmt_ts("h").alias("hour"),
+        "event_type",
+        bigint(F.col("n")).alias("n"),
+        F.col("is_gap"),
+        F.col("v_filled"),
+    ).orderBy("hour", "event_type")
+
+
 MAD_K = 3.0  # outlier threshold in MAD units
 
 
@@ -269,9 +405,90 @@ QUERIES = {
     "stream_drift_score": stream_drift_score,
     "pattern_match_fixed": pattern_match_fixed,
     "stream_anomaly_mad": stream_anomaly_mad,
+    "scd2_user_state": scd2_user_state,
+    "rollup_hourly_daily": rollup_hourly_daily,
+    "time_weighted_avg": time_weighted_avg,
+    "events_gap_fill_locf": events_gap_fill_locf,
 }
 
 ORACLES = {
+    "time_weighted_avg": """
+        WITH stepped AS (
+            SELECT event_type, value,
+                   epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dt_us
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_obs,
+               CAST(sum(dt_us) AS BIGINT) AS total_us,
+               round(sum(value * dt_us) / sum(dt_us), 6) AS twap,
+               round(avg(value), 6) AS plain_avg
+        FROM stepped WHERE dt_us IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "events_gap_fill_locf": f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   count(*) AS n, round(avg(value), 6) AS avg_v
+            FROM events GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT unnest(generate_series((SELECT min(h) FROM hourly),
+                                          (SELECT max(h) FROM hourly),
+                                          INTERVAL 1 HOUR)) AS h
+        ),
+        grid AS (
+            SELECT s.h, t.event_type
+            FROM spine s CROSS JOIN (SELECT DISTINCT event_type
+                                     FROM events) t
+        )
+        SELECT {duck_fmt_ts('g.h')} AS hour, g.event_type,
+               CAST(coalesce(hr.n, 0) AS BIGINT) AS n,
+               hr.n IS NULL AS is_gap,
+               last_value(hr.avg_v IGNORE NULLS)
+                   OVER (PARTITION BY g.event_type ORDER BY g.h
+                         ROWS UNBOUNDED PRECEDING) AS v_filled
+        FROM grid g LEFT JOIN hourly hr
+          ON g.h = hr.h AND g.event_type = hr.event_type
+        ORDER BY hour, g.event_type
+    """,
+    "scd2_user_state": """
+        WITH flagged AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        changed AS (
+            SELECT user_id, event_type, ts, event_id FROM flagged
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        ),
+        intervals AS (
+            SELECT user_id, event_type, ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM changed
+        )
+        SELECT event_type, count(*) AS n_versions,
+               CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_closed,
+               round(avg(CAST(epoch_us(valid_to) - epoch_us(ts) AS DOUBLE)
+                         / 1000000.0), 6) AS avg_dwell_secs
+        FROM intervals GROUP BY event_type ORDER BY event_type
+    """,
+    "rollup_hourly_daily": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   count(*) AS n, sum(value) AS sum_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT strftime(CAST(h AS DATE), '%Y-%m-%d') AS day, event_type,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               round(sum(sum_value), 6) AS sum_value,
+               CAST(max(n) AS BIGINT) AS peak_hour_events
+        FROM hourly GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "stream_anomaly_mad": f"""
         WITH med AS (
             SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstream_benchmark_spark.io import load_table
+from eventstream_benchmark_spark.operators._util import bigint
 
 SESSION_GAP = "30 minutes"
 PATTERN_SEQ = ("view", "click", "purchase")
@@ -227,6 +228,60 @@ def streaming_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         sunk.groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+OUTER_JOIN_CUTOFF = "2024-01-30 18:00:00"  # fixture max ts is Jan 30 ~23:26+
+
+
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, matched to same-user
+    purchases in the following hour or emitted with nulls once the
+    watermark proves no match can arrive — the state-eviction semantics
+    (unmatched rows are held until watermark > click_ts + join window,
+    then released) that the inner join never exercises. Determinism:
+    the final watermark stops 2 h short of the fixture's end, so
+    clicks in the last hours may still sit unmatched in state when the
+    replay ends; the post-sink aggregate (and the oracle) therefore
+    only count clicks before a cutoff safely below max_ts − 3 h, where
+    outer emission is guaranteed complete."""
+    with _state_shuffle(spark):
+        src = _replay_dir(spark, sf_dir)
+        schema = load_table(spark, sf_dir, "events").schema
+
+        def side(event_type: str, prefix: str):
+            return (
+                spark.readStream.schema(schema).parquet(src)
+                .filter(F.col("event_type") == event_type)
+                .withWatermark("ts", "2 hours")
+                .select(
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("ts").alias(f"{prefix}_ts"),
+                )
+            )
+
+        pairs = side("click", "c").join(
+            side("purchase", "p"),
+            F.expr(
+                "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"
+            ),
+            "leftOuter",
+        )
+        sunk = _run_to_memory(pairs, "append")
+    return (
+        sunk.filter(F.col("c_ts") < F.lit(OUTER_JOIN_CUTOFF).cast("timestamp"))
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            bigint(F.sum(F.col("p_id").isNotNull().cast("int"))).alias(
+                "n_matched"
+            ),
+            bigint(F.sum(F.col("p_id").isNull().cast("int"))).alias(
+                "n_unmatched"
+            ),
+        )
         .orderBy("user_id")
     )
 
@@ -432,6 +487,7 @@ QUERIES = {
     "streaming_foreach_batch_sink": streaming_foreach_batch_sink,
     "session_window_agg": session_window_agg,
     "streaming_session_window": streaming_session_window,
+    "streaming_left_outer_join": streaming_left_outer_join,
 }
 
 ORACLES = {
@@ -500,3 +556,25 @@ ORACLES = {
 }
 
 ORACLES["streaming_session_window"] = ORACLES["session_window_agg"]
+
+# left-outer pairs == batch left join restricted to the cutoff region
+ORACLES["streaming_left_outer_join"] = f"""
+    WITH c AS (
+        SELECT user_id AS c_user, event_id AS c_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+          AND ts < TIMESTAMP '{OUTER_JOIN_CUTOFF}'
+    ),
+    p AS (
+        SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c_user AS user_id, count(*) AS n_rows,
+           CAST(sum(CASE WHEN p_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           CAST(sum(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched
+    FROM c LEFT JOIN p
+      ON c_user = p_user AND p_ts >= c_ts
+         AND p_ts <= c_ts + INTERVAL 1 HOUR
+    GROUP BY 1 ORDER BY 1
+"""

@@ -262,3 +262,13 @@ def test_anomaly_mad_broadcasts_stats(spark, sf_small):
     plan = _plan(spark, sf_small, "stream_anomaly_mad")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_shuffle_for_both_windows(spark, sf_small):
+    """lag() and lead() partition and sort identically, so Catalyst
+    must plan ONE user_id exchange reused by both Window nodes —
+    a second exchange would double the dominant cost at scale."""
+    plan = _plan(spark, sf_small, "scd2_user_state")
+    # one window exchange + one final agg exchange + orderBy
+    assert plan.count("Exchange (") <= 3
+    assert plan.count("Window (") == 2 or plan.count("WindowExec") == 2
