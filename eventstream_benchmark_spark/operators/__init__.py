@@ -51,6 +51,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "streaming_left_outer_join",  # new: outer-emission state eviction
     "time_weighted_avg",       # new: TWAP per type
     "events_gap_fill_locf",    # new: hour spine + LOCF gap fill
+    "join_skew_salted",        # new: manual skew-neutralized join
+    "sample_weighted_hash",    # new: deterministic weighted sampling
     # only driver row is from round 1 (35) — re-check
     "scan_parquet_project_filter",
     "scan_csv_roundtrip",

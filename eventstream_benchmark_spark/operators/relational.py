@@ -424,6 +424,42 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JOIN_SALT_N = 16
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join over a pathologically skewed join key: the
+    fact's 5-value event_type key would land each hot key on one
+    reducer, so the fact side carries salt = hash(id) mod 16 and the
+    dim side is exploded 16x — the join key becomes (key, salt) and
+    every hot key spreads over 16 tasks. This is the manual form of
+    what AQE skew-join does at runtime, needed when the dim is too big
+    to broadcast and stats are missing; the MERGE hint models that
+    (fixture dims would otherwise broadcast and hide the shuffle).
+    Results are identical to the unsalted join — the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("factor", F.length("event_type").cast("double"))
+    )
+    fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(JOIN_SALT_N))
+    )
+    dim_x = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT_N - 1)))
+    ).withColumn("salt", F.col("salt").cast("bigint"))
+    return (
+        fact.join(dim_x.hint("merge"), ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            r2(F.sum(F.col("value") * F.col("factor"))).alias("weighted_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (median/p90) per return flag plus the
     approx-sketch variant alongside — the exact form carries the
@@ -1221,6 +1257,7 @@ QUERIES = {
     "join_range_interval": join_range_interval,
     "join_asof": join_asof,
     "join_runtime_filtered": join_runtime_filtered,
+    "join_skew_salted": join_skew_salted,
     "agg_hash_global": agg_hash_global,
     "agg_groupby_q1": agg_groupby_q1,
     "agg_distinct": agg_distinct,
@@ -1373,6 +1410,11 @@ ORACLES = {
     "scan_orc_roundtrip": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY event_type
+    """,
+    "join_skew_salted": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value * length(event_type)), 2) AS weighted_sum
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "write_partitioned_pruned": f"""
         SELECT event_type, count(*) AS n,

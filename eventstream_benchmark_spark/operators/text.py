@@ -353,6 +353,34 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a document with
+    probability n_chars / max(n_chars) — the quality/size-weighted
+    downsampling step of corpus curation, reproducible across reruns
+    because the coin is a hash of doc_id, not an RNG. The global max is
+    one scalar broadcast back over the scan; keep-decisions are a pure
+    per-row comparison of two exactly-reproducible doubles (each is a
+    single division of exact integers, identical in both engines). At
+    production id ranges use xxhash64 for the coin (the multiplicative
+    hash here keeps the oracle portable; its product overflows int64
+    beyond ~2^32 ids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("mx"))
+    coin = ((F.col("doc_id") * SPLIT_HASH_MULT) % SPLIT_HASH_MOD) / SPLIT_HASH_MOD
+    kept = docs.crossJoin(F.broadcast(mx)).filter(
+        coin < F.col("n_chars") / F.col("mx")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            bigint(F.sum("n_chars")).alias("sum_chars"),
+            r6(F.avg("n_chars")).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 STRATUM_N = 20
 
 
@@ -459,6 +487,7 @@ QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "text_repetition_score": text_repetition_score,
     "vocab_oov_rate": vocab_oov_rate,
+    "sample_weighted_hash": sample_weighted_hash,
     "sample_topn_per_stratum": sample_topn_per_stratum,
     "pack_sequences_chunked": pack_sequences_chunked,
     "text_bigram_surprisal": text_bigram_surprisal,
@@ -482,6 +511,16 @@ def _marker_score_sql(lang: str) -> str:
 
 
 ORACLES = {
+    "sample_weighted_hash": f"""
+        WITH mx AS (SELECT max(n_chars) AS mx FROM documents)
+        SELECT lang, count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               round(avg(n_chars), 6) AS avg_chars
+        FROM documents, mx
+        WHERE ((doc_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD})
+              * 1.0 / {SPLIT_HASH_MOD} < n_chars * 1.0 / mx
+        GROUP BY lang ORDER BY lang
+    """,
     "text_repetition_score": """
         WITH tri AS (
             SELECT doc_id,

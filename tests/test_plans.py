@@ -272,3 +272,14 @@ def test_scd2_single_shuffle_for_both_windows(spark, sf_small):
     # one window exchange + one final agg exchange + orderBy
     assert plan.count("Exchange (") <= 3
     assert plan.count("Window (") == 2 or plan.count("WindowExec") == 2
+
+
+def test_skew_salted_join_spreads_hot_keys(spark, sf_small):
+    """The salted join must actually shuffle on (event_type, salt) —
+    a broadcast would hide the skew problem the operator solves, and
+    a salt-free join would leave each hot key on one reducer."""
+    plan = _plan(spark, sf_small, "join_skew_salted")
+    assert "SortMergeJoin" in plan
+    join_line = [l for l in plan.splitlines() if "SortMergeJoin" in l and "keys" in l.lower()]
+    keyed = join_line or [l for l in plan.splitlines() if "Left keys" in l]
+    assert any("salt" in l for l in keyed), "salt missing from join keys"
