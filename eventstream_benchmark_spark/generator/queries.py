@@ -169,6 +169,12 @@ _EXACT_SUMMARY_ROWS = (
 )
 
 ORACLES: dict[str, str] = {
+    # the Poisson draw is projected away before the final select, so
+    # the surviving (tag, n) output is deterministic and hash-checkable
+    "udf_surface": """
+        SELECT 't:' || event_type AS tag, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     "generate_stream_exact": (
         "SELECT CAST(c0 AS INTEGER) AS event_type,"
         " CAST(c1 AS BOOLEAN) AS is_pattern, CAST(c2 AS BIGINT) AS n,"
