@@ -30,11 +30,15 @@ def generator_events_per_sec(spark: SparkSession, n_events: int = BENCH_EVENTS) 
     warm = dataclasses.replace(GOLDEN_STREAM, total_events=shards * 1_000)
     stream_df_sharded(spark, GOLDEN_PATTERNS, warm, n_shards=shards).count()
     cfg = dataclasses.replace(GOLDEN_STREAM, total_events=n_events)
-    t0 = time.perf_counter()
-    n = stream_df_sharded(spark, GOLDEN_PATTERNS, cfg, n_shards=shards).count()
-    wall = time.perf_counter() - t0
-    assert n == n_events
-    return round(n / wall)
+    # best-of-2 like the query lane: single runs swing with VM clock
+    # ramp, and round-over-round deltas must outrank that noise
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = stream_df_sharded(spark, GOLDEN_PATTERNS, cfg, n_shards=shards).count()
+        best = min(best, time.perf_counter() - t0)
+        assert n == n_events
+    return round(n_events / best)
 
 
 def csv_export_rows_per_sec(spark: SparkSession, n_rows: int = 1_000_000) -> float:

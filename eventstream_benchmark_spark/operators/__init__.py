@@ -53,6 +53,12 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "events_gap_fill_locf",    # new: hour spine + LOCF gap fill
     "join_skew_salted",        # new: manual skew-neutralized join
     "sample_weighted_hash",    # new: deterministic weighted sampling
+    "udf_surface",             # rows-only -> hash-checked oracle
+    "sql_tpch_q6",             # new: pure scan-filter-agg shape
+    "sql_tpch_q10",            # new: returned-item top-20 shape
+    "sql_tpch_q18",            # new: agg-driven semi-join shape
+    "sql_tpch_q19",            # new: disjunctive-predicate join shape
+    "attribution_linear",      # new: multi-touch bucketed range join
     # only driver row is from round 1 (35) — re-check
     "scan_parquet_project_filter",
     "scan_csv_roundtrip",

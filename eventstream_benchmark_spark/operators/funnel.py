@@ -178,10 +178,71 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# attribution_linear — equal credit across all in-horizon touches
+# --------------------------------------------------------------------------
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the 24h
+    before a purchase shares the credit equally; output is one row per
+    (purchase, touch_type) with the type's touch count and credit
+    share.
+
+    The purchase↔touch pairing is a bounded range join expressed as the
+    B8 time-bucket equi-join: touches key on floor(us / horizon), each
+    purchase probes its own and the previous bucket (explode factor 2),
+    and the exact window + ordering predicate applies after — at 100 TB
+    this stays a (user_id, bucket) hash join, never a nested loop. The
+    credit is one small-integer division (n_type / n_touches) — a
+    single IEEE op, so both engines produce bit-identical doubles
+    (composite float sums would not; see the parity notes)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    horizon_us = ATTRIB_HORIZON_S * 1_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("us").alias("p_us"),
+        F.floor(F.col("us") / horizon_us).alias("bkt0"),
+    )
+    touches = ev.filter(F.col("event_type").isin(*ATTRIB_TOUCHES)).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("us").alias("t_us"),
+        F.floor(F.col("us") / horizon_us).alias("bkt"),
+    )
+    probing = purchases.withColumn(
+        "bkt", F.explode(F.array(F.col("bkt0"), F.col("bkt0") - 1))
+    )
+    strictly_before = (F.col("t_us") < F.col("p_us")) | (
+        (F.col("t_us") == F.col("p_us"))
+        & (F.col("t_id") < F.col("purchase_event_id"))
+    )
+    pairs = (
+        probing.join(touches, ["user_id", "bkt"])
+        .filter(strictly_before & (F.col("p_us") - F.col("t_us") <= horizon_us))
+    )
+    per = pairs.groupBy("user_id", "purchase_event_id", "touch_type").agg(
+        bigint(F.count("*")).alias("touches")
+    )
+    w = W.partitionBy("purchase_event_id")
+    return per.select(
+        "user_id",
+        "purchase_event_id",
+        "touch_type",
+        "touches",
+        r6(F.col("touches") / F.sum("touches").over(w)).alias("credit"),
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohort": retention_cohort,
     "attribution_last_touch": attribution_last_touch,
+    "attribution_linear": attribution_linear,
 }
 
 _FUNNEL_ORACLE = f"""
@@ -230,6 +291,28 @@ ORACLES = {
                    THEN active_users END) OVER (PARTITION BY d0), 6)
                    AS retention_rate
         FROM per_cell
+    """,
+    "attribution_linear": f"""
+        WITH p AS (
+            SELECT user_id, event_id AS purchase_event_id, epoch_us(ts) AS p_us
+            FROM events WHERE event_type = 'purchase'
+        ), t AS (
+            SELECT user_id, event_id AS t_id, event_type AS touch_type,
+                   epoch_us(ts) AS t_us
+            FROM events WHERE event_type IN ('view', 'click')
+        ), per AS (
+            SELECT p.user_id, purchase_event_id, touch_type,
+                   CAST(count(*) AS BIGINT) AS touches
+            FROM p JOIN t ON p.user_id = t.user_id
+            WHERE (t_us < p_us OR (t_us = p_us AND t_id < purchase_event_id))
+              AND p_us - t_us <= {ATTRIB_HORIZON_S * 1_000_000}
+            GROUP BY 1, 2, 3
+        )
+        SELECT user_id, purchase_event_id, touch_type, touches,
+               round(touches * 1.0
+                     / sum(touches) OVER (PARTITION BY purchase_event_id), 6)
+                   AS credit
+        FROM per
     """,
     "attribution_last_touch": f"""
         WITH touched AS (

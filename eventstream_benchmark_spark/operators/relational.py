@@ -717,6 +717,112 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting-revenue-change shape): the pure
+    scan-filter-aggregate query — no join, no groupBy shuffle, only a
+    partial-aggregate merge. All three predicates push to the parquet
+    scan, so at 100 TB this reads only the four referenced columns of
+    the row groups whose min/max stats overlap the filters."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1997-01-01'
+          AND l_shipdate < timestamp '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting shape): identify customers
+    with returned merchandise in a quarter. Three-table fact join with
+    the nation dim broadcast; the group key includes all customer
+    attributes so the aggregate collapses to one row per customer, then
+    TakeOrderedAndProject keeps the top 20 without a global sort."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(c_acctbal, 2) AS acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= timestamp '1997-01-01'
+          AND o_orderdate < timestamp '1997-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume-customer shape): orders whose total
+    quantity exceeds a threshold. The HAVING subquery aggregates the
+    fact table FIRST (one l_orderkey shuffle), and the surviving key
+    set — tiny after the >250 filter — drives a semi-join that prunes
+    orders/customer/lineitem before the outer aggregate; Catalyst
+    plans the IN as a left-semi hash join, never a per-row subquery."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               round(o_totalprice, 2) AS totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+        """
+    )
+
+
+def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted-revenue shape, adapted: the fixture part
+    has no container and lineitem no shipmode, so each disjunct pairs
+    p_brand/p_size with an l_quantity band). The OR-of-ANDs predicate
+    straddles both tables, but Catalyst still extracts the common
+    p_partkey equi-key — this stays a hash join with the residual
+    disjunction as post-join filter, NOT a nested-loop join — and
+    derives a p_brand IN (...) pushdown for the part scan."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an events subset as ORC, read it back with an explicit
     schema, aggregate — the third columnar/row format of the source
@@ -1280,6 +1386,10 @@ QUERIES = {
     "sql_tpch_q5": sql_tpch_q5,
     "sql_tpch_q12": sql_tpch_q12,
     "sql_tpch_q14": sql_tpch_q14,
+    "sql_tpch_q6": sql_tpch_q6,
+    "sql_tpch_q10": sql_tpch_q10,
+    "sql_tpch_q18": sql_tpch_q18,
+    "sql_tpch_q19": sql_tpch_q19,
     "scalar_decimal": scalar_decimal,
     "scalar_map": scalar_map,
     "scalar_conditional": scalar_conditional,
@@ -1460,6 +1570,57 @@ ORACLES = {
           AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY 1
         ORDER BY 1
+    """,
+    "sql_tpch_q6": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "sql_tpch_q10": """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(c_acctbal, 2) AS acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "sql_tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(o_totalprice, 2) AS totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    "sql_tpch_q19": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
     """,
     "agg_percentiles": """
         SELECT l_returnflag,

@@ -283,3 +283,23 @@ def test_skew_salted_join_spreads_hot_keys(spark, sf_small):
     join_line = [l for l in plan.splitlines() if "SortMergeJoin" in l and "keys" in l.lower()]
     keyed = join_line or [l for l in plan.splitlines() if "Left keys" in l]
     assert any("salt" in l for l in keyed), "salt missing from join keys"
+
+
+def test_tpch_q19_disjunction_stays_hash_join(spark, sf_small):
+    """The OR-of-ANDs predicate straddles lineitem and part, but the
+    common p_partkey = l_partkey equi-key must still plan a hash/merge
+    join with the disjunction as residual filter — a nested-loop join
+    here is quadratic at scale."""
+    plan = _plan(spark, sf_small, "sql_tpch_q19")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_attribution_linear_stays_equi_join(spark, sf_small):
+    """The purchase-touch pairing is a bounded range join expressed as
+    a (user_id, time-bucket) equi-join with explode factor 2 — it must
+    never degrade to a nested loop over the purchase x touch space."""
+    plan = _plan(spark, sf_small, "attribution_linear")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
