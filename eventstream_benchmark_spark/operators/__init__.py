@@ -59,6 +59,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "sql_tpch_q18",            # new: agg-driven semi-join shape
     "sql_tpch_q19",            # new: disjunctive-predicate join shape
     "attribution_linear",      # new: multi-touch bucketed range join
+    "copurchase_part_pairs",   # new: market-basket support counting
+    "graph_triangle_count",    # new: edge-iterator triangle counting
     # only driver row is from round 1 (35) — re-check
     "scan_parquet_project_filter",
     "scan_csv_roundtrip",
@@ -119,6 +121,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         eventstream,
         funnel,
+        graph,
         multimodal,
         pipeline,
         relational,
@@ -129,7 +132,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from eventstream_benchmark_spark.streaming import queries as streaming_queries
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, eventstream, funnel, dedup, similarity, text, multimodal, pipeline):
+    for mod in (relational, eventstream, funnel, graph, dedup, similarity, text, multimodal, pipeline):
         merged.update(mod.QUERIES)
     merged.update(gen_queries.QUERIES)
     merged.update(streaming_queries.QUERIES)
@@ -141,6 +144,7 @@ def all_oracles() -> dict[str, str]:
         dedup,
         eventstream,
         funnel,
+        graph,
         multimodal,
         pipeline,
         relational,
@@ -151,7 +155,7 @@ def all_oracles() -> dict[str, str]:
     from eventstream_benchmark_spark.streaming import queries as streaming_queries
 
     merged: dict[str, str] = {}
-    for mod in (relational, eventstream, funnel, dedup, similarity, text, multimodal, pipeline):
+    for mod in (relational, eventstream, funnel, graph, dedup, similarity, text, multimodal, pipeline):
         merged.update(mod.ORACLES)
     merged.update(gen_queries.ORACLES)
     merged.update(streaming_queries.ORACLES)

@@ -9,6 +9,8 @@ fail loudly at fixture scale instead of at cluster scale.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from eventstream_benchmark_spark.operators import all_queries
@@ -303,3 +305,27 @@ def test_attribution_linear_stays_equi_join(spark, sf_small):
     plan = _plan(spark, sf_small, "attribution_linear")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_copurchase_stays_equi_join(spark, sf_small):
+    """The basket self-join must hash/merge on l_orderkey with the
+    p1 < p2 orientation as residual — a nested loop over (order,part)
+    x (order,part) is quadratic in the fact table."""
+    plan = _plan(spark, sf_small, "copurchase_part_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_joins_stay_hashed(spark, sf_small):
+    """Both wedge joins of the edge-iterator scheme key on vertex
+    columns — they must plan as hash/merge joins over the edge set
+    (the deliberate stat-combining crossJoin of three 1-row aggregates
+    is the only non-equi node allowed)."""
+    plan = _plan(spark, sf_small, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # exactly the two 1-row x 1-row stat combiners may nested-loop
+    # (tree lines carry the join type; the detail section repeats nodes)
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 2
+    n_bnlj_nodes = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert n_bnlj_nodes == plan.count("Join type: Cross")
