@@ -139,11 +139,62 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pattern_recovery_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benchmark loop closed end-to-end: generate the stream
+    (Layer A), run the B32 lead-chain sequence matcher over it, and
+    score recovery against the generator's own ``is_pattern`` ground
+    truth — the reference's built-in answer key
+    (``eventstream.py:306``; README's "sequence-learning systems"
+    consumers are exactly this loop).
+
+    The matcher hunts pattern 0's full type sequence (length L) as
+    contiguous events — patterns embed intact
+    (``eventstream.py:293``) — and every candidate start is labeled
+    true (all L events carry is_pattern) or coincidence. Runs on the
+    sharded scale stream: pattern instances never cross shard
+    boundaries by construction, so the lead-chains window partitions
+    by shard and the plan reuses the generation partitioning — no
+    global ordering, no single-partition window, valid at any shard
+    count.
+
+    Deterministic (SeedSequence-spawned shard RNGs), so the oracle is
+    a precomputed-constant row pinned by ``tests/test_generator.py``
+    against a fresh run."""
+    import functools
+    import operator
+
+    from pyspark.sql import Window as W
+
+    from eventstream_benchmark_spark.generator import core
+    from eventstream_benchmark_spark.operators._util import bigint
+
+    types, _gaps = core.build_patterns(GOLDEN_PATTERNS)
+    seq = [int(x) for x in types[0]]
+    df = spark_gen.stream_df_sharded(spark, GOLDEN_PATTERNS, SCALE_STREAM, SCALE_SHARDS)
+    w = W.partitionBy("shard").orderBy("event_id")
+    type_at = lambda i: F.col("event_type") if i == 0 else F.lead("event_type", i).over(w)
+    label_at = lambda i: F.col("is_pattern") if i == 0 else F.lead("is_pattern", i).over(w)
+    matched = functools.reduce(
+        operator.and_, [type_at(i) == seq[i] for i in range(len(seq))]
+    )
+    all_true = functools.reduce(operator.and_, [label_at(i) for i in range(len(seq))])
+    scored = df.select(
+        "is_pattern", matched.alias("m"), (matched & all_true).alias("tp")
+    )
+    return scored.agg(
+        bigint(F.sum(F.col("m").cast("long"))).alias("n_matches"),
+        bigint(F.sum(F.col("tp").cast("long"))).alias("n_true_matches"),
+        bigint(F.sum((F.col("m") & ~F.col("tp")).cast("long"))).alias("n_coincidences"),
+        bigint(F.sum(F.col("is_pattern").cast("long"))).alias("n_pattern_events"),
+    )
+
+
 QUERIES = {
     "generate_patterns_spark": generate_patterns_spark,
     "generate_stream_exact": generate_stream_exact,
     "generate_stream_sharded": generate_stream_sharded,
     "udf_surface": udf_surface,
+    "pattern_recovery_scored": pattern_recovery_scored,
 }
 
 # The exact-mode stream is a pure function of (GOLDEN_PATTERNS,
@@ -168,7 +219,18 @@ _EXACT_SUMMARY_ROWS = (
     (5, "true", 2140, 40, 233717, 249061335),
 )
 
+# Deterministic function of (GOLDEN_PATTERNS, SCALE_STREAM, 32 shards) —
+# same contract as _EXACT_SUMMARY_ROWS; pinned against a fresh run by
+# tests/test_generator.py::test_pattern_recovery_constants.
+PATTERN_RECOVERY_ROW = (1187, 1187, 0, 96000)
+
 ORACLES: dict[str, str] = {
+    "pattern_recovery_scored": (
+        "SELECT CAST({} AS BIGINT) AS n_matches,"
+        " CAST({} AS BIGINT) AS n_true_matches,"
+        " CAST({} AS BIGINT) AS n_coincidences,"
+        " CAST({} AS BIGINT) AS n_pattern_events".format(*PATTERN_RECOVERY_ROW)
+    ),
     # the Poisson draw is projected away before the final select, so
     # the surviving (tag, n) output is deterministic and hash-checkable
     "udf_surface": """

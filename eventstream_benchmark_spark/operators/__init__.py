@@ -61,6 +61,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "attribution_linear",      # new: multi-touch bucketed range join
     "copurchase_part_pairs",   # new: market-basket support counting
     "graph_triangle_count",    # new: edge-iterator triangle counting
+    "pattern_recovery_scored",  # new: generate -> match -> score vs labels
     # only driver row is from round 1 (35) — re-check
     "scan_parquet_project_filter",
     "scan_csv_roundtrip",

@@ -256,3 +256,36 @@ def test_exact_summary_oracle_constants_pinned():
         )
     want = {(t, p): (n, lo, hi, s) for t, p, n, lo, hi, s in _EXACT_SUMMARY_ROWS}
     assert got == want
+
+
+def test_pattern_recovery_constants_pinned():
+    """The pattern_recovery_scored oracle is a precomputed constant
+    row (deterministic sharded generation + a deterministic matcher);
+    recompute the whole score from core's NumPy path so any RNG or
+    matcher drift fails here before the driver hashes a stale
+    constant."""
+    from eventstream_benchmark_spark.generator.queries import (
+        GOLDEN_PATTERNS,
+        PATTERN_RECOVERY_ROW,
+        SCALE_SHARDS,
+        SCALE_STREAM,
+    )
+    import dataclasses
+
+    types, gaps = core.build_patterns(GOLDEN_PATTERNS)
+    seq = types[0]
+    L = len(seq)
+    sizes = core.shard_sizes(SCALE_STREAM.total_events, SCALE_SHARDS)
+    n_matches = n_true = n_pattern = 0
+    for shard, n_events in enumerate(sizes):
+        cfg = dataclasses.replace(SCALE_STREAM, total_events=n_events)
+        rng = core.shard_rng(SCALE_STREAM.seed, shard)
+        _ts, ty, label = core.build_stream_fast(cfg, types, gaps, rng=rng)
+        n_pattern += int(label.sum())
+        windows = np.lib.stride_tricks.sliding_window_view(ty, L)
+        hits = (windows == seq).all(axis=1)
+        n_matches += int(hits.sum())
+        lab_win = np.lib.stride_tricks.sliding_window_view(label, L)
+        n_true += int((hits & lab_win.all(axis=1)).sum())
+    got = (n_matches, n_true, n_matches - n_true, n_pattern)
+    assert got == PATTERN_RECOVERY_ROW
