@@ -1,10 +1,15 @@
 """Driver entries for the Layer A generator (B33-B35).
 
-All rows-only: the outputs are draws from NumPy RNG streams that no
-SQL engine reproduces (SURVEY §4.2 RNG note) — correctness is carried
-by the golden/property tests in ``tests/test_generator.py``, and the
-driver's rows-only check confirms the operators run and return stable
-row counts.
+The outputs are draws from NumPy RNG streams that no SQL engine
+reproduces (SURVEY §4.2 RNG note) — but every one of them is a pure
+function of its pinned config (seeded ``np.random.Generator`` /
+SeedSequence-spawned shard RNGs), so instead of settling for the
+driver's rows-only check, each query carries a precomputed-CONSTANT
+oracle: a VALUES relation holding the expected output, generated once
+by this engine and pinned by ``tests/test_generator.py`` against a
+fresh run (so environment drift — e.g. a NumPy RNG change — fails
+loudly in the test suite before it can silently invalidate the
+oracle). The driver's hash check then covers the generator end-to-end.
 
 The configs pin the reference's canonical ``main.py`` example
 (``main.py:4-38``): 8 patterns × L=10 over 6 types, poisson(6)±1
@@ -50,8 +55,9 @@ def generate_patterns_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps[n,L-1] — ``eventstream.py:124-126``) as array columns for
     internal use; the driver-facing result is
     ``posexplode(arrays_zip(...))`` to one row per pattern position so
-    the rows-only canonicalizer (a pandas sort) sees hashable scalars.
-    ``gap`` is null at the final position (L-1 gaps for L types)."""
+    the driver canonicalizer (a pandas sort) sees hashable scalars.
+    ``gap`` is null at the final position (L-1 gaps for L types).
+    Hash-checked against the precomputed ``_PATTERN_ROWS`` constant."""
     pats = spark_gen.patterns_df(spark, GOLDEN_PATTERNS)
     return (
         pats.select(
@@ -88,7 +94,8 @@ def generate_stream_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def generate_stream_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34 (scale mode) — 8× the golden config across 32 parallel
     applyInPandas shards; per-shard invariant summary (monotone ts,
-    achieved ratio) so the driver sees one row per shard."""
+    achieved ratio) so the driver sees one row per shard. Hash-checked
+    against the precomputed ``_SHARDED_SUMMARY_ROWS`` constant."""
     df = spark_gen.stream_df_sharded(spark, GOLDEN_PATTERNS, SCALE_STREAM, SCALE_SHARDS)
     return (
         df.groupBy("shard")
@@ -224,6 +231,46 @@ _EXACT_SUMMARY_ROWS = (
 # tests/test_generator.py::test_pattern_recovery_constants.
 PATTERN_RECOVERY_ROW = (1187, 1187, 0, 96000)
 
+# The GOLDEN_PATTERNS set (seed 137) as (pattern_id, pos, event_type,
+# gap) scalar rows — gap is NULL at the final position (L-1 gaps for L
+# types, reference eventstream.py:124-126). Pinned by
+# tests/test_generator.py::test_pattern_rows_constants_pinned.
+_PATTERN_ROWS = (
+    (0, 0, 2, 7), (0, 1, 5, 4), (0, 2, 1, 9), (0, 3, 1, 6), (0, 4, 5, 8),
+    (0, 5, 2, 8), (0, 6, 1, 9), (0, 7, 3, 9), (0, 8, 3, 3), (0, 9, 2, None),
+    (1, 0, 2, 6), (1, 1, 2, 6), (1, 2, 1, 3), (1, 3, 3, 8), (1, 4, 1, 5),
+    (1, 5, 2, 6), (1, 6, 1, 8), (1, 7, 0, 9), (1, 8, 5, 7), (1, 9, 2, None),
+    (2, 0, 5, 9), (2, 1, 4, 3), (2, 2, 5, 3), (2, 3, 4, 4), (2, 4, 2, 9),
+    (2, 5, 4, 5), (2, 6, 1, 9), (2, 7, 3, 7), (2, 8, 5, 4), (2, 9, 1, None),
+    (3, 0, 2, 6), (3, 1, 2, 7), (3, 2, 0, 3), (3, 3, 4, 6), (3, 4, 4, 5),
+    (3, 5, 1, 5), (3, 6, 3, 3), (3, 7, 5, 8), (3, 8, 1, 4), (3, 9, 3, None),
+    (4, 0, 5, 7), (4, 1, 4, 3), (4, 2, 3, 9), (4, 3, 5, 8), (4, 4, 3, 7),
+    (4, 5, 2, 5), (4, 6, 2, 7), (4, 7, 3, 8), (4, 8, 2, 4), (4, 9, 1, None),
+    (5, 0, 4, 9), (5, 1, 4, 4), (5, 2, 5, 8), (5, 3, 0, 5), (5, 4, 4, 7),
+    (5, 5, 0, 7), (5, 6, 1, 8), (5, 7, 5, 8), (5, 8, 2, 3), (5, 9, 0, None),
+    (6, 0, 3, 6), (6, 1, 0, 7), (6, 2, 4, 3), (6, 3, 2, 6), (6, 4, 2, 3),
+    (6, 5, 2, 7), (6, 6, 4, 3), (6, 7, 5, 7), (6, 8, 0, 8), (6, 9, 4, None),
+    (7, 0, 0, 3), (7, 1, 0, 5), (7, 2, 3, 6), (7, 3, 0, 7), (7, 4, 5, 8),
+    (7, 5, 5, 5), (7, 6, 3, 6), (7, 7, 0, 4), (7, 8, 3, 3), (7, 9, 1, None),
+)
+
+# Per-shard summary of the 32-shard SCALE_STREAM — deterministic via
+# SeedSequence(seed).spawn(shard) per-shard RNGs. Pinned by
+# tests/test_generator.py::test_sharded_summary_constants_pinned.
+_SHARDED_SUMMARY_ROWS = (
+    (0, 10000, 0.3, 58159), (1, 10000, 0.3, 58125), (2, 10000, 0.3, 58039),
+    (3, 10000, 0.3, 58031), (4, 10000, 0.3, 57736), (5, 10000, 0.3, 58141),
+    (6, 10000, 0.3, 57953), (7, 10000, 0.3, 57912), (8, 10000, 0.3, 58075),
+    (9, 10000, 0.3, 58309), (10, 10000, 0.3, 58092), (11, 10000, 0.3, 58250),
+    (12, 10000, 0.3, 58182), (13, 10000, 0.3, 57925), (14, 10000, 0.3, 58192),
+    (15, 10000, 0.3, 57955), (16, 10000, 0.3, 58292), (17, 10000, 0.3, 57747),
+    (18, 10000, 0.3, 57859), (19, 10000, 0.3, 58235), (20, 10000, 0.3, 57980),
+    (21, 10000, 0.3, 57917), (22, 10000, 0.3, 58125), (23, 10000, 0.3, 57952),
+    (24, 10000, 0.3, 57915), (25, 10000, 0.3, 58004), (26, 10000, 0.3, 58331),
+    (27, 10000, 0.3, 58003), (28, 10000, 0.3, 57824), (29, 10000, 0.3, 57962),
+    (30, 10000, 0.3, 58324), (31, 10000, 0.3, 58004),
+)
+
 ORACLES: dict[str, str] = {
     "pattern_recovery_scored": (
         "SELECT CAST({} AS BIGINT) AS n_matches,"
@@ -245,5 +292,23 @@ ORACLES: dict[str, str] = {
         + ", ".join(f"({t}, {p}, {n}, {lo}, {hi}, {s})"
                     for t, p, n, lo, hi, s in _EXACT_SUMMARY_ROWS)
         + ") v(c0, c1, c2, c3, c4, c5) ORDER BY event_type, is_pattern"
+    ),
+    "generate_patterns_spark": (
+        "SELECT CAST(c0 AS INTEGER) AS pattern_id,"
+        " CAST(c1 AS INTEGER) AS pos, CAST(c2 AS INTEGER) AS event_type,"
+        " CAST(c3 AS INTEGER) AS gap FROM (VALUES "
+        + ", ".join(
+            f"({pid}, {pos}, {et}, {'NULL' if gap is None else gap})"
+            for pid, pos, et, gap in _PATTERN_ROWS
+        )
+        + ") v(c0, c1, c2, c3) ORDER BY pattern_id, pos"
+    ),
+    "generate_stream_sharded": (
+        "SELECT CAST(c0 AS INTEGER) AS shard,"
+        " CAST(c1 AS BIGINT) AS n_events,"
+        " CAST(c2 AS DOUBLE) AS pattern_frac,"
+        " CAST(c3 AS BIGINT) AS span_ticks FROM (VALUES "
+        + ", ".join(f"({s}, {n}, {f}, {t})" for s, n, f, t in _SHARDED_SUMMARY_ROWS)
+        + ") v(c0, c1, c2, c3) ORDER BY shard"
     ),
 }

@@ -37,21 +37,30 @@ def default_sf_dir() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    map to TimestampType; read it as raw nanos (legacy conf) and convert
-    to a µs TimestampType column — lossless, the fixture data is
-    µs-precision (FIXTURES.md).
+    Timestamp physical types vary across fixture generations —
+    TIMESTAMP(NANOS) (mapped to raw nanos via the legacy conf, since
+    Spark 4 refuses NANOS→TimestampType) or TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (mapped to TIMESTAMP_NTZ) — so normalize by
+    *observed* column type, not by fixture vintage: long ``ts`` becomes
+    µs TimestampType (integer DIV — double division would corrupt
+    epoch-nanos, ~1.7e18 > double's 53-bit mantissa); TIMESTAMP_NTZ
+    columns are cast to the session-TZ TimestampType (value-identical
+    under the engine's pinned UTC session, and keeps every downstream
+    comparison against ``cast('timestamp')`` literals well-typed).
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        # integer DIV: double division would corrupt epoch-nanos (~1.7e18,
-        # beyond double's 53-bit mantissa) by hundreds of ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    for field in df.schema.fields:
+        type_name = field.dataType.typeName()
+        if field.name == "ts" and type_name in ("long", "bigint"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif type_name == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

@@ -289,3 +289,49 @@ def test_pattern_recovery_constants_pinned():
         n_true += int((hits & lab_win.all(axis=1)).sum())
     got = (n_matches, n_true, n_matches - n_true, n_pattern)
     assert got == PATTERN_RECOVERY_ROW
+
+
+def test_pattern_rows_constants_pinned():
+    """The generate_patterns_spark oracle is a precomputed VALUES table
+    of the GOLDEN_PATTERNS set as scalar rows; recompute from core so
+    RNG drift fails here before the driver hashes a stale constant."""
+    from eventstream_benchmark_spark.generator.queries import (
+        GOLDEN_PATTERNS,
+        _PATTERN_ROWS,
+    )
+
+    types, gaps = core.build_patterns(GOLDEN_PATTERNS)
+    got = tuple(
+        (pid, pos, int(types[pid][pos]),
+         int(gaps[pid][pos]) if pos < gaps.shape[1] else None)
+        for pid in range(types.shape[0])
+        for pos in range(types.shape[1])
+    )
+    assert got == _PATTERN_ROWS
+
+
+def test_sharded_summary_constants_pinned():
+    """The generate_stream_sharded oracle is a precomputed VALUES table
+    of per-shard (n, pattern_frac, span) summaries; recompute each
+    shard from core's NumPy path (same SeedSequence spawning as the
+    applyInPandas task) so RNG drift fails here first."""
+    import dataclasses
+
+    from eventstream_benchmark_spark.generator.queries import (
+        GOLDEN_PATTERNS,
+        SCALE_SHARDS,
+        SCALE_STREAM,
+        _SHARDED_SUMMARY_ROWS,
+    )
+
+    types, gaps = core.build_patterns(GOLDEN_PATTERNS)
+    sizes = core.shard_sizes(SCALE_STREAM.total_events, SCALE_SHARDS)
+    got = []
+    for shard, n_events in enumerate(sizes):
+        cfg = dataclasses.replace(SCALE_STREAM, total_events=n_events)
+        rng = core.shard_rng(SCALE_STREAM.seed, shard)
+        ts, _ty, label = core.build_stream_fast(cfg, types, gaps, rng=rng)
+        got.append(
+            (shard, len(ts), round(float(label.mean()), 3), int(ts.max()))
+        )
+    assert tuple(got) == _SHARDED_SUMMARY_ROWS
