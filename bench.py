@@ -48,6 +48,12 @@ HEADLINE = (
 # max-min spread is recorded so round-over-round deltas are
 # distinguishable from clock noise
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# the persist/localCheckpoint heavyweights are 3-10x noisier than the
+# rest of the sweep (r3 spreads up to 10 s); more samples make their
+# min a real floor instead of a lottery ticket
+HEAVY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "5"))
+HEAVY = {"dedup_minhash_lsh", "pipeline_corpus_prep", "dedup_cluster_cc",
+         "decontaminate_ngram_overlap"}
 
 
 def main() -> None:
@@ -59,6 +65,19 @@ def main() -> None:
 
     spark = get_spark("esb-bench")
     queries = all_queries()
+    extras: dict[str, float] = {}
+
+    # Layer-A generator + CSV-sink throughput (vs BASELINE.md's
+    # 98k ev/s generation and 385k rows/s export) — measured FIRST, in
+    # a clean session: r3 measured it after the LSH/CC heavyweights and
+    # their storage-memory pressure cost it ~37% (6.78M -> 4.26M ev/s)
+    from eventstream_benchmark_spark.generator.bench import (
+        csv_export_rows_per_sec,
+        generator_events_per_sec,
+    )
+
+    extras["generator_events_per_sec"] = generator_events_per_sec(spark)
+    extras["csv_export_rows_per_sec"] = csv_export_rows_per_sec(spark)
 
     # warm the JVM + parquet footers so per-query numbers measure the
     # queries, not session start
@@ -74,29 +93,20 @@ def main() -> None:
     from eventstream_benchmark_spark.operators._cache import release_scoped_persists
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         samples = []
-        for _ in range(RUNS):
+        for _ in range(HEAVY_RUNS if name in HEAVY else RUNS):
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 3)
         extras[f"{name}_rows"] = n
         extras[f"{name}_spread"] = round(max(samples) - min(samples), 3)
-    # the last persisting query's intermediates must not outlive the sweep
-    release_scoped_persists()
-
-    # Layer-A generator + CSV-sink throughput (vs BASELINE.md's
-    # 98k ev/s generation and 385k rows/s export)
-    from eventstream_benchmark_spark.generator.bench import (
-        csv_export_rows_per_sec,
-        generator_events_per_sec,
-    )
-
-    extras["generator_events_per_sec"] = generator_events_per_sec(spark)
-    extras["csv_export_rows_per_sec"] = csv_export_rows_per_sec(spark)
+        # storage hygiene between queries: one query's persisted
+        # intermediates/broadcasts must not tax the next one's timing
+        release_scoped_persists()
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

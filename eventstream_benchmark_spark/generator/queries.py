@@ -93,15 +93,21 @@ def generate_stream_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def generate_stream_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34 (scale mode) — 8× the golden config across 32 parallel
-    applyInPandas shards; per-shard invariant summary (monotone ts,
-    achieved ratio) so the driver sees one row per shard. Hash-checked
-    against the precomputed ``_SHARDED_SUMMARY_ROWS`` constant."""
+    applyInPandas shards; per-shard invariant summary (event count,
+    integer pattern-event count, time span) so the driver sees one row
+    per shard. Hash-checked against the precomputed
+    ``_SHARDED_SUMMARY_ROWS`` constant. The pattern share is pinned as
+    the raw integer count (not a rounded fraction) so the constant
+    can't drift on a rounding-mode mismatch between engines (Spark
+    HALF_UP vs Python banker's rounding at .0005 ties)."""
+    from eventstream_benchmark_spark.operators._util import bigint
+
     df = spark_gen.stream_df_sharded(spark, GOLDEN_PATTERNS, SCALE_STREAM, SCALE_SHARDS)
     return (
         df.groupBy("shard")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg(F.col("is_pattern").cast("double")), 3).alias("pattern_frac"),
+            bigint(F.sum(F.col("is_pattern").cast("long"))).alias("n_pattern"),
             F.max("ts").alias("span_ticks"),
         )
         .orderBy("shard")
@@ -257,18 +263,21 @@ _PATTERN_ROWS = (
 # Per-shard summary of the 32-shard SCALE_STREAM — deterministic via
 # SeedSequence(seed).spawn(shard) per-shard RNGs. Pinned by
 # tests/test_generator.py::test_sharded_summary_constants_pinned.
+# n_pattern is the exact integer pattern-event count (the closed-loop
+# controller hits round(N·(1-random_ratio)) exactly — reference
+# eventstream.py:390-402).
 _SHARDED_SUMMARY_ROWS = (
-    (0, 10000, 0.3, 58159), (1, 10000, 0.3, 58125), (2, 10000, 0.3, 58039),
-    (3, 10000, 0.3, 58031), (4, 10000, 0.3, 57736), (5, 10000, 0.3, 58141),
-    (6, 10000, 0.3, 57953), (7, 10000, 0.3, 57912), (8, 10000, 0.3, 58075),
-    (9, 10000, 0.3, 58309), (10, 10000, 0.3, 58092), (11, 10000, 0.3, 58250),
-    (12, 10000, 0.3, 58182), (13, 10000, 0.3, 57925), (14, 10000, 0.3, 58192),
-    (15, 10000, 0.3, 57955), (16, 10000, 0.3, 58292), (17, 10000, 0.3, 57747),
-    (18, 10000, 0.3, 57859), (19, 10000, 0.3, 58235), (20, 10000, 0.3, 57980),
-    (21, 10000, 0.3, 57917), (22, 10000, 0.3, 58125), (23, 10000, 0.3, 57952),
-    (24, 10000, 0.3, 57915), (25, 10000, 0.3, 58004), (26, 10000, 0.3, 58331),
-    (27, 10000, 0.3, 58003), (28, 10000, 0.3, 57824), (29, 10000, 0.3, 57962),
-    (30, 10000, 0.3, 58324), (31, 10000, 0.3, 58004),
+    (0, 10000, 3000, 58159), (1, 10000, 3000, 58125), (2, 10000, 3000, 58039),
+    (3, 10000, 3000, 58031), (4, 10000, 3000, 57736), (5, 10000, 3000, 58141),
+    (6, 10000, 3000, 57953), (7, 10000, 3000, 57912), (8, 10000, 3000, 58075),
+    (9, 10000, 3000, 58309), (10, 10000, 3000, 58092), (11, 10000, 3000, 58250),
+    (12, 10000, 3000, 58182), (13, 10000, 3000, 57925), (14, 10000, 3000, 58192),
+    (15, 10000, 3000, 57955), (16, 10000, 3000, 58292), (17, 10000, 3000, 57747),
+    (18, 10000, 3000, 57859), (19, 10000, 3000, 58235), (20, 10000, 3000, 57980),
+    (21, 10000, 3000, 57917), (22, 10000, 3000, 58125), (23, 10000, 3000, 57952),
+    (24, 10000, 3000, 57915), (25, 10000, 3000, 58004), (26, 10000, 3000, 58331),
+    (27, 10000, 3000, 58003), (28, 10000, 3000, 57824), (29, 10000, 3000, 57962),
+    (30, 10000, 3000, 58324), (31, 10000, 3000, 58004),
 )
 
 ORACLES: dict[str, str] = {
@@ -306,7 +315,7 @@ ORACLES: dict[str, str] = {
     "generate_stream_sharded": (
         "SELECT CAST(c0 AS INTEGER) AS shard,"
         " CAST(c1 AS BIGINT) AS n_events,"
-        " CAST(c2 AS DOUBLE) AS pattern_frac,"
+        " CAST(c2 AS BIGINT) AS n_pattern,"
         " CAST(c3 AS BIGINT) AS span_ticks FROM (VALUES "
         + ", ".join(f"({s}, {n}, {f}, {t})" for s, n, f, t in _SHARDED_SUMMARY_ROWS)
         + ") v(c0, c1, c2, c3) ORDER BY shard"

@@ -51,12 +51,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # oracle parity must not depend on the caller's session config: the
+    # driver hands queries() an externally built SparkSession, so pin
+    # the timezone here (timestamp_ntz→timestamp below is
+    # value-identical only under UTC) rather than only in get_spark.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for field in df.schema.fields:
         type_name = field.dataType.typeName()
         if field.name == "ts" and type_name in ("long", "bigint"):
+            # only the nanosAsLong path (events vintages with
+            # TIMESTAMP(NANOS)) yields a long ts; a long ts on any
+            # other table would be silently mis-scaled by DIV 1000, so
+            # refuse it loudly instead.
+            if name != "events":
+                raise ValueError(
+                    f"table {name!r} has a long 'ts' column; only the "
+                    "events nanosAsLong vintage is expected to — refusing "
+                    "to guess its epoch unit"
+                )
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif type_name == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))

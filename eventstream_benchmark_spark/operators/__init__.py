@@ -13,66 +13,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (~50 of 85 per round), so registry order decides which queries earn a
-# CORRECTNESS row this round.  Round-3 rotation: queries CHANGED this
-# round go first (their fixes must re-land inside the window), then the
-# 35 entries whose only driver row is from round 1 (re-checked so every
-# entry has a row no older than one round), then fresh re-checks of the
-# north-star lane; the entries green in CORRECTNESS_r02.json close the
-# list.
+# (~50 of 118 per round), so registry order decides which queries earn a
+# CORRECTNESS row this round.  Round-4 rotation, strictly by
+# verification staleness: (1) the 25 queries whose only green row is
+# round 1, (2) queries whose oracle changed this round or has never
+# produced a driver row, (3) round-2-green re-checks; the round-3-green
+# pack (all 50 sampled last round) closes the list and cycles back next
+# round.
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
-    # changed this round — must land in the window
-    "agg_stats_moments",       # r01+r02 hash fail -> fixed-decimal strings
-    "generate_patterns_spark",  # r02 driver ERR -> scalar rows
-    "dedup_embedding_cosine",  # all-pairs BNLJ -> LSH-bucketed candidates
-    "funnel_conversion",       # driver-side loop -> one composed plan
-    "ann_ivf_cosine",          # bare persist -> scoped
-    "generate_stream_exact",   # rows-only -> precomputed-constant oracle
-    "streaming_rate_replay",   # new: rate-micro-batch paced replay
-    "dedup_cluster_cc",        # new: connected-components dup clusters
-    "pack_sequences_chunked",  # new: concat-and-chunk sequence packing
-    "text_bigram_surprisal",   # new: bigram-LM perplexity-filter scoring
-    "sample_topn_per_stratum",  # new: fixed-n per-stratum sampling
-    "join_runtime_filtered",   # new: runtime bloom-filter join probe
-    "streaming_foreach_batch_sink",  # new: foreachBatch custom sink
-    "decontaminate_ngram_overlap",  # new: train/eval n-gram leak check
-    "sql_tpch_q4",             # new: EXISTS -> left-semi shape
-    "sql_tpch_q12",            # new: conditional-sum join shape
-    "sql_tpch_q14",            # new: promo revenue ratio shape
-    "scan_orc_roundtrip",      # new: ORC source/sink surface
-    "write_partitioned_pruned",  # new: hive-partitioned write + pruning
-    "streaming_session_window",  # new: incremental session merge
-    "text_repetition_score",   # new: Gopher-style repetition filter
-    "vocab_oov_rate",          # new: top-K vocab coverage
-    "embed_quantize_int8",     # new: int8 quantization + error report
-    "stream_anomaly_mad",      # new: robust MAD outlier detection
-    "scd2_user_state",         # new: SCD-2 intervals from the event log
-    "rollup_hourly_daily",     # new: continuous-aggregate re-rollup
-    "streaming_left_outer_join",  # new: outer-emission state eviction
-    "time_weighted_avg",       # new: TWAP per type
-    "events_gap_fill_locf",    # new: hour spine + LOCF gap fill
-    "join_skew_salted",        # new: manual skew-neutralized join
-    "sample_weighted_hash",    # new: deterministic weighted sampling
-    "udf_surface",             # rows-only -> hash-checked oracle
-    "sql_tpch_q6",             # new: pure scan-filter-agg shape
-    "sql_tpch_q10",            # new: returned-item top-20 shape
-    "sql_tpch_q18",            # new: agg-driven semi-join shape
-    "sql_tpch_q19",            # new: disjunctive-predicate join shape
-    "attribution_linear",      # new: multi-touch bucketed range join
-    "copurchase_part_pairs",   # new: market-basket support counting
-    "graph_triangle_count",    # new: edge-iterator triangle counting
-    "pattern_recovery_scored",  # new: generate -> match -> score vs labels
-    # only driver row is from round 1 (35) — re-check
-    "scan_parquet_project_filter",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "predicate_combo",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_semi_anti",
-    "join_bucketed_colocated",
-    "agg_hash_global",
-    "agg_distinct",
+    # (1) only driver row is from round 1 — three rounds stale
     "agg_skew_salted",
     "agg_percentiles",
     "agg_pivot",
@@ -98,10 +47,57 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "stream_sliding_rate",
     "stream_sessionize",
     "stream_type_drift",
-    # north-star re-checks filling the ~50-entry window (the rest of
-    # the r02-green pack cycles back next round)
+    # (2) oracle changed this round / never exercised by the driver
+    "generate_stream_sharded",  # constant oracle (integer n_pattern) — first driver row
+    "ann_lsh_cosine",          # rows-only -> in-plan recall constant oracle
+    "ann_ivf_cosine",          # rows-only -> in-plan recall constant oracle
+    "multimodal_extract",      # stub -> real BMP decode + constant oracle
+    "multimodal_resize",       # summarized under the BMP media table
+    "multimodal_frame_sample",  # summarized under the BMP media table
+    "text_tfidf_topterms",     # N_docs folded in-plan (one action)
+    "sql_tpch_q7",             # new: bilateral-trade double-nation join
+    "sql_tpch_q8",             # new: market-share 8-table chain
+    "sql_tpch_q9",             # new: product-profit shape (proxy cost)
+    "sql_tpch_q13",            # new: LEFT-JOIN-ON-filter distribution
+    "sql_tpch_q15",            # new: CTE reuse + scalar-max election
+    "sql_tpch_q17",            # new: correlated avg decorrelation
+    "sql_tpch_q21",            # new: EXISTS + NOT EXISTS double corr.
+    "sql_tpch_q22",            # new: scalar avg + anti-join rollup
+    # (3) round-2-green re-checks, filling the rest of the window
+    "join_broadcast_dims",
+    "join_range_interval",
+    "join_asof",
+    "agg_groupby_q1",
+    "sql_tpch_q3",
+    "sql_tpch_q5",
+    "subquery_correlated",
+    "agg_grouping_sets",
+    "win_ranking",
+    "dedup_exact",
+    "scalar_json",
+    "scalar_array",
+    "stream_tumbling_rate",
+    "stream_drift_score",
+    "retention_cohort",
+    "attribution_last_touch",
+    "dedup_exact_text",
+    "dedup_ngram_jaccard",
+    "embed_cosine_topk",
+    "embed_dim_stats",
+    "knn_bruteforce_topk",
+    "sample_hash_split",
+    "text_token_count",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_tokenize_topterms",
+    "pipeline_corpus_prep",
     "dedup_minhash_lsh",
     "pattern_match_fixed",
+    "streaming_replay_tumbling",
+    "streaming_dedup_watermark",
+    "streaming_join_clicks_purchases",
+    "session_window_agg",
 )
 
 

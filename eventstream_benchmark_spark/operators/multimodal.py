@@ -3,15 +3,24 @@
 Treats media as opaque ``binary`` columns with typed metadata and runs
 decode / feature-extraction as Arrow-batched ``mapInPandas`` — the
 real 100 TB shape (schema, partitioning, batch iteration, UDF
-signatures). The container has no image/audio libraries, so the
-decode step is a clearly-marked deterministic stub
-(``_decode_stub``); a real deployment swaps in PIL/ffmpeg inside the
-same batch loop. Rows-only driver check; the checksum math is
-asserted against a NumPy reference in tests.
+signatures). The fixture media lake is synthesized from ``documents``
+as REAL self-describing payloads — 8-bit grayscale BMP images
+(BITMAPFILEHEADER + BITMAPINFOHEADER + palette + padded bottom-up
+pixel rows) and PCM16 RIFF/WAVE audio — whose pixel/sample values
+follow a closed-form rule of (doc_id, position). The decoders parse
+the actual byte format with pure NumPy (magic check, header walk,
+row-padding strip, bottom-up flip / chunk walk to the data block), so
+a decode bug breaks the DuckDB oracle, which recomputes the closed
+form without ever seeing the bytes. Only the video lane keeps an
+honestly-labeled stub (mp4 needs ffmpeg, absent in this container):
+fixed 8-byte ftyp header + deterministic body bytes, decode = header
+skip + byte fold; a real deployment swaps pyav into the same batch
+loop.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -20,70 +29,176 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstream_benchmark_spark.io import load_table
+from eventstream_benchmark_spark.operators._util import bigint
 
-FEATURE_SCHEMA = (
-    "doc_id bigint, media_type string, byte_len bigint, checksum bigint, "
-    "width int, height int, decoder string"
-)
+# fixture-lake sizing rules (mirrored literally in the DuckDB oracles)
+#   image:  w = n_chars % 56 + 8   (8..63),  h = n_chars*3 % 40 + 8 (8..47)
+#   audio:  n_samples = n_chars % 500 + 100
+#   video:  n_body_bytes = n_chars % 2000 + 64
+# unit values:
+#   pixel(i)  = (doc_id*31 + 7*i)  % 256
+#   sample(i) = (doc_id*13 + 11*i) % 65536 - 32768
+#   byte(i)   = (doc_id*17 + 3*i)  % 256
+
+VIDEO_HEADER = b"\x00\x00\x00\x08ftypisom"  # 12-byte fixed stub header
 
 
-def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture stand-in for a media lake table: documents' text bytes
-    as the opaque payload plus typed metadata columns."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.when(F.col("doc_id") % 3 == 0, "image/png")
-        .when(F.col("doc_id") % 3 == 1, "audio/wav")
-        .otherwise("video/mp4")
-        .alias("media_type"),
-        (F.col("n_chars") % 640).cast("int").alias("width"),
-        ((F.col("n_chars") * 3) % 480).cast("int").alias("height"),
+def _bmp_bytes(doc_id: int, w: int, h: int) -> bytes:
+    """A valid 8-bit grayscale BMP: 14-byte file header, 40-byte info
+    header, 256-entry palette, 4-byte-padded bottom-up pixel rows."""
+    import numpy as np
+
+    stride = (w + 3) & ~3
+    off = 14 + 40 + 1024
+    header = b"BM" + struct.pack("<IHHI", off + stride * h, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h, 2835, 2835, 256, 0)
+    palette = bytes(c for g in range(256) for c in (g, g, g, 0))
+    px = ((doc_id * 31 + 7 * np.arange(w * h, dtype=np.int64)) % 256).astype(np.uint8)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = px.reshape(h, w)[::-1]  # stored bottom-up
+    return header + info + palette + rows.tobytes()
+
+
+def _wav_bytes(doc_id: int, n_samples: int) -> bytes:
+    """A valid PCM16 mono RIFF/WAVE file (44-byte canonical header)."""
+    import numpy as np
+
+    samples = (
+        (doc_id * 13 + 11 * np.arange(n_samples, dtype=np.int64)) % 65536 - 32768
+    ).astype("<i2")
+    data = samples.tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
     )
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """STUB decoder: deterministic features from raw bytes.
-
-    Real decode (PIL.Image.open / soundfile / pyav frame sampling) is
-    not available in this container; this stub keeps the byte-level
-    contract (length + rolling checksum) so the Spark plumbing is
-    real and testable end-to-end.
-    """
+def _video_bytes(doc_id: int, n_bytes: int) -> bytes:
     import numpy as np
 
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    return {
-        "byte_len": int(arr.size),
-        "checksum": int((arr.astype(np.int64) * (np.arange(arr.size) % 31 + 1)).sum()),
-    }
+    body = ((doc_id * 17 + 3 * np.arange(n_bytes, dtype=np.int64)) % 256).astype(np.uint8)
+    return VIDEO_HEADER + body.tobytes()
+
+
+def _build_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"doc_id": [], "media_type": [], "payload": [], "width": [], "height": []}
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            if doc_id % 3 == 0:
+                w, h = n_chars % 56 + 8, n_chars * 3 % 40 + 8
+                payload, mt = _bmp_bytes(doc_id, w, h), "image/bmp"
+            elif doc_id % 3 == 1:
+                w = h = 0
+                payload, mt = _wav_bytes(doc_id, n_chars % 500 + 100), "audio/wav"
+            else:
+                w = h = 0
+                payload, mt = _video_bytes(doc_id, n_chars % 2000 + 64), "video/mp4"
+            out["doc_id"].append(doc_id)
+            out["media_type"].append(mt)
+            out["payload"].append(payload)
+            out["width"].append(w)
+            out["height"].append(h)
+        yield pd.DataFrame(out)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture stand-in for a media lake table: one real binary payload
+    per document (BMP / WAV / stub-mp4 by doc_id mod 3) with typed
+    metadata columns. Built Arrow-batched inside the partition — no
+    shuffle, no driver materialization."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.mapInPandas(
+        _build_payload_batches,
+        "doc_id bigint, media_type string, payload binary, width int, height int",
+    )
+
+
+# --------------------------------------------------------------------------
+# decode + feature extraction
+# --------------------------------------------------------------------------
+
+
+def _decode_bmp(buf: bytes):
+    """Parse the actual BMP byte layout: magic, pixel-data offset,
+    dimensions, bpp; strip the 4-byte row padding and flip the
+    bottom-up rows to logical top-down order."""
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    stride = (w * bpp // 8 + 3) & ~3
+    arr = np.frombuffer(buf, dtype=np.uint8, offset=off, count=stride * h)
+    grid = arr.reshape(h, stride)[:, :w][::-1]
+    return w, h, grid
+
+
+def _decode_wav(buf: bytes):
+    """Walk the RIFF chunk list to the data block; no fixed offsets."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos = 12
+    while buf[pos : pos + 4] != b"data":
+        pos += 8 + int.from_bytes(buf[pos + 4 : pos + 8], "little")
+    n = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+    return np.frombuffer(buf, dtype="<i2", offset=pos + 8, count=n // 2)
+
+
+def _extract_one(media_type: str, payload: bytes):
+    import numpy as np
+
+    if media_type == "image/bmp":
+        w, h, grid = _decode_bmp(payload)
+        return "bmp-numpy", w * h, int(grid.astype(np.int64).sum())
+    if media_type == "audio/wav":
+        samples = _decode_wav(payload)
+        return "wav-numpy", int(samples.size), int(samples.astype(np.int64).sum())
+    # mp4: honest stub — skip the fixed header, fold the body bytes
+    body = np.frombuffer(payload, dtype=np.uint8, offset=len(VIDEO_HEADER))
+    return "stub-mp4", int(body.size), int(body.astype(np.int64).sum())
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        feats = pdf["payload"].map(_decode_stub)
+        decoded = [
+            _extract_one(mt, p) for mt, p in zip(pdf["media_type"], pdf["payload"])
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "byte_len": feats.map(lambda f: f["byte_len"]),
-                "checksum": feats.map(lambda f: f["checksum"]),
-                "width": pdf["width"],
-                "height": pdf["height"],
-                "decoder": "stub-v1",
+                "decoder": [d[0] for d in decoded],
+                "n_units": [d[1] for d in decoded],
+                "unit_sum": [d[2] for d in decoded],
             }
         )
 
 
 def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads, then a
-    per-media-type aggregate (so the driver check is small + stable)."""
-    feats = media_table(spark, sf_dir).mapInPandas(_extract_batches, FEATURE_SCHEMA)
-    return feats.groupBy("media_type", "decoder").agg(
-        F.count("*").alias("n"),
-        F.sum("byte_len").alias("total_bytes"),
-        F.sum("checksum").alias("checksum_sum"),
+    """Arrow-batched decode over binary payloads (real BMP/WAV header
+    parsing), then a per-media-type aggregate. Hash-checked: the
+    DuckDB oracle recomputes pixel/sample sums from the closed-form
+    generation rule without touching the bytes, so any decode drift
+    (padding, bottom-up order, chunk offsets) fails the driver check."""
+    feats = media_table(spark, sf_dir).mapInPandas(
+        _extract_batches,
+        "doc_id bigint, media_type string, decoder string, n_units bigint, unit_sum bigint",
+    )
+    return (
+        feats.groupBy("media_type", "decoder")
+        .agg(
+            F.count("*").alias("n"),
+            bigint(F.sum("n_units")).alias("total_units"),
+            bigint(F.sum("unit_sum")).alias("unit_sum_total"),
+        )
+        .orderBy("media_type")
     )
 
 
@@ -91,55 +206,41 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # resize (image path)
 # --------------------------------------------------------------------------
 
-TARGET_W, TARGET_H = 64, 64
-
-
-def _resize_stub(payload: bytes, w: int, h: int) -> tuple[bytes, int]:
-    """STUB resize: nearest-neighbor downsample of the raw byte grid to
-    TARGET_W*TARGET_H bytes (a real deployment decodes with PIL and
-    resizes pixels inside this same batch loop). Deterministic; the
-    output byte budget is fixed so downstream batch sizes are
-    predictable — the property that matters for 100 TB planning."""
-    import numpy as np
-
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    n_out = TARGET_W * TARGET_H
-    if arr.size == 0:
-        return b"\x00" * n_out, 0
-    idx = (np.arange(n_out, dtype=np.int64) * arr.size) // n_out
-    out = arr[idx]
-    return out.tobytes(), int(out.astype(np.int64).sum())
+TARGET_W, TARGET_H = 16, 16
 
 
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     for pdf in batches:
-        resized = [_resize_stub(p, w, h) for p, w, h in
-                   zip(pdf["payload"], pdf["width"], pdf["height"])]
+        sums = []
+        for payload in pdf["payload"]:
+            w, h, grid = _decode_bmp(payload)
+            rr = (np.arange(TARGET_H, dtype=np.int64) * h) // TARGET_H
+            cc = (np.arange(TARGET_W, dtype=np.int64) * w) // TARGET_W
+            out = grid[np.ix_(rr, cc)]
+            sums.append(int(out.astype(np.int64).sum()))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "out_w": TARGET_W,
                 "out_h": TARGET_H,
-                "out_bytes": [len(r[0]) for r in resized],
-                "pixel_sum": [r[1] for r in resized],
+                "pixel_sum": sums,
             }
         )
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-lane resize: filter to image rows (predicate pushes to the
-    scan), Arrow-batched fixed-budget resize, per-partition-friendly
-    row-level output summarized for the driver check."""
-    images = media_table(spark, sf_dir).filter(F.col("media_type") == "image/png")
-    out = images.mapInPandas(
+    """Image-lane nearest-neighbor resize to a fixed TARGET_W×TARGET_H
+    grid on the DECODED pixel matrix (not raw bytes): out[j,i] =
+    px[(j·h)//TH, (i·w)//TW]. Per-image output rows; fixed output
+    budget keeps downstream batch sizes predictable at scale.
+    Hash-checked against the closed-form oracle."""
+    images = media_table(spark, sf_dir).filter(F.col("media_type") == "image/bmp")
+    return images.mapInPandas(
         _resize_batches,
-        "doc_id bigint, out_w int, out_h int, out_bytes bigint, pixel_sum bigint",
-    )
-    return out.agg(
-        F.count("*").alias("n_images"),
-        F.sum("out_bytes").alias("total_out_bytes"),
-        F.sum("pixel_sum").alias("pixel_sum"),
-    )
+        "doc_id bigint, out_w int, out_h int, pixel_sum bigint",
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -158,9 +259,8 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     for pdf in batches:
         rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_checksum": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            splits = np.array_split(arr, FRAMES_PER_VIDEO)
-            for k, frame in enumerate(splits):
+            body = np.frombuffer(payload, dtype=np.uint8, offset=len(VIDEO_HEADER))
+            for k, frame in enumerate(np.array_split(body, FRAMES_PER_VIDEO)):
                 rows["doc_id"].append(doc_id)
                 rows["frame_idx"].append(k)
                 rows["frame_bytes"].append(int(frame.size))
@@ -171,7 +271,9 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-lane frame sampling: one input row fans out to k frame
     rows inside mapInPandas (no shuffle — the fan-out happens within
-    the partition), then a compact per-frame-index aggregate."""
+    the partition), then a compact per-frame-index aggregate.
+    Hash-checked: the oracle reproduces np.array_split's first-parts-
+    get-the-remainder split boundaries in SQL."""
     videos = media_table(spark, sf_dir).filter(F.col("media_type") == "video/mp4")
     frames = videos.mapInPandas(
         _frame_sample_batches,
@@ -181,8 +283,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames.groupBy("frame_idx")
         .agg(
             F.count("*").alias("n_frames"),
-            F.sum("frame_bytes").alias("total_bytes"),
-            F.sum("frame_checksum").alias("checksum_sum"),
+            bigint(F.sum("frame_bytes")).alias("total_bytes"),
+            bigint(F.sum("frame_checksum")).alias("checksum_sum"),
         )
         .orderBy("frame_idx")
     )
@@ -194,4 +296,81 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
-ORACLES: dict[str, str] = {}
+# The oracles never parse bytes: they recompute the closed-form unit
+# values from (doc_id, position) and the sizing rules above, so they
+# independently check that the Spark side both GENERATED and DECODED
+# the real byte formats correctly.
+ORACLES: dict[str, str] = {
+    "multimodal_extract": """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+                                   WHEN 1 THEN 'audio/wav'
+                                   ELSE 'video/mp4' END AS media_type,
+                   CASE doc_id % 3
+                       WHEN 0 THEN (n_chars % 56 + 8) * (n_chars * 3 % 40 + 8)
+                       WHEN 1 THEN n_chars % 500 + 100
+                       ELSE n_chars % 2000 + 64 END AS n_units
+            FROM documents
+        ),
+        u AS (
+            SELECT doc_id, media_type, n_units,
+                   unnest(generate_series(0, n_units - 1)) AS i
+            FROM d
+        ),
+        per_doc AS (
+            SELECT doc_id, media_type, n_units,
+                   sum(CASE media_type
+                       WHEN 'image/bmp' THEN (doc_id * 31 + 7 * i) % 256
+                       WHEN 'audio/wav' THEN (doc_id * 13 + 11 * i) % 65536 - 32768
+                       ELSE (doc_id * 17 + 3 * i) % 256 END) AS unit_sum
+            FROM u GROUP BY 1, 2, 3
+        )
+        SELECT media_type,
+               CASE media_type WHEN 'image/bmp' THEN 'bmp-numpy'
+                               WHEN 'audio/wav' THEN 'wav-numpy'
+                               ELSE 'stub-mp4' END AS decoder,
+               count(*) AS n,
+               CAST(sum(n_units) AS BIGINT) AS total_units,
+               CAST(sum(unit_sum) AS BIGINT) AS unit_sum_total
+        FROM per_doc GROUP BY 1, 2 ORDER BY media_type
+    """,
+    "multimodal_resize": """
+        WITH d AS (
+            SELECT doc_id, n_chars % 56 + 8 AS w, n_chars * 3 % 40 + 8 AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        px AS (
+            SELECT doc_id, w, h, unnest(generate_series(0, 255)) AS k
+            FROM d
+        )
+        SELECT doc_id, 16 AS out_w, 16 AS out_h,
+               CAST(sum((doc_id * 31
+                    + 7 * (((k // 16) * h // 16) * w + ((k % 16) * w // 16)))
+                    % 256) AS BIGINT) AS pixel_sum
+        FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    "multimodal_frame_sample": """
+        WITH d AS (
+            SELECT doc_id, n_chars % 2000 + 64 AS n
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        b AS (
+            SELECT doc_id, n, n // 4 AS q, n % 4 AS r,
+                   unnest(generate_series(0, n - 1)) AS i
+            FROM d
+        ),
+        f AS (
+            SELECT doc_id,
+                   CASE WHEN i < r * (q + 1) THEN i // (q + 1)
+                        ELSE r + (i - r * (q + 1)) // q END AS frame_idx,
+                   (doc_id * 17 + 3 * i) % 256 AS byte_val
+            FROM b
+        )
+        SELECT CAST(frame_idx AS INTEGER) AS frame_idx,
+               count(DISTINCT doc_id) AS n_frames,
+               CAST(count(*) AS BIGINT) AS total_bytes,
+               CAST(sum(byte_val) AS BIGINT) AS checksum_sum
+        FROM f GROUP BY 1 ORDER BY 1
+    """,
+}

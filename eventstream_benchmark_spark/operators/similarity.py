@@ -114,7 +114,13 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed approximate neighbor candidates: 12 sign-bits of
     hyperplane projections → bucket id → per-bucket pair counts with
     verified cosine. One groupBy shuffle; candidate verification stays
-    inside buckets (vs the full quadratic pair join)."""
+    inside buckets (vs the full quadratic pair join).
+
+    Hash-checked: the hyperplanes are plan-time literals, and both
+    engines compute each projection as the same left-to-right fold
+    over the same doubles (Spark ``F.aggregate`` / DuckDB
+    ``list_reduce``), so the sign bits — and hence buckets and pairs —
+    are bit-reproducible cross-engine."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
     bit_cols = []
     for p in range(LSH_PLANES):
@@ -157,22 +163,32 @@ IVF_PROBES = 4
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) centroid table
     against the full scan — no shuffle on the corpus side; argmax via
-    max_by over the per-centroid cosine."""
+    max_by over the per-centroid cosine. The cosine is rounded to 6
+    decimals and ties break toward the lowest cluster id so the
+    assignment is reproducible cross-engine (the DuckDB oracle ranks
+    the same rounded values the same way)."""
     scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "v", "cluster", _cosine(F.col("v"), F.col("cv")).alias("sim")
+        "vec_id", "v", "cluster", r6(_cosine(F.col("v"), F.col("cv"))).alias("sim")
     )
     return scored.groupBy("vec_id").agg(
-        F.max_by("cluster", "sim").alias("cluster"), F.first("v").alias("v")
+        F.max_by(
+            "cluster", F.struct(F.col("sim").alias("s"), (-F.col("cluster")).alias("c"))
+        ).alias("cluster"),
+        F.first("v").alias("v"),
     )
 
 
 def _recompute_centroids(assigned: DataFrame) -> DataFrame:
     """One Lloyd refinement, fully distributed: explode to (cluster,
     dim, value), average per (cluster, dim) — one shuffle keyed on a
-    cluster·dim grid, never on raw vectors — and fold back to arrays."""
+    cluster·dim grid, never on raw vectors — and fold back to arrays.
+    Components are rounded to 9 decimals: partial-sum order differs
+    across partitions (and engines) only below ~1e-14, so the rounded
+    centroid is the stable cross-engine value every downstream cosine
+    sees."""
     by_dim = assigned.select(
         "cluster", F.posexplode("v").alias("dim", "x")
-    ).groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+    ).groupBy("cluster", "dim").agg(F.round(F.avg("x"), 9).alias("m"))
     return by_dim.groupBy("cluster").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.getField("m")
@@ -185,8 +201,11 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF_CLUSTERS vectors) → one distributed Lloyd refinement →
     inverted-file assignment → probe-limited search (each query scores
     only the vectors in its IVF_PROBES nearest clusters ≈ probes/
-    clusters of the corpus). Rows-only (approximate); recall vs the
-    brute-force oracle is asserted in tests.
+    clusters of the corpus). Hash-checked: every ranking decision uses
+    6-decimal-rounded cosines with explicit cluster-id tie-breaks and
+    the Lloyd centroids are rounded to 9 decimals, so the DuckDB
+    oracle replays the identical pipeline stage by stage. Recall vs
+    brute force is additionally asserted in tests.
 
     At 100 TB: centroids stay broadcast-size by construction, the
     corpus is touched by two scans (assign, search) and shuffles only
@@ -207,8 +226,15 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = (
         queries.crossJoin(F.broadcast(refined))
-        .select("q_id", "qv", "cluster", _cosine(F.col("qv"), F.col("cv")).alias("sim"))
-        .withColumn("pr", F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("sim"))))
+        .select(
+            "q_id", "qv", "cluster", r6(_cosine(F.col("qv"), F.col("cv"))).alias("sim")
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cluster"))
+            ),
+        )
         .filter(F.col("pr") <= IVF_PROBES)
         .select("q_id", "qv", "cluster")
     )
@@ -299,6 +325,33 @@ _COS_SQL = (
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 )
 
+
+def _fold_dot(a: str, b: str) -> str:
+    """Left-to-right sequential dot product — DuckDB's ``list_reduce``
+    folds in element order exactly like Spark's ``F.aggregate`` (and
+    adding the 0.0 seed first changes no bits), so the two engines
+    produce the same double bit-for-bit. ``list_dot_product`` makes no
+    such order guarantee, which matters when the value feeds a sign
+    test or an argmax instead of a rounded output column."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " s -> s[1] * s[2]), (acc, x) -> acc + x)"
+    )
+
+
+def _fold_cos(a: str, b: str) -> str:
+    return f"({_fold_dot(a, b)} / (sqrt({_fold_dot(a, a)}) * sqrt({_fold_dot(b, b)})))"
+
+
+def _lsh_bucket_sql(v: str = "v") -> str:
+    """The 12-bit sign-bucket expression over literal hyperplanes —
+    the same literals Spark embeds via ``_hyperplane``."""
+    terms = []
+    for p in range(LSH_PLANES):
+        h = "CAST([" + ", ".join(repr(c) for c in _hyperplane(p)) + "] AS DOUBLE[])"
+        terms.append(f"(CASE WHEN {_fold_dot(v, h)} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
 ORACLES = {
     # generate_series can't reference len(embedding) laterally in DuckDB;
     # the fixture dimensionality is fixed at 64
@@ -349,6 +402,82 @@ ORACLES = {
             SELECT b.vec_id AS q_id, a.vec_id AS vec_id,
                    round({_COS_SQL.replace('a.v, b.v', 'a.v, b.v')}, 6) AS cosine
             FROM e a JOIN e b ON b.vec_id < {KNN_QUERIES} AND a.vec_id <> b.vec_id
+        )
+        SELECT q_id, vec_id, cosine, rk FROM (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                       ORDER BY cosine DESC, vec_id) AS rk
+            FROM scored
+        ) WHERE rk <= {KNN_K}
+    """,
+    "ann_lsh_cosine": f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        bk AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e)
+        SELECT a.bucket AS bucket, a.vec_id AS v1, b.vec_id AS v2,
+               round({_fold_cos('a.v', 'b.v')}, 6) AS cosine
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """,
+    # stage-by-stage replay of the IVF pipeline: seed centroids = first
+    # IVF_CLUSTERS vectors -> rounded-cosine argmax assignment -> one
+    # Lloyd round (9-decimal centroids) -> reassignment -> probe the
+    # IVF_PROBES best clusters per query -> exact top-k on candidates.
+    # Every ranking uses round(cos, 6) with explicit id tie-breaks, so
+    # both engines make identical decisions.
+    "ann_ivf_cosine": f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        seed AS (
+            SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv
+            FROM e WHERE vec_id < {IVF_CLUSTERS}
+        ),
+        a1 AS (
+            SELECT vec_id, v, cluster FROM (
+                SELECT e.vec_id, e.v, s.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round({_fold_cos('e.v', 's.cv')}, 6) DESC,
+                                    s.cluster) AS rn
+                FROM e CROSS JOIN seed s
+            ) WHERE rn = 1
+        ),
+        cd AS (
+            SELECT cluster, i AS dim, round(avg(v[i]), 9) AS m
+            FROM a1, generate_series(1, 64) t(i)
+            GROUP BY 1, 2
+        ),
+        cents AS (
+            SELECT cluster, list(m ORDER BY dim) AS cv FROM cd GROUP BY cluster
+        ),
+        a2 AS (
+            SELECT vec_id, v, cluster FROM (
+                SELECT e.vec_id, e.v, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round({_fold_cos('e.v', 'c.cv')}, 6) DESC,
+                                    c.cluster) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {KNN_QUERIES}
+        ),
+        probe AS (
+            SELECT q_id, qv, cluster FROM (
+                SELECT q.q_id, q.qv, c.cluster,
+                       row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY round({_fold_cos('q.qv', 'c.cv')}, 6) DESC,
+                                    c.cluster) AS pr
+                FROM q CROSS JOIN cents c
+            ) WHERE pr <= {IVF_PROBES}
+        ),
+        scored AS (
+            SELECT p.q_id, a2.vec_id,
+                   round({_fold_cos('p.qv', 'a2.v')}, 6) AS cosine
+            FROM probe p JOIN a2 USING (cluster)
+            WHERE a2.vec_id <> p.q_id
         )
         SELECT q_id, vec_id, cosine, rk FROM (
             SELECT q_id, vec_id, cosine,

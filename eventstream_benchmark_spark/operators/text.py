@@ -181,9 +181,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(N_docs / docfreq). Two shuffles: (doc, term) counts and the
     (lang, term) rollup — the docfreq table is computed once and
     joined back on term (broadcast-size: distinct terms ≪ corpus at
-    any scale with a bounded vocabulary)."""
+    any scale with a bounded vocabulary). N_docs is folded in-plan as
+    a broadcast one-row aggregate (same shape as
+    ``sample_weighted_hash``) so building the plan launches no job and
+    the whole query runs as one action."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar: one lightweight job at plan build
+    n_docs = F.broadcast(docs.agg(F.count("*").alias("n_docs")))
     terms = (
         docs.select("doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("term"))
         .filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
@@ -194,9 +197,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         per_doc.join(doc_len, "doc_id")
         .join(F.broadcast(df_tbl), "term")
+        .crossJoin(n_docs)
         .withColumn(
             "tfidf",
-            (F.col("n") / F.col("len")) * F.log(F.lit(float(n_docs)) / F.col("docfreq")),
+            (F.col("n") / F.col("len"))
+            * F.log(F.col("n_docs").cast("double") / F.col("docfreq")),
         )
     )
     by_lang = scored.groupBy("lang", "term").agg(r4(F.sum("tfidf")).alias("score"))

@@ -312,9 +312,11 @@ def test_pattern_rows_constants_pinned():
 
 def test_sharded_summary_constants_pinned():
     """The generate_stream_sharded oracle is a precomputed VALUES table
-    of per-shard (n, pattern_frac, span) summaries; recompute each
+    of per-shard (n, n_pattern, span) summaries; recompute each
     shard from core's NumPy path (same SeedSequence spawning as the
-    applyInPandas task) so RNG drift fails here first."""
+    applyInPandas task) so RNG drift fails here first. n_pattern is an
+    exact integer count — no rounding-mode dependence (Spark HALF_UP
+    vs Python half-even) can split the test from the driver check."""
     import dataclasses
 
     from eventstream_benchmark_spark.generator.queries import (
@@ -332,6 +334,6 @@ def test_sharded_summary_constants_pinned():
         rng = core.shard_rng(SCALE_STREAM.seed, shard)
         ts, _ty, label = core.build_stream_fast(cfg, types, gaps, rng=rng)
         got.append(
-            (shard, len(ts), round(float(label.mean()), 3), int(ts.max()))
+            (shard, len(ts), int(label.sum()), int(ts.max()))
         )
     assert tuple(got) == _SHARDED_SUMMARY_ROWS

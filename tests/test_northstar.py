@@ -37,34 +37,59 @@ def test_ivf_recall_vs_bruteforce(spark, sf_small):
     assert (approx["rk"] <= KNN_K).all()
 
 
+def test_bmp_wav_codecs_roundtrip():
+    """The pure-NumPy media codecs are real: encode then decode
+    recovers the exact pixel grid / sample vector (exercising row
+    padding, bottom-up storage, and the RIFF chunk walk)."""
+    from eventstream_benchmark_spark.operators.multimodal import (
+        _bmp_bytes,
+        _decode_bmp,
+        _decode_wav,
+        _wav_bytes,
+    )
+
+    for doc_id, w, h in ((3, 13, 9), (42, 8, 8), (99, 63, 47)):
+        buf = _bmp_bytes(doc_id, w, h)
+        dw, dh, grid = _decode_bmp(buf)
+        assert (dw, dh) == (w, h)
+        want = ((doc_id * 31 + 7 * np.arange(w * h, dtype=np.int64)) % 256).reshape(h, w)
+        assert (grid.astype(np.int64) == want).all()
+
+    for doc_id, n in ((4, 100), (77, 599)):
+        samples = _decode_wav(_wav_bytes(doc_id, n))
+        want = (doc_id * 13 + 11 * np.arange(n, dtype=np.int64)) % 65536 - 32768
+        assert (samples.astype(np.int64) == want).all()
+
+
 def test_resize_budget_and_checksum(spark, sf_small):
-    out = multimodal_resize(spark, sf_small).toPandas()
-    imgs = media_table(spark, sf_small).filter("media_type = 'image/png'")
-    rows = imgs.select("payload").toPandas()
-    assert int(out["n_images"].iloc[0]) == len(rows)
-    # fixed output budget: every image resized to exactly W*H bytes
-    assert int(out["total_out_bytes"].iloc[0]) == len(rows) * TARGET_W * TARGET_H
-    # checksum equivalence vs plain NumPy on the same payloads
-    want = 0
-    for payload in rows["payload"]:
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        n_out = TARGET_W * TARGET_H
-        idx = (np.arange(n_out, dtype=np.int64) * arr.size) // n_out
-        want += int(arr[idx].astype(np.int64).sum())
-    assert int(out["pixel_sum"].iloc[0]) == want
+    out = multimodal_resize(spark, sf_small).toPandas().set_index("doc_id")
+    imgs = media_table(spark, sf_small).filter("media_type = 'image/bmp'")
+    meta = imgs.select("doc_id", "width", "height").toPandas()
+    assert len(out) == len(meta)
+    # fixed output budget + NumPy closed-form checksum per image
+    assert (out["out_w"] == TARGET_W).all() and (out["out_h"] == TARGET_H).all()
+    for _, row in meta.iterrows():
+        doc_id, w, h = int(row["doc_id"]), int(row["width"]), int(row["height"])
+        rr = (np.arange(TARGET_H, dtype=np.int64) * h) // TARGET_H
+        cc = (np.arange(TARGET_W, dtype=np.int64) * w) // TARGET_W
+        idx = rr[:, None] * w + cc[None, :]
+        want = int(((doc_id * 31 + 7 * idx) % 256).sum())
+        assert int(out.loc[doc_id, "pixel_sum"]) == want
 
 
 def test_frame_sample_fanout(spark, sf_small):
+    from eventstream_benchmark_spark.operators.multimodal import VIDEO_HEADER
+
     out = multimodal_frame_sample(spark, sf_small).toPandas()
     vids = media_table(spark, sf_small).filter("media_type = 'video/mp4'")
-    n_vids = vids.count()
-    assert list(out["frame_idx"]) == list(range(FRAMES_PER_VIDEO))
-    assert (out["n_frames"] == n_vids).all()
-    # frames partition the payload bytes exactly: sum of frame checksums
-    # per video == full-payload byte sum
     pdf = vids.select("payload").toPandas()
-    want = sum(int(np.frombuffer(p, dtype=np.uint8).astype(np.int64).sum()) for p in pdf["payload"])
-    assert int(out["checksum_sum"].sum()) == want
+    assert list(out["frame_idx"]) == list(range(FRAMES_PER_VIDEO))
+    assert (out["n_frames"] == len(pdf)).all()
+    # frames partition the BODY bytes exactly: frame checksums sum to
+    # the whole-body byte sum, frame sizes sum to the body size
+    bodies = [np.frombuffer(p, dtype=np.uint8, offset=len(VIDEO_HEADER)) for p in pdf["payload"]]
+    assert int(out["checksum_sum"].sum()) == sum(int(b.astype(np.int64).sum()) for b in bodies)
+    assert int(out["total_bytes"].sum()) == sum(int(b.size) for b in bodies)
 
 
 def test_scoped_persists_bounded_and_released(spark, sf_small):
