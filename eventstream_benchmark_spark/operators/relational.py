@@ -823,6 +823,268 @@ def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q7 = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume-shipping shape): bilateral trade between two
+    nations by ship year. The nation dim joins twice under different
+    roles (supplier side / customer side) — both broadcast — and the
+    OR-of-pairs predicate lands as a post-join filter while the two
+    equi-keys still drive hash joins."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(
+        spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    return spark.sql(_TPCH_Q7)
+
+
+_TPCH_Q8 = """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national-market-share shape): one nation's share of
+    regional revenue for a part type, by order year. An 8-table join
+    where nation participates twice (customer-region gate vs supplier
+    attribution) — the longest join chain in the engine; every dim
+    broadcasts, the two fact tables shuffle once each on their join
+    keys."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(
+        spark, sf_dir,
+        ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+    )
+    return spark.sql(_TPCH_Q8)
+
+
+_TPCH_Q9 = """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                   - 0.06 * l_quantity * p_retailprice AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type-profit shape, adapted: the fixture set
+    has no partsupp table, so supply cost is proxied as a fixed margin
+    of p_retailprice — the join topology and measure shape are Q9's).
+    Substring LIKE on p_name prunes the part side before the fact
+    join; profit aggregates per supplier nation × order year."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(
+        spark, sf_dir, ("part", "lineitem", "supplier", "orders", "nation")
+    )
+    return spark.sql(_TPCH_Q9)
+
+
+_TPCH_Q13 = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer-distribution shape): histogram of per-
+    customer order counts, with the filter inside the LEFT JOIN's ON
+    clause (not WHERE — null-extended customers must survive with
+    count 0). Two aggregations: per-customer, then the distribution;
+    the second groupBy's key space is tiny so it collapses map-side."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_TPCH_Q13)
+
+
+_TPCH_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top-supplier shape): the revenue CTE is referenced
+    twice — once as the join input, once inside the scalar max
+    subquery. Revenue is rounded BEFORE the max comparison so both
+    engines elect the same winner even if their double summation
+    orders differ in the last bit."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_TPCH_Q15)
+
+
+_TPCH_Q17 = """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2' AND p_size < 5
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order shape): the correlated scalar
+    subquery (per-part average quantity) decorrelates into an
+    aggregate + equi-join, not a per-row re-execution. The threshold
+    compare is float-safe cross-engine: quantities are whole numbers,
+    so their sums (and hence 0.2·avg) are exact doubles in any
+    summation order."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_TPCH_Q17)
+
+
+_TPCH_Q21 = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n_name = 'NATION_5'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+def sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (waiting-supplier shape, adapted: the fixture
+    lineitem has no commit/receipt dates, so 'late' is proxied by
+    l_returnflag = 'R' — the double-correlated EXISTS / NOT EXISTS
+    structure is Q21's). Catalyst plans the EXISTS as a left-semi and
+    the NOT EXISTS as a left-anti hash join on l_orderkey; the fact
+    table is visited three times but shuffles on the same key each
+    time."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("supplier", "lineitem", "orders", "nation"))
+    return spark.sql(_TPCH_Q21)
+
+
+_TPCH_Q22 = """
+    SELECT cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+        SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
+
+def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global-sales-opportunity shape, adapted: the fixture
+    customer has no phone, so the country-code prefix becomes a
+    nationkey bucket, and since every fixture customer has orders the
+    anti-join excludes customers with URGENT orders instead). Keeps
+    Q22's three-part structure: uncorrelated scalar average, anti-
+    join, and the bucketed rollup."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_TPCH_Q22)
+
+
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an events subset as ORC, read it back with an explicit
     schema, aggregate — the third columnar/row format of the source
@@ -1390,6 +1652,14 @@ QUERIES = {
     "sql_tpch_q10": sql_tpch_q10,
     "sql_tpch_q18": sql_tpch_q18,
     "sql_tpch_q19": sql_tpch_q19,
+    "sql_tpch_q7": sql_tpch_q7,
+    "sql_tpch_q8": sql_tpch_q8,
+    "sql_tpch_q9": sql_tpch_q9,
+    "sql_tpch_q13": sql_tpch_q13,
+    "sql_tpch_q15": sql_tpch_q15,
+    "sql_tpch_q17": sql_tpch_q17,
+    "sql_tpch_q21": sql_tpch_q21,
+    "sql_tpch_q22": sql_tpch_q22,
     "scalar_decimal": scalar_decimal,
     "scalar_map": scalar_map,
     "scalar_conditional": scalar_conditional,
@@ -1622,6 +1892,16 @@ ORACLES = {
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 30)
     """,
+    # q7-q22: Spark and DuckDB run the IDENTICAL SQL text (shared
+    # module constants) — the strongest possible dialect-parity claim
+    "sql_tpch_q7": _TPCH_Q7,
+    "sql_tpch_q8": _TPCH_Q8,
+    "sql_tpch_q9": _TPCH_Q9,
+    "sql_tpch_q13": _TPCH_Q13,
+    "sql_tpch_q15": _TPCH_Q15,
+    "sql_tpch_q17": _TPCH_Q17,
+    "sql_tpch_q21": _TPCH_Q21,
+    "sql_tpch_q22": _TPCH_Q22,
     "agg_percentiles": """
         SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
