@@ -55,6 +55,20 @@ HEAVY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "5"))
 HEAVY = {"dedup_minhash_lsh", "pipeline_corpus_prep", "dedup_cluster_cc",
          "decontaminate_ngram_overlap"}
 
+# single-pass sf1 subset: one per family; the LSH lane is the
+# interesting one (10x exact duplicates make every band bucket hot)
+SF1_QUERIES = (
+    "agg_groupby_q1",
+    "join_broadcast_dims",
+    "join_asof",
+    "win_frame_running",
+    "stream_sessionize",
+    "pattern_match_fixed",
+    "dedup_exact",
+    "text_tfidf_topterms",
+    "dedup_minhash_lsh",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,6 +121,29 @@ def main() -> None:
         # intermediates/broadcasts must not tax the next one's timing
         release_scoped_persists()
         spark.catalog.clearCache()
+
+    # sf1 lane: 10x scale-up synthesized once into /tmp (key-shifted
+    # fact copies over unchanged dims), a single pass over a headline
+    # subset — surfaces skew/scale behavior sf0.1 can't (e.g. the LSH
+    # band join under 10x exact-duplicate buckets). Disable with
+    # SPARK_GRAFT_SF1=0.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from sf_scale_up import ensure_scaled_dir
+
+        t0 = time.perf_counter()
+        sf1_dir = ensure_scaled_dir(spark, src=sf_dir, copies=10)
+        extras["sf1_build_sec"] = round(time.perf_counter() - t0, 3)
+        for name in SF1_QUERIES:
+            t0 = time.perf_counter()
+            n = queries[name](spark, sf1_dir).count()
+            extras[f"sf1_{name}"] = round(time.perf_counter() - t0, 3)
+            extras[f"sf1_{name}_rows"] = n
+            release_scoped_persists()
+            spark.catalog.clearCache()
+        extras["sf1_total"] = round(
+            sum(v for k, v in extras.items()
+                if k.startswith("sf1_") and not k.endswith(("_rows", "_sec"))), 3
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -63,6 +63,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "sql_tpch_q17",            # new: correlated avg decorrelation
     "sql_tpch_q21",            # new: EXISTS + NOT EXISTS double corr.
     "sql_tpch_q22",            # new: scalar avg + anti-join rollup
+    "docs_chunk_overlap",      # new: sliding-window context chunking
+    "corpus_mix_rebalance",    # new: source-mixture reweighting
     # (3) round-2-green re-checks, filling the rest of the window
     "join_broadcast_dims",
     "join_range_interval",

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from eventstream_benchmark_spark.io import load_table
 from eventstream_benchmark_spark.operators import dedup, text
-from eventstream_benchmark_spark.operators._util import bigint, r4
+from eventstream_benchmark_spark.operators._util import bigint, r4, r6
 
 QUALITY_THRESHOLD = 0.55
 
@@ -66,8 +66,46 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture reweighting: per-source token mass, its share of
+    the corpus, and the deterministic downsampling rate that equalizes
+    token mass across sources (rate = min(1, target/share) — the
+    data-mixing step before a pretraining run; heavier sources get
+    sampled down, lighter ones pass through whole).
+
+    One scan; the per-source aggregate is tiny at any corpus size, so
+    the grand totals fold in via a broadcast one-row cross join (the
+    in-plan scalar pattern — no driver-side count, no second pass
+    over the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("n_tokens"),
+    )
+    totals = F.broadcast(
+        per_source.agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count("*").alias("n_sources"),
+        )
+    )
+    share = F.col("n_tokens") / F.col("total_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    return (
+        per_source.crossJoin(totals)
+        .select(
+            "source",
+            bigint(F.col("n_docs")).alias("n_docs"),
+            bigint(F.col("n_tokens")).alias("n_tokens"),
+            r6(share).alias("token_share"),
+            r6(F.least(F.lit(1.0), target / share)).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "pipeline_corpus_prep": pipeline_corpus_prep,
+    "corpus_mix_rebalance": corpus_mix_rebalance,
 }
 
 ORACLES = {
@@ -96,5 +134,23 @@ ORACLES = {
         WHERE quality >= {QUALITY_THRESHOLD}
           AND doc_id NOT IN (SELECT doc_id FROM dup_ids)
         GROUP BY lang ORDER BY lang
+    """,
+    "corpus_mix_rebalance": """
+        WITH per_source AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        totals AS (
+            SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources
+            FROM per_source
+        )
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens * 1.0 / total_tokens, 6) AS token_share,
+               round(least(1.0,
+                     (1.0 / n_sources) / (n_tokens * 1.0 / total_tokens)), 6)
+                   AS sample_rate
+        FROM per_source, totals ORDER BY source
     """,
 }

@@ -487,7 +487,47 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_LEN = 64
+CHUNK_STRIDE = 48
+
+
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context windows over each document's token stream
+    (CHUNK_LEN tokens every CHUNK_STRIDE — the sliding-window chunking
+    a RAG/pretraining pipeline runs before embedding or packing).
+    Entirely array expressions: sequence → explode fans each doc out
+    to its chunk starts inside the partition (no shuffle), slice takes
+    the window. Short final windows are kept, matching the usual
+    keep-the-tail chunker. One scan; output rows ≈ tokens/stride."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    based = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((F.col("n") - CHUNK_LEN) / F.lit(float(CHUNK_STRIDE))) + 1).cast("long"),
+    )
+    chunks = based.select(
+        "doc_id", "toks", "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            bigint(start).alias("start_tok"),
+            bigint(F.least(F.lit(CHUNK_LEN), F.col("n") - start)).alias("chunk_tok_len"),
+            F.element_at("toks", (start + 1).cast("int")).alias("first_term"),
+            F.element_at(
+                "toks", F.least(F.col("n"), start + CHUNK_LEN).cast("int")
+            ).alias("last_term"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 QUERIES = {
+    "docs_chunk_overlap": docs_chunk_overlap,
     "sample_hash_split": sample_hash_split,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "text_repetition_score": text_repetition_score,
@@ -516,6 +556,30 @@ def _marker_score_sql(lang: str) -> str:
 
 
 ORACLES = {
+    "docs_chunk_overlap": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                   len(string_split(lower(text), ' ')) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(0,
+                       CAST(greatest(1,
+                           ceil((n - {CHUNK_LEN}) / {CHUNK_STRIDE}.0) + 1)
+                       AS BIGINT) - 1)) AS chunk_idx
+            FROM d
+        )
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+               CAST(least({CHUNK_LEN}, n - chunk_idx * {CHUNK_STRIDE})
+                   AS BIGINT) AS chunk_tok_len,
+               toks[CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INTEGER)]
+                   AS first_term,
+               toks[CAST(least(n, chunk_idx * {CHUNK_STRIDE} + {CHUNK_LEN})
+                   AS INTEGER)] AS last_term
+        FROM c ORDER BY doc_id, chunk_idx
+    """,
     "sample_weighted_hash": f"""
         WITH mx AS (SELECT max(n_chars) AS mx FROM documents)
         SELECT lang, count(*) AS n_kept,
