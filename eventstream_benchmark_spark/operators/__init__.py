@@ -65,6 +65,9 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "sql_tpch_q22",            # new: scalar avg + anti-join rollup
     "docs_chunk_overlap",      # new: sliding-window context chunking
     "corpus_mix_rebalance",    # new: source-mixture reweighting
+    "graph_pagerank",          # new: 3-iteration numeric iteration
+    "join_full_outer",         # new: reconciliation full outer
+    "reshape_unpivot",         # new: stack/melt inverse of pivot
     # (3) round-2-green re-checks, filling the rest of the window
     "join_broadcast_dims",
     "join_range_interval",

@@ -104,9 +104,77 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 3
+PAGERANK_DAMP = 0.85
+PAGERANK_TOPK = 20
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85) over the thresholded
+    co-purchase graph — the iterative NUMERIC companion to
+    ``dedup_cluster_cc``'s iterative label propagation. Each round is
+    one equi-join (ranks onto directed edges) + one groupBy(dst) sum —
+    shuffling only (node, rank) pairs, never the corpus; the
+    degree-annotated edge list is persisted once and reused by all
+    rounds. N and the uniform seed rank fold in-plan via a broadcast
+    one-row count (no driver-side .count()).
+
+    Hash-checked: scores are rounded to 6 decimals only at the output
+    boundary; per-node contribution sums differ across engines by
+    ~1e-16 which three damped iterations cannot amplify past the
+    rounding guard, and the top-k orders by (rounded score, node id)
+    so both engines cut the same 20 rows. No dangling nodes exist by
+    construction (every vertex comes from an edge)."""
+    release_scoped_persists()
+    li = load_table(spark, sf_dir, "lineitem")
+    e = _copurchase_edges(li).filter(
+        F.col("n_orders") >= TRIANGLE_MIN_ORDERS
+    ).select("p1", "p2")
+    # undirected → both directions; annotate each src with its degree
+    un = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
+        e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    deg = un.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = scoped_persist(un.join(deg, "src"))
+
+    nodes = un.select(F.col("src").alias("v")).distinct()
+    n_nodes = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    ranks = nodes.crossJoin(n_nodes).select(
+        "v", "n", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["v"])
+            .select("dst", "n", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst", "n")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("v"),
+            "n",
+            (
+                (1.0 - PAGERANK_DAMP) / F.col("n")
+                + PAGERANK_DAMP * F.col("in_mass")
+            ).alias("rank"),
+        )
+    from pyspark.sql import Window as W
+
+    scored = ranks.select("v", F.round("rank", 6).alias("score"))
+    # global top-k via TakeOrderedAndProject (distributed heap merge);
+    # the rank column's window then runs over ≤ TOPK rows, never the
+    # full node set
+    top = scored.orderBy(F.desc("score"), F.asc("v")).limit(PAGERANK_TOPK)
+    w = W.orderBy(F.desc("score"), F.asc("v"))
+    return (
+        top.withColumn("rk", bigint(F.row_number().over(w)))
+        .select(bigint(F.col("v")).alias("v"), "score", "rk")
+    )
+
+
 QUERIES = {
     "copurchase_part_pairs": copurchase_part_pairs,
     "graph_triangle_count": graph_triangle_count,
+    "graph_pagerank": graph_pagerank,
 }
 
 _EDGES_CTE = """
@@ -120,7 +188,41 @@ _EDGES_CTE = """
     )
 """
 
+def _pagerank_sql() -> str:
+    """The 3-iteration PageRank recurrence as chained CTEs — the exact
+    per-round algebra the Spark loop builds."""
+    iters = "".join(
+        f"""
+        r{k + 1} AS (
+            SELECT dd.dst AS v, nn.n,
+                   (1.0 - {PAGERANK_DAMP}) / nn.n
+                   + {PAGERANK_DAMP} * sum(r{k}.rank / dd.deg) AS rank
+            FROM dedges dd JOIN r{k} ON dd.src = r{k}.v
+            CROSS JOIN ncount nn
+            GROUP BY dd.dst, nn.n
+        ),"""
+        for k in range(PAGERANK_ITERS)
+    )
+    return f"""
+        WITH {_EDGES_CTE},
+        e AS (SELECT p1, p2 FROM edges WHERE n_orders >= {TRIANGLE_MIN_ORDERS}),
+        un AS (SELECT p1 AS src, p2 AS dst FROM e
+               UNION ALL SELECT p2, p1 FROM e),
+        deg AS (SELECT src, count(*) AS deg FROM un GROUP BY src),
+        dedges AS (SELECT un.src, un.dst, deg.deg FROM un JOIN deg USING (src)),
+        nodes AS (SELECT DISTINCT src AS v FROM un),
+        ncount AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT v, n, 1.0 / n AS rank FROM nodes CROSS JOIN ncount),
+        {iters.rstrip(',')}
+        SELECT CAST(v AS BIGINT) AS v, round(rank, 6) AS score,
+               row_number() OVER (ORDER BY round(rank, 6) DESC, v) AS rk
+        FROM r{PAGERANK_ITERS}
+        ORDER BY score DESC, v LIMIT {PAGERANK_TOPK}
+    """
+
+
 ORACLES = {
+    "graph_pagerank": _pagerank_sql(),
     "copurchase_part_pairs": f"""
         WITH {_EDGES_CTE}
         SELECT p1, p2, n_orders FROM edges

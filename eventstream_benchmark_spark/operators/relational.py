@@ -182,6 +182,63 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join between two derived key sets with disjoint
+    regions on both sides (event users vs customers with recent
+    orders): counts of matched / left-only / right-only rows per
+    match class. Both sides aggregate BEFORE the join, so the outer
+    join runs on two small key tables — the scale-correct order for
+    reconciliation-style full outers (joining facts raw and then
+    aggregating would shuffle the full corpus)."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    ev_users = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("n_events")
+    )
+    ord_custs = orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).groupBy(F.col("o_custkey").alias("key")).agg(F.count("*").alias("n_orders"))
+    joined = ev_users.join(ord_custs, "key", "full_outer")
+    match_class = (
+        F.when(F.col("n_events").isNull(), "order_only")
+        .when(F.col("n_orders").isNull(), "event_only")
+        .otherwise("both")
+    )
+    return (
+        joined.groupBy(match_class.alias("match_class"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            bigint(F.sum(F.coalesce("n_events", F.lit(0)))).alias("n_events"),
+            bigint(F.sum(F.coalesce("n_orders", F.lit(0)))).alias("n_orders"),
+        )
+        .orderBy("match_class")
+    )
+
+
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): lineitem's three measure columns turn into
+    (measure, value) rows via ``stack`` — the inverse of
+    ``agg_pivot``. The expression is a per-row flat-map inside the
+    scan (no shuffle, no Python); the only exchange is the final tiny
+    per-measure aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, value)"
+        ),
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count("*").alias("n"),
+            r2(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
 # --------------------------------------------------------------------------
 # B7 — semi / anti joins
 # --------------------------------------------------------------------------
@@ -1621,6 +1678,8 @@ QUERIES = {
     "join_inner_equi": join_inner_equi,
     "join_broadcast_dims": join_broadcast_dims,
     "join_left_outer": join_left_outer,
+    "join_full_outer": join_full_outer,
+    "reshape_unpivot": reshape_unpivot,
     "join_semi_anti": join_semi_anti,
     "join_range_interval": join_range_interval,
     "join_asof": join_asof,
@@ -2037,6 +2096,39 @@ ORACLES = {
         UNION ALL
         SELECT 'without_orders' AS kind, count(*) AS n_customers
         FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "join_full_outer": """
+        WITH ev AS (
+            SELECT user_id AS key, count(*) AS n_events
+            FROM events GROUP BY 1
+        ),
+        oc AS (
+            SELECT o_custkey AS key, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+            GROUP BY 1
+        )
+        SELECT CASE WHEN n_events IS NULL THEN 'order_only'
+                    WHEN n_orders IS NULL THEN 'event_only'
+                    ELSE 'both' END AS match_class,
+               count(*) AS n_keys,
+               CAST(sum(coalesce(n_events, 0)) AS BIGINT) AS n_events,
+               CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders
+        FROM ev FULL OUTER JOIN oc USING (key)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "reshape_unpivot": """
+        WITH long AS (
+            SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        )
+        SELECT l_returnflag, measure, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM long GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "join_range_interval": """
         SELECT e1.user_id AS user_id, count(*) AS n_pairs

@@ -353,3 +353,56 @@ def test_tfidf_builds_lazily_one_action(spark, sf_small):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert df.count() > 0
+
+
+def test_tpch_q17_correlated_avg_decorrelates(spark, sf_small):
+    """The per-part avg-quantity subquery must plan as one aggregate
+    joined back on p_partkey — never a per-row re-execution."""
+    plan = _plan(spark, sf_small, "sql_tpch_q17")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_q21_exists_pair_plans_as_semi_plus_anti(spark, sf_small):
+    """EXISTS -> left-semi, NOT EXISTS -> left-anti, both hash joins on
+    l_orderkey; the triple fact visit shuffles on one key, no
+    nested-loop correlation survives."""
+    plan = _plan(spark, sf_small, "sql_tpch_q21")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_tpch_q8_all_dims_broadcast(spark, sf_small):
+    """The 8-table chain: every dim (part, supplier, customer, both
+    nation roles, region) rides a broadcast; only the two facts
+    shuffle."""
+    plan = _plan(spark, sf_small, "sql_tpch_q8")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_tpch_q13_filter_stays_in_join_condition(spark, sf_small):
+    """The priority filter must ride the LEFT JOIN's ON clause (a
+    WHERE would silently drop the zero-order customers the
+    distribution exists to count)."""
+    plan = _plan(spark, sf_small, "sql_tpch_q13")
+    assert "LeftOuter" in plan
+    # two aggregation levels: per-customer, then the distribution
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pagerank_rounds_are_equi_joins(spark, sf_small):
+    """Each PageRank round must be an equi-join of ranks onto the
+    persisted degree-annotated edge list plus one (dst) aggregate —
+    no nested loop, no cartesian, and the only cross joins are the
+    broadcast one-row N folds."""
+    plan = _plan(spark, sf_small, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    # one-row N-count cross joins only: seed ranks + (reused) scans
+    assert n_bnlj == plan.count("Join type: Cross")
+    assert "InMemoryTableScan" in plan  # edges persisted, reused per round
