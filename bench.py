@@ -67,6 +67,10 @@ SF1_QUERIES = (
     "dedup_exact",
     "text_tfidf_topterms",
     "dedup_minhash_lsh",
+    # the mitigation twin: exact-dedup-first collapses the 10x copies
+    # before MinHash — its sf1 delta vs dedup_minhash_lsh is the
+    # measured value of the pipeline ordering
+    "pipeline_dedup_ordered",
 )
 
 

@@ -68,6 +68,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "graph_pagerank",          # new: 3-iteration numeric iteration
     "join_full_outer",         # new: reconciliation full outer
     "reshape_unpivot",         # new: stack/melt inverse of pivot
+    "pipeline_dedup_ordered",  # new: exact-then-near dedup funnel
     # (3) round-2-green re-checks, filling the rest of the window
     "join_broadcast_dims",
     "join_range_interval",

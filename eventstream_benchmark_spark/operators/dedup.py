@@ -81,7 +81,13 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline; identical plans share one cache entry. Registered with the
     scoped-persist registry so the next query releases it.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return _shingle_table(load_table(spark, sf_dir, "documents"))
+
+
+def _shingle_table(docs: DataFrame) -> DataFrame:
+    """``_doc_shingles`` over an arbitrary (doc_id, text) frame — the
+    parameterized entry composed pipelines use (e.g. MinHash after an
+    exact-dedup stage has already collapsed identical texts)."""
     return scoped_persist(
         docs.filter(F.size(F.split(F.lower("text"), " ")) >= SHINGLE_K)
         .select("doc_id", _shingles(F.col("text")).alias("shingles"))
@@ -209,6 +215,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     release_scoped_persists()
     sh = _doc_shingles(spark, sf_dir)
+    return _minhash_pairs(sh)
+
+
+def _minhash_pairs(sh: DataFrame) -> DataFrame:
+    """The LSH candidate-generation + exact-verify chain over a
+    prepared shingle table — shared by ``dedup_minhash_lsh`` (whole
+    corpus) and ``pipeline_dedup_ordered`` (exact-dedup survivors)."""
     # persist the signature table: referenced once per band below, and
     # the barrier keeps the signature aggregate from being re-run 32x
     sig = scoped_persist(_minhash_signatures(sh))
@@ -465,6 +478,13 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_cc": dedup_cluster_cc,
 }
+
+def _pairs_sql(source: str = "documents") -> str:
+    """The all-pairs verified-Jaccard oracle shape, parameterized over
+    its source relation (the composed pipeline runs it on exact-dedup
+    survivors instead of the raw table)."""
+    return _PAIRS_SQL.replace("FROM documents\n", f"FROM {source}\n")
+
 
 _PAIRS_SQL = f"""
     WITH toks AS (

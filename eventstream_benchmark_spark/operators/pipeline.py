@@ -103,9 +103,57 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_dedup_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-correct dedup ordering, composed end to end: exact
+    dedup FIRST (linear hash-groupBy collapses identical copies —
+    keep-first by doc_id), MinHash-LSH near-dup detection only on the
+    survivors. On a duplicate-flooded corpus (10-way copies in the sf1
+    lane, crawl data at 100 TB) this is the difference between hot LSH
+    buckets quadratic in copy count and buckets that never see an
+    identical pair. Output is the funnel: docs surviving each stage.
+
+    The exact stage hashes the FULL normalized text (true identity,
+    not the prefix heuristic `dedup_exact_text` demos): on the fixture
+    corpus it passes everything through and the near stage does the
+    work; on a duplicate-flooded corpus (sf1 lane) it collapses the
+    N-way copies and the near stage sees each text once — the funnel
+    shows which regime the data is in.
+
+    One lazy plan: the three stage counts are 1-row aggregates unioned
+    together — no driver-side .count() loop (the round-2 funnel
+    lesson)."""
+    from eventstream_benchmark_spark.operators.dedup import (
+        _minhash_pairs,
+        _shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.lower("text"))
+    keepers = (
+        docs.select(key.alias("k"), "doc_id")
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(keepers, "doc_id", "left_semi")
+    pairs = _minhash_pairs(_shingle_table(survivors))
+    dropped = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    near_kept = survivors.join(F.broadcast(dropped), "doc_id", "left_anti")
+    stage = lambda name, df: df.agg(bigint(F.count("*")).alias("n_docs")).select(  # noqa: E731
+        F.lit(name).alias("stage"), "n_docs"
+    )
+    return (
+        stage("1_raw", docs)
+        .unionAll(stage("2_after_exact", survivors))
+        .unionAll(stage("3_after_near", near_kept))
+        .orderBy("stage")
+    )
+
+
 QUERIES = {
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "corpus_mix_rebalance": corpus_mix_rebalance,
+    "pipeline_dedup_ordered": pipeline_dedup_ordered,
 }
 
 ORACLES = {
@@ -152,5 +200,20 @@ ORACLES = {
                      (1.0 / n_sources) / (n_tokens * 1.0 / total_tokens)), 6)
                    AS sample_rate
         FROM per_source, totals ORDER BY source
+    """,
+    "pipeline_dedup_ordered": f"""
+        WITH keepers AS (
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(lower(text))
+        ),
+        surv AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+        dropped AS (SELECT DISTINCT d2 AS doc_id FROM ({dedup._pairs_sql('surv')}) p)
+        SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        UNION ALL
+        SELECT '2_after_exact', CAST(count(*) AS BIGINT) FROM surv
+        UNION ALL
+        SELECT '3_after_near', CAST(count(*) AS BIGINT) FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        ORDER BY stage
     """,
 }
