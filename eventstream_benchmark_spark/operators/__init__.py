@@ -69,6 +69,10 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "join_full_outer",         # new: reconciliation full outer
     "reshape_unpivot",         # new: stack/melt inverse of pivot
     "pipeline_dedup_ordered",  # new: exact-then-near dedup funnel
+    "sql_tpch_q2",             # new: min-cost-supplier (derived partsupp)
+    "sql_tpch_q11",            # new: important-stock HAVING subquery
+    "sql_tpch_q16",            # new: NOT IN null-aware anti join
+    "sql_tpch_q20",            # new: two-column correlated decorrelation
     # (3) round-2-green re-checks, filling the rest of the window
     "join_broadcast_dims",
     "join_range_interval",

@@ -1142,6 +1142,150 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q22)
 
 
+# The fixture set ships no partsupp table, so the four queries that
+# need one (q2/q11/q16/q20) run over a DERIVED partsupp: 4 suppliers
+# per part with integer-arithmetic keys/quantities/costs, computed
+# from part × supplier-count inside the query itself. Pure integer
+# expressions → bit-identical in Spark and DuckDB, and the supplier
+# count folds in-plan (no literal tied to one scale factor).
+_PARTSUPP_CTE = """
+    partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               CAST((p_partkey * 7 + i * 13) % ns.n AS INTEGER) AS ps_suppkey,
+               CAST((p_partkey * 13 + i * 7) % 9999 + 1 AS INTEGER)
+                   AS ps_availqty,
+               CAST((p_partkey * 31 + i * 17) % 90000 AS DOUBLE) / 100.0 + 1.0
+                   AS ps_supplycost
+        FROM part CROSS JOIN (SELECT count(*) AS n FROM supplier) ns
+        CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i)
+    )
+"""
+
+_TPCH_Q2 = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey,
+           p_type, round(ps_supplycost, 2) AS supplycost
+    FROM part
+    JOIN partsupp ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size BETWEEN 10 AND 15 AND p_type = 'LARGE' AND r_name = 'ASIA'
+      AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA'
+      )
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+"""
+
+
+def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost-supplier shape) over the derived
+    partsupp: the correlated min-supplycost subquery decorrelates into
+    a per-part aggregate joined back on (partkey, cost). The cost
+    equality compare is exact: supplycost is integer-derived
+    (k/100 + 1), so both engines compute the identical double."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("part", "supplier", "nation", "region"))
+    return spark.sql(_TPCH_Q2)
+
+
+_TPCH_Q11 = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 2) AS value
+    FROM partsupp
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY ps_partkey
+    HAVING sum(ps_supplycost * ps_availqty) > (
+        SELECT sum(ps_supplycost * ps_availqty) * 0.005
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    )
+    ORDER BY value DESC, ps_partkey
+"""
+
+
+def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important-stock shape): per-part inventory value for
+    one nation's suppliers, kept when above a fraction of the nation
+    total — the HAVING threshold is an uncorrelated scalar subquery
+    (one extra aggregate, computed once, broadcast into the filter)."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("part", "supplier", "nation"))
+    return spark.sql(_TPCH_Q11)
+
+
+_TPCH_Q16 = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#3' AND p_size IN (1, 5, 9, 14, 23)
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier-relationship shape): distinct
+    supplier counts per (brand, type, size) with a NOT IN supplier
+    exclusion (negative balance stands in for the complaints filter) —
+    the NOT IN plans as a null-aware anti join against a tiny side."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("part", "supplier"))
+    return spark.sql(_TPCH_Q16)
+
+
+_TPCH_Q20 = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_4'
+      AND s_suppkey IN (
+          SELECT ps_suppkey FROM partsupp
+          WHERE ps_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+          )
+          AND ps_availqty > (
+              SELECT 0.5 * coalesce(sum(l_quantity), 0)
+              FROM lineitem
+              WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+          )
+      )
+    ORDER BY s_name
+"""
+
+
+def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential-part-promotion shape): the deepest
+    subquery nesting in the suite — an IN over partsupp whose filter
+    is a TWO-COLUMN correlated scalar aggregate against lineitem
+    (shipped quantity per (part, supplier)). Catalyst decorrelates to
+    an aggregate joined on both keys; the 0.5·sum threshold compare is
+    exact because quantities are whole numbers."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("part", "supplier", "nation", "lineitem"))
+    return spark.sql(_TPCH_Q20)
+
+
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an events subset as ORC, read it back with an explicit
     schema, aggregate — the third columnar/row format of the source
@@ -1719,6 +1863,10 @@ QUERIES = {
     "sql_tpch_q17": sql_tpch_q17,
     "sql_tpch_q21": sql_tpch_q21,
     "sql_tpch_q22": sql_tpch_q22,
+    "sql_tpch_q2": sql_tpch_q2,
+    "sql_tpch_q11": sql_tpch_q11,
+    "sql_tpch_q16": sql_tpch_q16,
+    "sql_tpch_q20": sql_tpch_q20,
     "scalar_decimal": scalar_decimal,
     "scalar_map": scalar_map,
     "scalar_conditional": scalar_conditional,
@@ -1961,6 +2109,10 @@ ORACLES = {
     "sql_tpch_q17": _TPCH_Q17,
     "sql_tpch_q21": _TPCH_Q21,
     "sql_tpch_q22": _TPCH_Q22,
+    "sql_tpch_q2": _TPCH_Q2,
+    "sql_tpch_q11": _TPCH_Q11,
+    "sql_tpch_q16": _TPCH_Q16,
+    "sql_tpch_q20": _TPCH_Q20,
     "agg_percentiles": """
         SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
