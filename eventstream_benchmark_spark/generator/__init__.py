@@ -9,6 +9,10 @@ Public API (mirrors the reference surface, Spark-first):
 - :func:`stream_df_sharded` — the parallel 100 TB path.
 - :func:`stream_df_cached` — A7 config-hash materialization.
 - :func:`to_numpy` / :func:`write_csv` / :func:`stream_iter` — A9-A11 export surface.
+- :mod:`compat` — drop-in ``generate_patterns`` / ``PatternSet`` /
+  ``EventStream`` with the reference's exact signatures and defaults
+  (bit-identical output in exact mode); a reference user switches by
+  changing one import.
 """
 
 from eventstream_benchmark_spark.generator.config import (

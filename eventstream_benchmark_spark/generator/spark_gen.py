@@ -105,9 +105,10 @@ def stream_df_exact(spark: SparkSession, pcfg: PatternConfig, scfg: StreamConfig
 
 def stream_df_sharded(
     spark: SparkSession,
-    pcfg: PatternConfig,
+    pcfg: PatternConfig | None,
     scfg: StreamConfig,
     n_shards: int = 32,
+    pattern_arrays: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Scale-mode stream: ``n_shards`` independent sub-streams, each a
     sequential NumPy generation inside one ``applyInPandas`` task.
@@ -118,7 +119,10 @@ def stream_df_sharded(
     ``[shard * ceil(N/S), ...)`` so (shard, event_id) is a total order
     aligned with each shard's timeline.
     """
-    types, gaps = core.build_patterns(pcfg)
+    if pattern_arrays is not None:
+        types, gaps = pattern_arrays  # compat facade: user-supplied PatternSet
+    else:
+        types, gaps = core.build_patterns(pcfg)
     sizes = core.shard_sizes(scfg.total_events, n_shards)
     stride = -(-scfg.total_events // n_shards)  # ceil
     cfg = scfg

@@ -337,3 +337,67 @@ def test_sharded_summary_constants_pinned():
             (shard, len(ts), int(label.sum()), int(ts.max()))
         )
     assert tuple(got) == _SHARDED_SUMMARY_ROWS
+
+
+def test_compat_facade_bit_equal(golden, tmp_path):
+    """The drop-in facade (compat.generate_patterns / compat.EventStream,
+    reference signatures and defaults) reproduces the reference
+    bit-for-bit through the same call shape a reference user writes —
+    including to_numpy, the CSV format, and the stream() iterator —
+    with no SparkSession attached."""
+    from eventstream_benchmark_spark.generator import compat
+
+    ref_pats, ref_stream = golden
+    pats = compat.generate_patterns(
+        n_patterns=8, pattern_length=10, n_types=6,
+        gap_dist="uniform", gap_low=3, gap_high=9, seed=137,
+    )
+    np.testing.assert_array_equal(pats.types, ref_pats.types)
+    np.testing.assert_array_equal(pats.gaps, ref_pats.gaps)
+    assert (pats.n_patterns, pats.length, len(pats)) == (8, 10, 8)
+
+    es = compat.EventStream(
+        patterns=pats, n_types=6, total_events=40_000, random_ratio=0.7,
+        seed=2025, pattern_jitter="uniform", pattern_jitter_amount=2,
+        rand_interval_dist="poisson", rand_interval_base=6,
+        rand_interval_low=None, rand_interval_high=None,
+        rand_jitter="uniform", rand_jitter_amount=1,
+        density_mode="sin", density_period=8000, density_amp=0.6,
+        density_base_rate=1.0, cache_dir=None,
+    )
+    arr = es.to_numpy()
+    np.testing.assert_array_equal(arr[:, 0], ref_stream.timestamps)
+    np.testing.assert_array_equal(arr[:, 1], ref_stream.types)
+    np.testing.assert_array_equal(arr[:, 2], ref_stream.is_pattern.astype(np.int64))
+    first = next(es.stream())
+    assert first == (int(ref_stream.timestamps[0]), int(ref_stream.types[0]),
+                     bool(ref_stream.is_pattern[0]))
+    out = tmp_path / "compat.csv"
+    es.to_csv(str(out))
+    lines = out.read_text().splitlines()
+    assert lines[0] == "timestamp,event_type,is_pattern"
+    assert len(lines) == 40_001
+
+
+def test_compat_sharded_df(spark):
+    """Sharded compat mode: DataFrame surface + parquet config cache."""
+    import tempfile
+
+    from eventstream_benchmark_spark.generator import compat
+
+    pats = compat.generate_patterns(
+        n_patterns=4, pattern_length=5, n_types=4, seed=11
+    )
+    cache = tempfile.mkdtemp(prefix="esb_compat_cache_")
+    es = compat.EventStream(
+        patterns=pats, n_types=4, total_events=8_000, random_ratio=0.5,
+        seed=7, spark=spark, mode="sharded", n_shards=8, cache_dir=cache,
+    )
+    assert es.df.count() == 8_000
+    # cache hit: a second instance reads the parquet materialization
+    es2 = compat.EventStream(
+        patterns=pats, n_types=4, total_events=8_000, random_ratio=0.5,
+        seed=7, spark=spark, mode="sharded", n_shards=8, cache_dir=cache,
+    )
+    assert es2.df.count() == 8_000
+    assert es.to_numpy().shape == (8_000, 3)
