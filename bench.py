@@ -41,6 +41,8 @@ HEADLINE = (
     "pipeline_corpus_prep",
     "dedup_cluster_cc",
     "decontaminate_ngram_overlap",
+    "sql_tpch_q8",
+    "graph_pagerank",
 )
 
 # runs per query: report min (the VM downclocks idle cores and first

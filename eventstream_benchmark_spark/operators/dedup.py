@@ -418,7 +418,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     label chains (``label ← label[label]``), so convergence needs
     O(log diameter) rounds — CC_ROUNDS=5 covers diameters to ~2³². The
     loop is equi-joins over the (tiny relative to the corpus) dup-edge
-    set — no collect, no driver-side convergence actions. The edge set
+    set, with an early exit as soon as a round changes no label: the
+    per-round localCheckpoint already materializes each round, so the
+    convergence probe is one cheap job over two in-memory frames and
+    typical dup graphs (diameter ≤ 4) stop after 2 rounds instead of
+    paying all 5. The edge set
     is ``localCheckpoint``-ed first: iterative plans over an un-truncated
     lineage re-canonicalize the whole upstream LSH subtree at every
     join (OOMs the driver at round 3 — measured), and at 100 TB the
@@ -436,6 +440,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
+    prev = labels
     for _ in range(CC_ROUNDS):
         nbr = (
             edges.join(
@@ -459,6 +464,17 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2x the previous round's plan (measured 19 s -> 4.7 s at
         # sf0.1). Same O(rounds) bound a cluster run needs.
         labels = labels.localCheckpoint(eager=True)
+        # min-label propagation is monotone, so an unchanged round is
+        # the fixpoint — both frames are checkpointed, the probe is one
+        # small in-memory join
+        unchanged = (
+            labels.join(prev.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .isEmpty()
+        )
+        if unchanged:
+            break
+        prev = labels
     from pyspark.sql import Window as W
 
     return (

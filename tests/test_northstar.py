@@ -105,6 +105,7 @@ def test_scoped_persists_bounded_and_released(spark, sf_small):
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_ivf_cosine",
+        "pipeline_dedup_ordered",
     ):
         df = qs[name](spark, sf_small)
         df.count()
