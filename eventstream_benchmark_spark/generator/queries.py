@@ -152,6 +152,84 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 extension — the fourth Python execution entry point: a
+    Spark 4 Python UDTF (table function) applied laterally, expanding
+    each per-type event count into (scale, scaled) rows. Deterministic
+    integer arithmetic → exact DuckDB oracle; the UDTF mechanism (one
+    eval per input row, generator output) is what's being surfaced,
+    in the same spirit as ``udf_surface``'s scalar/pandas/grouped-map
+    trio."""
+    from pyspark.sql.functions import udtf
+
+    from eventstream_benchmark_spark.io import load_table
+
+    @udtf(returnType="scale int, scaled bigint")
+    class ScaleBuckets:
+        def eval(self, cnt: int):
+            for s in (1, 10, 100):
+                yield s, cnt // s
+
+    spark.udtf.register("scale_buckets", ScaleBuckets)
+    load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("cnt")
+    ).createOrReplaceTempView("type_counts_for_udtf")
+    return spark.sql(
+        """
+        SELECT event_type, s.scale, s.scaled
+        FROM type_counts_for_udtf, LATERAL scale_buckets(cnt) s
+        ORDER BY event_type, scale
+        """
+    )
+
+
+def cogroup_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 extension — the fifth Python entry point:
+    ``cogroup(...).applyInPandas`` merging two grouped frames per key.
+    Per user, purchases merge-asof against clicks (pandas
+    ``merge_asof``, backward inclusive — the same semantics as the
+    declarative ``join_asof``) and reduce to per-user match stats.
+    The co-partitioning shuffles each side once on user_id; inside a
+    group it's plain pandas — the imperative escape hatch for
+    per-entity logic the built-ins can't express."""
+    from eventstream_benchmark_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:  # clicks-only users contribute no output row
+            return pd.DataFrame(
+                columns=["user_id", "n_purchases", "n_matched", "max_gap_s"]
+            )
+        left = left.sort_values("ts")
+        right = right.sort_values("ts").rename(columns={"ts": "click_ts"})
+        m = pd.merge_asof(
+            left, right, left_on="ts", right_on="click_ts",
+            by="user_id", direction="backward", allow_exact_matches=True,
+        )
+        gaps = (m["ts"] - m["click_ts"]).dt.total_seconds()
+        has_gap = gaps.notna().any()
+        return pd.DataFrame(
+            {
+                "user_id": [int(left["user_id"].iloc[0])],
+                "n_purchases": [len(m)],
+                "n_matched": [int(m["click_ts"].notna().sum())],
+                "max_gap_s": [round(float(gaps.max()), 6) if has_gap else None],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge, "user_id bigint, n_purchases bigint, n_matched bigint, max_gap_s double"
+        )
+        .orderBy("user_id")
+    )
+
+
 def pattern_recovery_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The benchmark loop closed end-to-end: generate the stream
     (Layer A), run the B32 lead-chain sequence matcher over it, and
@@ -207,6 +285,8 @@ QUERIES = {
     "generate_stream_exact": generate_stream_exact,
     "generate_stream_sharded": generate_stream_sharded,
     "udf_surface": udf_surface,
+    "udtf_surface": udtf_surface,
+    "cogroup_asof_enrich": cogroup_asof_enrich,
     "pattern_recovery_scored": pattern_recovery_scored,
 }
 
@@ -292,6 +372,28 @@ ORACLES: dict[str, str] = {
     "udf_surface": """
         SELECT 't:' || event_type AS tag, count(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "udtf_surface": """
+        SELECT event_type, CAST(scale AS INTEGER) AS scale,
+               CAST(cnt // scale AS BIGINT) AS scaled
+        FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+             (VALUES (1), (10), (100)) v(scale)
+        ORDER BY event_type, scale
+    """,
+    "cogroup_asof_enrich": """
+        WITH p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, ts AS click_ts FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT p.user_id, count(*) AS n_purchases,
+               count(click_ts) AS n_matched,
+               round(max(epoch(ts - click_ts)), 6) AS max_gap_s
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        GROUP BY p.user_id ORDER BY p.user_id
     """,
     "generate_stream_exact": (
         "SELECT CAST(c0 AS INTEGER) AS event_type,"

@@ -42,8 +42,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "scalar_math",
     "scalar_math_density",
     "scalar_decimal",
-    "scalar_map",
-    "scalar_conditional",
     "stream_sliding_rate",
     "stream_sessionize",
     "stream_type_drift",
@@ -73,6 +71,13 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "sql_tpch_q11",            # new: important-stock HAVING subquery
     "sql_tpch_q16",            # new: NOT IN null-aware anti join
     "sql_tpch_q20",            # new: two-column correlated decorrelation
+    "udtf_surface",            # new: Python UDTF lateral expansion
+    "cogroup_asof_enrich",     # new: cogroup applyInPandas merge-asof
+    # first two past the ~50 window: previously-green r1 re-checks
+    # outrank nothing above (never-sampled > 3-rounds-stale), rotate
+    # back first next round
+    "scalar_map",
+    "scalar_conditional",
     # (3) round-2-green re-checks, filling the rest of the window
     "join_broadcast_dims",
     "join_range_interval",
