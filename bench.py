@@ -55,7 +55,7 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # min a real floor instead of a lottery ticket
 HEAVY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "5"))
 HEAVY = {"dedup_minhash_lsh", "pipeline_corpus_prep", "dedup_cluster_cc",
-         "decontaminate_ngram_overlap"}
+         "decontaminate_ngram_overlap", "graph_pagerank"}
 
 # single-pass sf1 subset: one per family; the LSH lane is the
 # interesting one (10x exact duplicates make every band bucket hot)
@@ -120,6 +120,11 @@ def main() -> None:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
+        if name in HEAVY:
+            # the heavies' first run absorbs cold persist/checkpoint
+            # builds (r4: spreads up to 11 s from run 1 alone) — drop
+            # it so min AND spread describe the warm steady state
+            samples = samples[1:]
         timings[name] = round(min(samples), 3)
         extras[f"{name}_rows"] = n
         extras[f"{name}_spread"] = round(max(samples) - min(samples), 3)
