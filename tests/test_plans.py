@@ -406,3 +406,24 @@ def test_pagerank_rounds_are_equi_joins(spark, sf_small):
     # one-row N-count cross joins only: seed ranks + (reused) scans
     assert n_bnlj == plan.count("Join type: Cross")
     assert "InMemoryTableScan" in plan  # edges persisted, reused per round
+
+
+def test_chunking_is_single_scan_no_shuffle_no_python(spark, sf_small):
+    """Sliding-window chunking must stay a per-row array pipeline: the
+    explode fans out inside the partition — no exchange before the
+    output, no Python in the plan."""
+    plan = _plan(spark, sf_small, "docs_chunk_overlap")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in plan
+    # the only exchange allowed is the final presentation sort
+    assert plan.count("Exchange (") <= 1
+
+
+def test_mix_rebalance_totals_ride_broadcast(spark, sf_small):
+    """The grand-total fold must be a broadcast one-row cross join onto
+    the per-source aggregate — never a second corpus pass or a shuffle
+    of the fact side beyond the one groupBy."""
+    plan = _plan(spark, sf_small, "corpus_mix_rebalance")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
