@@ -204,19 +204,25 @@ def cogroup_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["user_id", "n_purchases", "n_matched", "max_gap_s"]
             )
         left = left.sort_values("ts")
-        right = right.sort_values("ts").rename(columns={"ts": "click_ts"})
-        m = pd.merge_asof(
-            left, right, left_on="ts", right_on="click_ts",
-            by="user_id", direction="backward", allow_exact_matches=True,
-        )
-        gaps = (m["ts"] - m["click_ts"]).dt.total_seconds()
-        has_gap = gaps.notna().any()
+        if right.empty:
+            # a purchases-only user: Spark may hand the absent cogroup
+            # side as a zero-column frame, so don't touch right["ts"]
+            n_matched, max_gap = 0, None
+        else:
+            r = right.sort_values("ts").rename(columns={"ts": "click_ts"})
+            m = pd.merge_asof(
+                left, r, left_on="ts", right_on="click_ts",
+                by="user_id", direction="backward", allow_exact_matches=True,
+            )
+            gaps = (m["ts"] - m["click_ts"]).dt.total_seconds()
+            n_matched = int(m["click_ts"].notna().sum())
+            max_gap = round(float(gaps.max()), 6) if gaps.notna().any() else None
         return pd.DataFrame(
             {
                 "user_id": [int(left["user_id"].iloc[0])],
-                "n_purchases": [len(m)],
-                "n_matched": [int(m["click_ts"].notna().sum())],
-                "max_gap_s": [round(float(gaps.max()), 6) if has_gap else None],
+                "n_purchases": [len(left)],
+                "n_matched": [n_matched],
+                "max_gap_s": [max_gap],
             }
         )
 
