@@ -269,39 +269,45 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _simhash_udf():
+    """Bit-vote fold over the per-shingle xxhash64 array, vectorized.
+
+    Same interpreted-HOF lesson as ``_emb_band_sigs_udf``: 64 bit-vote
+    ``F.aggregate`` folds per row ran interpreted (~16M lambda evals
+    at sf0.1); NumPy does the identical arithmetic — arithmetic >>
+    matches the JVM's shiftright on signed longs, +1/−1 votes, bit set
+    when votes > 0, OR-accumulated as a uint64 sum viewed back as the
+    signed long — in one pass per Arrow batch. The per-shingle hash
+    stays Spark's ``xxhash64`` so the signature value is unchanged."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def simhash_of(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            h = np.asarray(arr, dtype=np.int64)
+            ones = ((h[:, None] >> np.arange(64)) & 1).sum(axis=0)
+            votes = 2 * ones - len(h)
+            sim = (np.where(votes > 0, np.uint64(1), np.uint64(0)) << shifts).sum(
+                dtype=np.uint64
+            )
+            out[i] = np.array([sim], dtype=np.uint64).view(np.int64)[0]
+        return pd.Series(out)
+
+    return simhash_of
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc: per-shingle xxhash64, bit-vote over the
-    shingle set, then bucket by the top-16 bits — groups sharing a
-    bucket are near-dup candidates. Rows-only check (hash-specific)."""
+    """64-bit SimHash per doc: per-shingle xxhash64 (Spark-side), bit
+    votes over the shingle set (Arrow-batched NumPy — see
+    ``_simhash_udf``), then bucket by the top-16 bits — groups sharing
+    a bucket are near-dup candidates. Rows-only check
+    (hash-specific)."""
     release_scoped_persists()
     sh = _doc_shingles(spark, sf_dir)
     hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-    # F.shiftright/shiftleft require a literal int shift amount, but the
-    # SQL functions accept expressions — call them via call_function so
-    # the bit index can be the sequence lambda variable.
-    votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda bit: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.call_function("shiftright", h, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        ),
-    )
-    simhash = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, bit: F.when(
-                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), bit)
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    docs = sh.select("doc_id", simhash.alias("simhash"))
+    docs = sh.select("doc_id", _simhash_udf()(hashes).alias("simhash"))
     return (
         docs.groupBy(F.shiftright("simhash", 48).alias("bucket"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
