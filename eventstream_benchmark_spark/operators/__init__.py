@@ -73,11 +73,12 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "sql_tpch_q20",            # new: two-column correlated decorrelation
     "udtf_surface",            # new: Python UDTF lateral expansion
     "cogroup_asof_enrich",     # new: cogroup applyInPandas merge-asof
-    # first two past the ~50 window: previously-green r1 re-checks
-    # outrank nothing above (never-sampled > 3-rounds-stale), rotate
-    # back first next round
+    # first past the ~50 window: previously-green r1 re-checks and the
+    # post-window round-4 addition outrank nothing above
+    # (never-sampled > 3-rounds-stale), rotate back first next round
     "scalar_map",
     "scalar_conditional",
+    "events_ohlc_candles",     # new: OHLC bucket downsampling
     # (3) round-2-green re-checks, filling the rest of the window
     "join_broadcast_dims",
     "join_range_interval",

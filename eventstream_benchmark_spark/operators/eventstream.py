@@ -397,7 +397,37 @@ def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (type, hour) bucket, the opening value
+    (first by (ts, event_id) — the §1.2 tie rule applied to bucket
+    boundaries), high, low, close (last), and count — the candlestick
+    rollup a charting/storage pipeline keeps instead of raw points.
+    ``min_by``/``max_by`` over a (ts, event_id) struct pick open/close
+    inside the same single aggregation pass as high/low — one shuffle
+    keyed on (type, hour), no window, no second scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            r6(F.min_by("value", order_key)).alias("open_v"),
+            r6(F.max("value")).alias("high_v"),
+            r6(F.min("value")).alias("low_v"),
+            r6(F.max_by("value", order_key)).alias("close_v"),
+            bigint(F.count("*")).alias("n"),
+        )
+        .select(
+            "event_type", fmt_ts("bucket").alias("bucket"),
+            "open_v", "high_v", "low_v", "close_v", "n",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
 QUERIES = {
+    "events_ohlc_candles": events_ohlc_candles,
     "stream_tumbling_rate": stream_tumbling_rate,
     "stream_sliding_rate": stream_sliding_rate,
     "stream_sessionize": stream_sessionize,
@@ -412,6 +442,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    # DuckDB 1.0's arg_min/arg_max take no struct ordering, so
+    # open/close come from row_number windows with the same
+    # (ts, event_id) tiebreak
+    "events_ohlc_candles": f"""
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   value, ts, event_id
+            FROM events WHERE value IS NOT NULL
+        ),
+        o AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM b
+        )
+        SELECT event_type, {duck_fmt_ts('bucket')} AS bucket,
+               round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open_v,
+               round(max(value), 6) AS high_v,
+               round(min(value), 6) AS low_v,
+               round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close_v,
+               count(*) AS n
+        FROM o GROUP BY event_type, bucket
+        ORDER BY event_type, bucket
+    """,
     "time_weighted_avg": """
         WITH stepped AS (
             SELECT event_type, value,
