@@ -13,73 +13,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (~50 of 118 per round), so registry order decides which queries earn a
-# CORRECTNESS row this round.  Round-4 rotation, strictly by
-# verification staleness: (1) the 25 queries whose only green row is
-# round 1, (2) queries whose oracle changed this round or has never
-# produced a driver row, (3) round-2-green re-checks; the round-3-green
-# pack (all 50 sampled last round) closes the list and cycles back next
-# round.
+# (~50 of 139 per round), so registry order decides which queries earn a
+# CORRECTNESS row this round.  Round-5 rotation, strictly by
+# verification staleness (merged CORRECTNESS_r1-r4): (1) never-sampled /
+# round-1-stale queries, (2) queries whose oracle or implementation
+# changes this round and therefore needs a fresh driver row, (3) the 34
+# round-2-green re-checks, (4) the first round-3-green entries to fill
+# the ~50 window; the round-4-green pack (all 50 sampled last round)
+# closes the list and cycles back next round.
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
-    # (1) only driver row is from round 1 — three rounds stale
-    "agg_skew_salted",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_cube",
-    "agg_histogram",
-    "win_frame_range",
-    "win_frame_running",
-    "win_value_functions",
-    "win_lag_inter_arrival",
-    "topk_per_group",
-    "sort_limit_topk",
-    "set_ops",
-    "dedup_keep_latest",
-    "scalar_string",
-    "scalar_string_distance",
-    "scalar_datetime",
-    "scalar_math",
-    "scalar_math_density",
-    "scalar_decimal",
-    "stream_sliding_rate",
-    "stream_sessionize",
-    "stream_type_drift",
-    # (2) oracle changed this round / never exercised by the driver
-    "generate_stream_sharded",  # constant oracle (integer n_pattern) — first driver row
-    "ann_lsh_cosine",          # rows-only -> in-plan recall constant oracle
-    "ann_ivf_cosine",          # rows-only -> in-plan recall constant oracle
-    "multimodal_extract",      # stub -> real BMP decode + constant oracle
-    "multimodal_resize",       # summarized under the BMP media table
-    "multimodal_frame_sample",  # summarized under the BMP media table
-    "text_tfidf_topterms",     # N_docs folded in-plan (one action)
-    "sql_tpch_q7",             # new: bilateral-trade double-nation join
-    "sql_tpch_q8",             # new: market-share 8-table chain
-    "sql_tpch_q9",             # new: product-profit shape (proxy cost)
-    "sql_tpch_q13",            # new: LEFT-JOIN-ON-filter distribution
-    "sql_tpch_q15",            # new: CTE reuse + scalar-max election
-    "sql_tpch_q17",            # new: correlated avg decorrelation
-    "sql_tpch_q21",            # new: EXISTS + NOT EXISTS double corr.
-    "sql_tpch_q22",            # new: scalar avg + anti-join rollup
-    "docs_chunk_overlap",      # new: sliding-window context chunking
-    "corpus_mix_rebalance",    # new: source-mixture reweighting
-    "graph_pagerank",          # new: 3-iteration numeric iteration
-    "join_full_outer",         # new: reconciliation full outer
-    "reshape_unpivot",         # new: stack/melt inverse of pivot
-    "pipeline_dedup_ordered",  # new: exact-then-near dedup funnel
-    "sql_tpch_q2",             # new: min-cost-supplier (derived partsupp)
-    "sql_tpch_q11",            # new: important-stock HAVING subquery
-    "sql_tpch_q16",            # new: NOT IN null-aware anti join
-    "sql_tpch_q20",            # new: two-column correlated decorrelation
-    "udtf_surface",            # new: Python UDTF lateral expansion
-    "cogroup_asof_enrich",     # new: cogroup applyInPandas merge-asof
-    # first past the ~50 window: previously-green r1 re-checks and the
-    # post-window round-4 addition outrank nothing above
-    # (never-sampled > 3-rounds-stale), rotate back first next round
-    "scalar_map",
-    "scalar_conditional",
-    "events_ohlc_candles",     # new: OHLC bucket downsampling
-    # (3) round-2-green re-checks, filling the rest of the window
+    # (1) never sampled / stalest
+    "events_ohlc_candles",     # added post-window in round 4 — first driver row
+    "scalar_map",              # only green row is round 1
+    "scalar_conditional",      # only green row is round 1
+    # (2) oracle/implementation changed in round 5
+    "dedup_simhash",           # rows-only -> cross-engine md5 shingle hash oracle
+    "agg_distinct_approx",     # rows-only -> in-plan within_5pct hash contract
+    "streaming_pattern_state",  # rows-only -> batch-twin DuckDB oracle
+    "ann_lsh_cosine",          # single bucket table -> banded LSH, oracle updated
+    "graph_triangle_count",    # degree-oriented wedge join rework
+    "dedup_ngram_jaccard",     # shingle docfreq cap, oracle mirrored
+    # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",
     "join_asof",
@@ -97,7 +51,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "retention_cohort",
     "attribution_last_touch",
     "dedup_exact_text",
-    "dedup_ngram_jaccard",
     "embed_cosine_topk",
     "embed_dim_stats",
     "knn_bruteforce_topk",
@@ -114,6 +67,19 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "streaming_dedup_watermark",
     "streaming_join_clicks_purchases",
     "session_window_agg",
+    # (4) round-3-green re-checks filling the rest of the window; the
+    # remainder of the r3 pack and the whole r4 pack follow in merged
+    # order and rotate forward next round
+    "scan_parquet_project_filter",
+    "scan_csv_roundtrip",
+    "predicate_combo",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_semi_anti",
+    "join_runtime_filtered",
+    "join_skew_salted",
+    "agg_hash_global",
+    "agg_distinct",
 )
 
 
