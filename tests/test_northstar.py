@@ -114,3 +114,41 @@ def test_scoped_persists_bounded_and_released(spark, sf_small):
         assert len(_cache._LIVE) <= 3, name
     _cache.release_scoped_persists()
     assert not _cache._LIVE
+
+
+def test_simhash_xxhash64_matches_scalar_recomputation(spark, sf_small):
+    """The production (xxhash64 + Arrow NumPy) SimHash variant against
+    an independent per-bit scalar recomputation of the same contract:
+    per-shingle xxhash64 (Spark-side, collected), +-1 bit votes,
+    bit set iff votes > 0, bucket = top-16 signature bits."""
+    from pyspark.sql import functions as F
+
+    from eventstream_benchmark_spark.operators.dedup import (
+        _doc_shingles,
+        dedup_simhash_xxhash64,
+    )
+
+    out = dedup_simhash_xxhash64(spark, sf_small).toPandas()
+    hashes = (
+        _doc_shingles(spark, sf_small)
+        .select("doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"))
+        .toPandas()
+    )
+    buckets: dict[int, list[int]] = {}
+    for doc_id, hs in zip(hashes["doc_id"], hashes["hs"]):
+        sig = 0
+        for b in range(64):
+            votes = sum(1 if (int(h) >> b) & 1 else -1 for h in hs)
+            if votes > 0:
+                sig |= 1 << b
+        # arithmetic shiftright on the signed 64-bit signature
+        signed = sig - (1 << 64) if sig >= (1 << 63) else sig
+        buckets.setdefault(signed >> 48, []).append(int(doc_id))
+    expect = {
+        b: (len(ids), min(ids)) for b, ids in buckets.items() if len(ids) > 1
+    }
+    got = {
+        int(r.bucket): (int(r.n_docs), int(r.keeper_doc_id))
+        for r in out.itertuples()
+    }
+    assert got == expect

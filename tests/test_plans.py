@@ -427,3 +427,16 @@ def test_mix_rebalance_totals_ride_broadcast(spark, sf_small):
     plan = _plan(spark, sf_small, "corpus_mix_rebalance")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_md5_variant_is_pure_jvm(spark, sf_small):
+    """The registered (hash-checkable) SimHash derives its bucket bits
+    from md5 with relational conditional sums — the whole pipeline must
+    stay JVM-side codegen: no Python eval node of any kind, and exactly
+    the one bit-vote aggregate exchange plus the bucket-group exchange."""
+    plan = _plan(spark, sf_small, "dedup_simhash")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan
+    assert plan.count("Exchange (") <= 2
+    assert "partial_sum" in plan  # map-side combine of the bit votes
