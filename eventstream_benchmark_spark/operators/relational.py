@@ -632,12 +632,29 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct — sketch differs from DuckDB's, so
-    this is a rows-only check (one row per event_type)."""
+    """HLL++ approximate distinct with a checkable accuracy contract.
+
+    The raw sketch estimate is engine-specific (Spark's HLL++ vs
+    DuckDB's), so the estimate itself can't be hash-compared; what IS
+    engine-independent is the CONTRACT: at rsd=0.02 the estimate must
+    land within 5%% of the exact count.  The query emits the exact
+    count plus ``within_5pct = |approx - exact| / exact <= 0.05``
+    computed in-plan (one aggregate produces both the sketch and the
+    exact distinct), and the oracle asserts the boolean is TRUE for
+    every group — if the sketch ever drifts past the bound, the driver
+    hash check fails loudly instead of the drift hiding behind a
+    rows-only row."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     )
+    within = (
+        F.abs(F.col("approx") - F.col("n_users_exact"))
+        / F.col("n_users_exact")
+        <= 0.05
+    )
+    return agg.select("event_type", "n_users_exact", within.alias("within_5pct"))
 
 
 def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2326,6 +2343,13 @@ ORACLES = {
     """,
     "agg_distinct": """
         SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    # the engine-independent HLL contract: Spark's rsd=0.02 estimate
+    # must land within 5% of the exact distinct for every group
+    "agg_distinct_approx": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+               TRUE AS within_5pct
         FROM events GROUP BY event_type
     """,
     "agg_rollup": """

@@ -557,6 +557,45 @@ ORACLES = {
 
 ORACLES["streaming_session_window"] = ORACLES["session_window_agg"]
 
+# the per-user automaton replayed in SQL: a recursive CTE advances one
+# event per user per step in (ts, event_id) order — the batch twin of
+# the applyInPandasWithState state machine (the in-order, complete
+# replay makes stream == batch, which the offline-replay equality test
+# in tests/test_streaming.py already pins; this oracle lets the driver
+# check VALUES, not just row counts).  Recursion depth = max events
+# per user (~hundreds at driver SF), fine for a one-shot oracle.
+_SEQ_SQL = "[" + ", ".join(repr(t) for t in PATTERN_SEQ) + "]"
+ORACLES["streaming_pattern_state"] = f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    counts AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY user_id),
+    state AS (
+        SELECT user_id, 0 AS rn, 0 AS progress, 0 AS completed FROM counts
+        UNION ALL
+        SELECT s.user_id, s.rn + 1,
+               CASE WHEN e.event_type = {_SEQ_SQL}[s.progress + 1]
+                    THEN CASE WHEN s.progress = {len(PATTERN_SEQ) - 1} THEN 0
+                              ELSE s.progress + 1 END
+                    WHEN e.event_type = {PATTERN_SEQ[0]!r} THEN 1
+                    ELSE 0 END,
+               s.completed
+                   + CASE WHEN s.progress = {len(PATTERN_SEQ) - 1}
+                               AND e.event_type = {PATTERN_SEQ[-1]!r}
+                          THEN 1 ELSE 0 END
+        FROM state s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    )
+    SELECT s.user_id,
+           CAST(s.progress AS INT) AS progress,
+           CAST(s.completed AS INT) AS completed,
+           CAST(c.n AS BIGINT) AS n_events
+    FROM state s JOIN counts c ON s.user_id = c.user_id AND s.rn = c.n
+    ORDER BY s.user_id
+"""
+
 # left-outer pairs == batch left join restricted to the cutoff region
 ORACLES["streaming_left_outer_join"] = f"""
     WITH c AS (
