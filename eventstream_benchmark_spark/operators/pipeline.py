@@ -124,6 +124,7 @@ def pipeline_dedup_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson)."""
     from eventstream_benchmark_spark.operators._cache import release_scoped_persists
     from eventstream_benchmark_spark.operators.dedup import (
+        _capped_shingles,
         _minhash_pairs,
         _shingle_table,
     )
@@ -140,7 +141,7 @@ def pipeline_dedup_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     survivors = docs.join(keepers, "doc_id", "left_semi")
-    pairs = _minhash_pairs(_shingle_table(survivors))
+    pairs = _minhash_pairs(_capped_shingles(_shingle_table(survivors)))
     dropped = pairs.select(F.col("d2").alias("doc_id")).distinct()
     near_kept = survivors.join(F.broadcast(dropped), "doc_id", "left_anti")
     stage = lambda name, df: df.agg(bigint(F.count("*")).alias("n_docs")).select(  # noqa: E731

