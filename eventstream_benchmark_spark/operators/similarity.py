@@ -6,9 +6,10 @@
 - ``knn_bruteforce_topk``: top-5 neighbors for each of the first 10
   vectors — the exact-kNN baseline, oracle ✓.
 - ``ann_lsh_cosine``: random-hyperplane LSH (sign-bit signatures,
-  Hamming buckets) — the scale path; rows-only (signature depends on
-  the deterministic pseudo-random hyperplanes), recall vs brute force
-  asserted in tests.
+  Hamming buckets, per-bucket contribution cap) — the scale path;
+  hash-checked since the hyperplanes are plan literals replayed by
+  sequential folds on both engines; recall vs brute force asserted in
+  tests.
 
 Scale notes: brute-force kNN is a broadcast of the (tiny) query set
 against a full scan — no shuffle, linear in corpus size, the right
@@ -110,17 +111,39 @@ def _hyperplane(plane: int, dim: int = 64) -> list[float]:
     return vals
 
 
+# Hot-bucket backstop: a degenerate cluster (many near-identical
+# vectors) collides into ONE bucket under any sign-bit scheme, and the
+# within-bucket pair join then goes quadratic in cluster size — the
+# round-4 verdict's scale caveat.  Only the first LSH_BUCKET_CAP
+# vectors per bucket (deterministically by vec_id) contribute pairs,
+# bounding every bucket at CAP²/2 pairs; overflow vectors simply emit
+# no candidates (the standard LSH bucket-truncation trade — at
+# production scale pair this with tighter signatures or multi-probe).
+# A banded OR-construction (the dedup_embedding_cosine shape) is NOT
+# the right fix here: banding restores RECALL for thresholded dedup
+# where an exact verify re-establishes the output set, but this query
+# has no threshold — its output IS the collision set, so banding with
+# interpreted fold signatures would re-create the measured 18-21 s
+# higher-order-function wall (bench-noise-lessons) without bounding a
+# degenerate bucket at all.  64 is invisible on every fixture
+# (measured max occupancy: 3 at sf0.01, 5 at sf0.1).
+LSH_BUCKET_CAP = 64
+
+
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed approximate neighbor candidates: 12 sign-bits of
-    hyperplane projections → bucket id → per-bucket pair counts with
-    verified cosine. One groupBy shuffle; candidate verification stays
-    inside buckets (vs the full quadratic pair join).
+    hyperplane projections → bucket id → per-bucket capped pair
+    generation (LSH_BUCKET_CAP) with verified cosine. One groupBy
+    shuffle; candidate verification stays inside buckets (vs the full
+    quadratic pair join), and no bucket can contribute more than
+    CAP²/2 pairs however skewed the corpus.
 
     Hash-checked: the hyperplanes are plan-time literals, and both
     engines compute each projection as the same left-to-right fold
     over the same doubles (Spark ``F.aggregate`` / DuckDB
     ``list_reduce``), so the sign bits — and hence buckets and pairs —
-    are bit-reproducible cross-engine."""
+    are bit-reproducible cross-engine; the cap's row_number ranking is
+    by unique vec_id, so truncation picks identical survivors."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
     bit_cols = []
     for p in range(LSH_PLANES):
@@ -135,8 +158,16 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in bit_cols[1:]:
         bucket = bucket + c
     bucketed = emb.withColumn("bucket", bucket.cast("bigint"))
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    # the cap's window shuffles by bucket — the same key the pair join
+    # needs, so the exchange is reused, not added
+    w = W.partitionBy("bucket").orderBy("vec_id")
+    capped = (
+        bucketed.withColumn("bk_rank", F.row_number().over(w))
+        .filter(F.col("bk_rank") <= LSH_BUCKET_CAP)
+        .drop("bk_rank")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
         a.join(
             b,
@@ -415,7 +446,11 @@ ORACLES = {
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
         ),
-        bk AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e)
+        bk AS (
+            SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e
+            QUALIFY row_number() OVER (PARTITION BY {_lsh_bucket_sql('v')}
+                                       ORDER BY vec_id) <= {LSH_BUCKET_CAP}
+        )
         SELECT a.bucket AS bucket, a.vec_id AS v1, b.vec_id AS v2,
                round({_fold_cos('a.v', 'b.v')}, 6) AS cosine
         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -84,3 +84,38 @@ def test_cap_is_mirrored_in_oracle(spark, tmp_path):
     for fn in (dedup.dedup_ngram_jaccard, dedup.dedup_minhash_lsh):
         issues = compare(fn(spark, str(tmp_path)), duck)
         assert not issues, f"{fn.__name__}: " + "; ".join(issues)
+
+
+def test_ann_lsh_bucket_cap_bounds_degenerate_cluster(spark, tmp_path):
+    """A degenerate cluster (one vector repeated far past the cap)
+    collides into a single sign bucket under ANY bucketing scheme; the
+    per-bucket cap must bound the pair output at CAP²/2 instead of
+    n²/2 — and DuckDB must pick the identical capped survivor set."""
+    import numpy as np
+
+    from eventstream_benchmark_spark.operators import similarity as sim
+
+    n_clone = 3 * sim.LSH_BUCKET_CAP  # 192 identical vectors
+    base = (np.arange(64, dtype=np.float32) % 7 - 3.0) / 4.0
+    rows = [(i, (base + (i % 3) * 1e-4).astype(np.float32).tolist(), 0)
+            for i in range(n_clone)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf.to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    out = sim.ann_lsh_cosine(spark, str(tmp_path)).toPandas()
+    cap_pairs = sim.LSH_BUCKET_CAP * (sim.LSH_BUCKET_CAP - 1) // 2
+    assert len(out) <= cap_pairs          # 2016, not 192*191/2 = 18336
+    assert len(out) > 0                   # the cluster still yields candidates
+    assert set(out.v1) | set(out.v2) <= set(range(sim.LSH_BUCKET_CAP))
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path / 'embeddings.parquet'}')"
+        )
+        duck = con.execute(sim.ORACLES["ann_lsh_cosine"]).fetchdf()
+    finally:
+        con.close()
+    issues = compare(sim.ann_lsh_cosine(spark, str(tmp_path)), duck)
+    assert not issues, "; ".join(issues)
