@@ -15,14 +15,17 @@ Scale notes (100 TB):
   linear in the fact table. No nested loop
   (``test_copurchase_stays_equi_join``).
 - Triangle counting uses the edge-iterator scheme: edges join edges on
-  the shared middle vertex, then a closing-edge semi check — two
+  the shared middle vertex, then a closing-edge check — two
   hash-partitioned equi-joins over the (much smaller) thresholded edge
-  set. The ``p1 < p2`` orientation halves the edge list and makes each
-  triangle count exactly once; at adversarial degree distributions the
-  standard refinement is orientation by (degree, id) instead of id,
-  which bounds per-vertex out-degree to O(sqrt(E)) — noted here, not
-  needed for basket graphs whose degree is bounded by basket size ×
-  order multiplicity.
+  set. Edges are oriented by the (degree, id) total order (the
+  "forward" refinement): every vertex's out-degree is then O(sqrt(E))
+  — a vertex of degree ≤ sqrt(E) trivially, and a vertex of degree >
+  sqrt(E) only points at the < 2·sqrt(E) other high-degree vertices —
+  so the wedge join materializes O(E^1.5) rows even on adversarial
+  degree distributions (a hub-and-spokes graph produces ZERO wedges
+  instead of O(hub_degree²); pinned by a star-graph test). Triangle
+  counts are orientation-invariant, so the id-oriented DuckDB oracle
+  is unchanged.
 """
 
 from __future__ import annotations
@@ -75,30 +78,69 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _degree_oriented(e: DataFrame) -> DataFrame:
+    """Orient the undirected (p1 < p2) edge set by the (degree, id)
+    total order: each edge points from its lower- to its higher-ordered
+    endpoint. Out-degree is then O(sqrt(E)) for every vertex — the
+    bound that keeps the wedge join subquadratic under adversarial
+    skew (a hub's edges all point INTO it, so it centers no wedges).
+    One degree aggregate + two annotation joins over the (small,
+    thresholded) edge set; returns (src, dst)."""
+    degs = (
+        e.select(F.col("p1").alias("v"))
+        .unionAll(e.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    ann = (
+        e.join(degs.select(F.col("v").alias("p1"), F.col("deg").alias("deg1")), "p1")
+        .join(degs.select(F.col("v").alias("p2"), F.col("deg").alias("deg2")), "p2")
+    )
+    # p1 < p2 already, so the id tie-break keeps p1 -> p2
+    fwd = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("p1") < F.col("p2"))
+    )
+    return ann.select(
+        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+    )
+
+
+def _count_triangles(oriented: DataFrame) -> DataFrame:
+    """Wedge join + closing-edge check over a (deg, id)-oriented edge
+    set: a triangle a≺b≺c has edges a→b, b→c, a→c under the total
+    order, so joining (a→b)⋈(b→c) on the middle vertex and closing
+    with (a→c) counts each triangle exactly once."""
+    ab, bc, ac = oriented.alias("ab"), oriented.alias("bc"), oriented.alias("ac")
+    return ab.join(bc, F.col("ab.dst") == F.col("bc.src")).join(
+        ac,
+        (F.col("ac.src") == F.col("ab.src")) & (F.col("ac.dst") == F.col("bc.dst")),
+    )
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the thresholded co-purchase graph (edges =
     part pairs co-bought in ≥ TRIANGLE_MIN_ORDERS orders): the global
-    clustering signal over the basket graph. Edge-iterator scheme —
-    wedges a<b<c from (a,b)⋈(b,c), closed by the (a,c) edge — so every
-    triangle is counted exactly once."""
+    clustering signal over the basket graph. Edge-iterator scheme over
+    the (degree, id)-oriented edge set (``_degree_oriented``) — the
+    O(E^1.5) wedge bound that survives adversarial degree skew at
+    100 TB. Output (and hence the DuckDB oracle) is orientation-
+    invariant."""
     release_scoped_persists()
     li = load_table(spark, sf_dir, "lineitem")
-    # three consumers (wedge join ×2 sides, edge/vertex stats) — persist
-    # the thresholded edge set once instead of re-running the basket
-    # self-join per branch
+    # persist the thresholded edge set once (degree aggregate + two
+    # annotation joins + vertex/edge stats all read it) and the
+    # oriented set once (wedge join x2 sides + closing check)
     e = scoped_persist(
         _copurchase_edges(li)
         .filter(F.col("n_orders") >= TRIANGLE_MIN_ORDERS)
         .select("p1", "p2")
     )
-    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
-    triangles = ab.join(bc, F.col("ab.p2") == F.col("bc.p1")).join(
-        ac,
-        (F.col("ac.p1") == F.col("ab.p1")) & (F.col("ac.p2") == F.col("bc.p2")),
-    )
+    oriented = scoped_persist(_degree_oriented(e))
     verts = e.select(F.col("p1").alias("v")).union(e.select(F.col("p2").alias("v")))
     return (
-        triangles.agg(bigint(F.count("*")).alias("n_triangles"))
+        _count_triangles(oriented)
+        .agg(bigint(F.count("*")).alias("n_triangles"))
         .crossJoin(e.agg(bigint(F.count("*")).alias("n_edges")))
         .crossJoin(verts.agg(bigint(F.countDistinct("v")).alias("n_vertices")))
     )
