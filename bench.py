@@ -52,10 +52,13 @@ HEADLINE = (
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # the persist/localCheckpoint heavyweights are 3-10x noisier than the
 # rest of the sweep (r3 spreads up to 10 s); more samples make their
-# min a real floor instead of a lottery ticket
+# min a real floor instead of a lottery ticket.  knn_bruteforce_topk
+# joined the set in round 5: its r4 delta (1.06 -> 1.61 s) came with a
+# 0.5-0.7 s run-to-run spread, so its min needs the same flooring.
 HEAVY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "5"))
 HEAVY = {"dedup_minhash_lsh", "pipeline_corpus_prep", "dedup_cluster_cc",
-         "decontaminate_ngram_overlap", "graph_pagerank"}
+         "decontaminate_ngram_overlap", "graph_pagerank",
+         "knn_bruteforce_topk"}
 
 # single-pass sf1 subset: one per family; the LSH lane is the
 # interesting one (10x exact duplicates make every band bucket hot)
@@ -73,6 +76,11 @@ SF1_QUERIES = (
     # before MinHash — its sf1 delta vs dedup_minhash_lsh is the
     # measured value of the pipeline ordering
     "pipeline_dedup_ordered",
+    # round-5 additions: the two remaining iterative/LSH families get a
+    # 10x probe — banded hyperplane-LSH under duplicate-flooded
+    # embeddings, and the iterative numeric loop over a 10x edge set
+    "dedup_embedding_cosine",
+    "graph_pagerank",
 )
 
 

@@ -18,9 +18,9 @@ SeedSequence RNGs, distributional rather than draw-for-draw parity —
 SURVEY §4.2).
 
 The reference's pickle result cache (``eventstream.py:249-284``)
-becomes a parquet materialization keyed by the same md5-of-config
-scheme; it engages when both ``cache_dir`` and a Spark session are
-available.
+becomes a materialization keyed by the same md5-of-config scheme: an
+npz on the driver in exact mode (works with or without Spark), a
+parquet directory for DataFrame surfaces when a session is attached.
 """
 
 from __future__ import annotations
@@ -154,10 +154,28 @@ class EventStream:
         return hashlib.md5(key.encode()).hexdigest()
 
     def _exact_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        if self._arrays is None:
-            self._arrays = core.build_stream(
-                self.cfg, self.patterns.types, self.patterns.gaps
-            )
+        """Driver-side exact stream, honoring the reference's result
+        cache (``eventstream.py:249-284``) even without a Spark
+        session: the pickle-and-reload becomes an npz keyed by the same
+        md5-of-config scheme, so a reference user relying on
+        ``cache_dir`` for reload speed gets a reload, not a silent full
+        regeneration (round-4 advice)."""
+        if self._arrays is not None:
+            return self._arrays
+        cache = None
+        if self._cache_dir is not None:
+            os.makedirs(self._cache_dir, exist_ok=True)
+            cache = os.path.join(self._cache_dir, f"stream_{self._cache_key()}.npz")
+            if not self._regenerate and os.path.exists(cache):
+                z = np.load(cache)
+                self._arrays = (z["ts"], z["ty"], z["label"])
+                return self._arrays
+        self._arrays = core.build_stream(
+            self.cfg, self.patterns.types, self.patterns.gaps
+        )
+        if cache is not None:
+            ts, ty, label = self._arrays
+            np.savez(cache, ts=ts, ty=ty, label=label)
         return self._arrays
 
     @property
@@ -198,9 +216,15 @@ class EventStream:
 
     def to_csv(self, path: str) -> None:
         """Reference CSV format: header ``timestamp,event_type,
-        is_pattern``, ``%d`` values (``eventstream.py:417-427``)."""
-        if self._spark is not None:
-            spark_gen.write_csv(self.df, path)
+        is_pattern``, ``%d`` values, ONE file at ``path``
+        (``eventstream.py:417-427``). Exact mode writes driver-side
+        (bit-parity with the reference file, Spark or not); sharded
+        mode writes through the Spark sink and moves the coalesced
+        part file to ``path`` — either way the caller gets the single
+        file the reference API contract promises, never a Spark output
+        directory (round-4 advice)."""
+        if self._mode == "sharded":
+            spark_gen.write_csv_file(self.df, path)
             return
         arr = self.to_numpy()
         with open(path, "w") as f:

@@ -192,7 +192,10 @@ def to_numpy(df: DataFrame) -> np.ndarray:
 
 def write_csv(df: DataFrame, path: str) -> None:
     """CSV sink with the reference's header and %d value formatting
-    (``eventstream.py:417-427``): one ordered file, bool as 0/1."""
+    (``eventstream.py:417-427``): one ordered file, bool as 0/1.
+    Writes a Spark output DIRECTORY at ``path`` (part file +
+    ``_SUCCESS``); ``write_csv_file`` below delivers the reference's
+    single-file contract."""
     (
         df.orderBy("shard", "event_id")
         .select(
@@ -205,6 +208,21 @@ def write_csv(df: DataFrame, path: str) -> None:
         .option("header", True)
         .csv(path)
     )
+
+
+def write_csv_file(df: DataFrame, path: str) -> None:
+    """The reference's single-CSV-file semantics on top of the Spark
+    sink: write the coalesced directory next to ``path``, then move
+    the one part file INTO ``path`` — so a drop-in caller gets exactly
+    the file the reference API would have written."""
+    import glob
+    import shutil
+
+    tmp = path + ".__spark_csv_tmp__"
+    write_csv(df, tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    os.replace(part, path)
+    shutil.rmtree(tmp)
 
 
 def stream_iter(df: DataFrame) -> Iterator[tuple[int, int, bool]]:

@@ -30,9 +30,12 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "dedup_simhash",           # rows-only -> cross-engine md5 shingle hash oracle
     "agg_distinct_approx",     # rows-only -> in-plan within_5pct hash contract
     "streaming_pattern_state",  # rows-only -> batch-twin DuckDB oracle
-    "ann_lsh_cosine",          # single bucket table -> banded LSH, oracle updated
+    "ann_lsh_cosine",          # single 12-bit table -> per-bucket cap, oracle updated
     "graph_triangle_count",    # degree-oriented wedge join rework
     "dedup_ngram_jaccard",     # shingle docfreq cap, oracle mirrored
+    "sql_tpch_q7",             # revenue re-summed over 1e-4-scaled BIGINTs
+    "sql_tpch_q9",             # profit re-summed over 1e-4-scaled BIGINTs
+    "reshape_unpivot",         # measure sums re-scaled to exact cents
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -220,7 +220,9 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measure, value) rows via ``stack`` — the inverse of
     ``agg_pivot``. The expression is a per-row flat-map inside the
     scan (no shuffle, no Python); the only exchange is the final tiny
-    per-measure aggregate."""
+    per-measure aggregate. Sums are over 100x-scaled BIGINTs (all
+    three measures are exact 2-decimal values), making the rounded
+    output summation-order-proof across engines (round-4 advice)."""
     li = load_table(spark, sf_dir, "lineitem")
     long = li.select(
         "l_returnflag",
@@ -229,11 +231,12 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'discount', l_discount) AS (measure, value)"
         ),
     )
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         long.groupBy("l_returnflag", "measure")
         .agg(
             F.count("*").alias("n"),
-            r2(F.sum("value")).alias("sum_value"),
+            r2(F.sum(cents) / 100.0).alias("sum_value"),
         )
         .orderBy("l_returnflag", "measure")
     )
@@ -899,11 +902,12 @@ def sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q7 = """
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           round(sum(volume_e4) / CAST(10000 AS DOUBLE), 4) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
+                    AS BIGINT) AS volume_e4
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders ON o_orderkey = l_orderkey
@@ -925,7 +929,16 @@ def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations by ship year. The nation dim joins twice under different
     roles (supplier side / customer side) — both broadcast — and the
     OR-of-pairs predicate lands as a post-join filter while the two
-    equi-keys still drive hash joins."""
+    equi-keys still drive hash joins.
+
+    Revenue sums 1e-4-scaled BIGINTs (the per-row volume is an exact
+    4-decimal money value, so the scaled integer is exact): integer
+    sums are partition-order-independent, and the output rounds at 4
+    decimals — the sum's own scale — so no rounding boundary sits
+    within 500x of the representation error on either engine
+    (round-4 advice; a 2-decimal round would land exactly ON the
+    half-cent boundary whenever the sum ends in .xx50, where Spark's
+    shortest-decimal rounding and DuckDB's binary rounding disagree)."""
     from eventstream_benchmark_spark.io import register_views
 
     register_views(
@@ -976,12 +989,13 @@ def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TPCH_Q9 = """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, round(sum(amount_e4) / CAST(10000 AS DOUBLE), 4) AS sum_profit
     FROM (
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               l_extendedprice * (1 - l_discount)
-                   - 0.06 * l_quantity * p_retailprice AS amount
+               CAST(round((l_extendedprice * (1 - l_discount)
+                   - 0.06 * l_quantity * p_retailprice) * 10000)
+                    AS BIGINT) AS amount_e4
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -999,7 +1013,9 @@ def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no partsupp table, so supply cost is proxied as a fixed margin
     of p_retailprice — the join topology and measure shape are Q9's).
     Substring LIKE on p_name prunes the part side before the fact
-    join; profit aggregates per supplier nation × order year."""
+    join; profit aggregates per supplier nation × order year.
+    Profit sums 1e-4-scaled BIGINTs so the 2-decimal rounding is
+    summation-order-proof across engines (see sql_tpch_q7)."""
     from eventstream_benchmark_spark.io import register_views
 
     register_views(
@@ -1152,7 +1168,15 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     nationkey bucket, and since every fixture customer has orders the
     anti-join excludes customers with URGENT orders instead). Keeps
     Q22's three-part structure: uncorrelated scalar average, anti-
-    join, and the bucketed rollup."""
+    join, and the bucketed rollup.
+
+    Residual cross-engine risk (documented per round-4 advice, like
+    q17/q20): rows are SELECTED by comparing against a double scalar
+    average whose summation order differs between engines; a balance
+    landing within ~1 ulp of the average could flip membership. No
+    fixture value sits near the boundary (driver-green r4); unlike a
+    rounded output column this can't be integer-scaled away without
+    changing the query's declared semantics."""
     from eventstream_benchmark_spark.io import register_views
 
     register_views(spark, sf_dir, ("customer", "orders"))
@@ -1236,7 +1260,14 @@ def sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important-stock shape): per-part inventory value for
     one nation's suppliers, kept when above a fraction of the nation
     total — the HAVING threshold is an uncorrelated scalar subquery
-    (one extra aggregate, computed once, broadcast into the filter)."""
+    (one extra aggregate, computed once, broadcast into the filter).
+
+    Residual cross-engine risk (documented per round-4 advice, like
+    q17/q20): the HAVING compares a per-part double sum against a
+    double fraction of the grand total; both sums are summation-order
+    dependent, so a part sitting within ~1 ulp of the threshold could
+    flip membership between engines. No fixture part is near the
+    boundary (driver-green r4)."""
     from eventstream_benchmark_spark.io import register_views
 
     register_views(spark, sf_dir, ("part", "supplier", "nation"))
@@ -2296,7 +2327,8 @@ ORACLES = {
             SELECT l_returnflag, 'discount', l_discount FROM lineitem
         )
         SELECT l_returnflag, measure, count(*) AS n,
-               round(sum(value), 2) AS sum_value
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+                   AS sum_value
         FROM long GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "join_range_interval": """

@@ -401,3 +401,61 @@ def test_compat_sharded_df(spark):
     )
     assert es2.df.count() == 8_000
     assert es.to_numpy().shape == (8_000, 3)
+
+
+def test_compat_exact_to_csv_single_file_even_with_spark(spark, tmp_path):
+    """Round-4 advice: with a session attached, exact-mode to_csv must
+    still produce the reference's single CSV FILE at ``path`` — not a
+    Spark output directory — and byte-match the no-spark output."""
+    from eventstream_benchmark_spark.generator import compat
+
+    pats = compat.generate_patterns(n_patterns=4, pattern_length=5, n_types=4, seed=11)
+    kw = dict(patterns=pats, n_types=4, total_events=5_000, random_ratio=0.5, seed=7)
+    with_spark = tmp_path / "with_spark.csv"
+    compat.EventStream(spark=spark, **kw).to_csv(str(with_spark))
+    no_spark = tmp_path / "no_spark.csv"
+    compat.EventStream(**kw).to_csv(str(no_spark))
+    assert with_spark.is_file()
+    assert with_spark.read_bytes() == no_spark.read_bytes()
+
+
+def test_compat_sharded_to_csv_single_file(spark, tmp_path):
+    from eventstream_benchmark_spark.generator import compat
+
+    pats = compat.generate_patterns(n_patterns=4, pattern_length=5, n_types=4, seed=11)
+    es = compat.EventStream(
+        patterns=pats, n_types=4, total_events=5_000, random_ratio=0.5,
+        seed=7, spark=spark, mode="sharded", n_shards=8,
+    )
+    out = tmp_path / "sharded.csv"
+    es.to_csv(str(out))
+    assert out.is_file()
+    lines = out.read_text().splitlines()
+    assert lines[0] == "timestamp,event_type,is_pattern"
+    assert len(lines) == 5_001
+
+
+def test_compat_exact_cache_without_spark(tmp_path, monkeypatch):
+    """Round-4 advice: cache_dir must be honored in the no-spark exact
+    path (the reference pickles and reloads). Second instance must
+    answer from the npz without regenerating — proven by poisoning
+    core.build_stream after the first materialization."""
+    from eventstream_benchmark_spark.generator import compat, core
+
+    pats = compat.generate_patterns(n_patterns=4, pattern_length=5, n_types=4, seed=11)
+    kw = dict(patterns=pats, n_types=4, total_events=5_000, random_ratio=0.5,
+              seed=7, cache_dir=str(tmp_path))
+    first = compat.EventStream(**kw).to_numpy()
+    assert any(p.suffix == ".npz" for p in tmp_path.iterdir())
+
+    def boom(*a, **k):
+        raise AssertionError("cache miss: build_stream re-ran")
+
+    monkeypatch.setattr(core, "build_stream", boom)
+    again = compat.EventStream(**kw).to_numpy()
+    np.testing.assert_array_equal(first, again)
+    # regenerate=True must bypass the cache (and hit the poison)
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="cache miss"):
+        compat.EventStream(**{**kw, "regenerate": True}).to_numpy()

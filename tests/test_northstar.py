@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from eventstream_benchmark_spark.operators.multimodal import (
     FRAMES_PER_VIDEO,
@@ -152,3 +153,40 @@ def test_simhash_xxhash64_matches_scalar_recomputation(spark, sf_small):
         for r in out.itertuples()
     }
     assert got == expect
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_embedding_lsh_zero_missed_pairs_per_fixture(spark, sf_dir):
+    """Round-4 advice: the 40x4-band hyperplane LSH's theoretical miss
+    probability at the 0.45 threshold is ~4e-4 per qualifying pair, but
+    the oracle is exact all-pairs — so EVERY fixture set must be
+    exhaustively certified to have zero missed pairs, and a fixture
+    refresh that breaks that must fail here in CI before the driver
+    sees a hash mismatch."""
+    import duckdb
+
+    from eventstream_benchmark_spark.operators import dedup
+
+    got = {
+        (int(r.v1), int(r.v2))
+        for r in dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        truth = {
+            (int(row[0]), int(row[1]))
+            for row in con.execute(
+                dedup.ORACLES["dedup_embedding_cosine"]
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    missed = truth - got
+    assert not missed, f"LSH missed {len(missed)} qualifying pairs: {sorted(missed)[:5]}"
+    assert got == truth
