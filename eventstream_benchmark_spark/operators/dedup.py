@@ -466,6 +466,31 @@ def _emb_band_sigs_udf():
     return band_sigs
 
 
+def _seq_dot_udf():
+    """Sequential-fold dot product, Arrow-batched: vectorized across
+    the batch but accumulated DIMENSION BY DIMENSION in fold order, so
+    every output double is bit-identical to Spark's
+    ``F.aggregate(zip_with(a,b,*), 0.0, +)`` and DuckDB's
+    ``list_reduce`` — the cross-engine float rule that keeps the
+    verify stage hash-checkable.  Exists because the interpreted fold
+    costs ~192 lambda evals per CANDIDATE PAIR: fine at fixture scale
+    (~2k candidates), 585 s on the 10x duplicate-flooded sf1 lane
+    (~400k candidates — measured round 5).  One batched loop of 64
+    vectorized multiply-adds replaces it at identical bits."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def seq_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.vstack(va.to_numpy())
+        b = np.vstack(vb.to_numpy())
+        acc = np.zeros(len(a), dtype=np.float64)
+        for i in range(a.shape[1]):
+            acc = acc + a[:, i] * b[:, i]
+        return pd.Series(acc)
+
+    return seq_dot
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector near-dup pairs with cosine ≥ 0.45 (fixture max ≈ 0.51).
 
@@ -486,15 +511,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, linear explode factor, no O(n²) operator) is what must
     survive the 100 TB scale-up. All cosine arithmetic in double on
     both engines; rounded before thresholding so both select identical
-    pairs."""
+    pairs.
+
+    Scale structure (the sf1 lesson, round 5): on duplicate-flooded
+    data (10x exact vector copies in the sf1 lane; crawl embeddings at
+    100 TB) every copy of a vector lands in the same bucket of every
+    band, so running LSH on raw vectors makes bucket occupancy — and
+    the within-bucket pair join — quadratic in copy count (measured:
+    585 s at sf1, single hot-bucket straggler tasks). The operator
+    therefore collapses EXACT-duplicate vectors first (one groupBy on
+    the vector value — the pipeline_dedup_ordered ordering applied
+    inside the operator), runs banded LSH + verify on the unique
+    representatives only, then expands representative pairs back to
+    member pairs; the expansion join is exactly output-sized. Members
+    are bit-identical to their representative, so every expanded
+    pair's cosine is the representative pair's cosine — the all-pairs
+    oracle sees identical values. Verify cost per candidate is one
+    batched sequential-fold dot (``_seq_dot_udf``) with per-vector
+    norms precomputed once (a norm is a pure function of the vector;
+    precomputing changes no bits vs the oracle's per-pair
+    ``sqrt(fold(a,a))``)."""
     release_scoped_persists()
-    emb = scoped_persist(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    seq_dot = _seq_dot_udf()
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # exact-duplicate collapse: one shuffle on the vector value
+    groups = scoped_persist(
+        raw.groupBy("v").agg(
+            F.min("vec_id").alias("rep_id"),
+            F.collect_list("vec_id").alias("members"),
         )
     )
-    bands = emb.select(
-        "vec_id", F.posexplode(_emb_band_sigs_udf()("v")).alias("band_id", "band_sig")
+    reps = scoped_persist(
+        groups.select(F.col("rep_id"), "v").withColumn(
+            "nrm", F.sqrt(seq_dot(F.col("v"), F.col("v")))
+        )
+    )
+    copies = groups.select("rep_id", F.explode("members").alias("vec_id"))
+
+    bands = reps.select(
+        "rep_id", F.posexplode(_emb_band_sigs_udf()("v")).alias("band_id", "band_sig")
     )
     left = bands.alias("l")
     right = bands.alias("r")
@@ -503,27 +560,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             right,
             (F.col("l.band_id") == F.col("r.band_id"))
             & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
+            & (F.col("l.rep_id") < F.col("r.rep_id")),
         )
-        .select(F.col("l.vec_id").alias("v1"), F.col("r.vec_id").alias("v2"))
+        .select(F.col("l.rep_id").alias("p1"), F.col("r.rep_id").alias("p2"))
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return (
-        candidates.join(va, "v1")
-        .join(vb, "v2")
-        .select("v1", "v2", r6(dot / (norm("va") * norm("vb"))).alias("cosine"))
+    va = reps.select(F.col("rep_id").alias("p1"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = reps.select(F.col("rep_id").alias("p2"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    rep_pairs = (
+        candidates.join(va, "p1")
+        .join(vb, "p2")
+        .select(
+            "p1",
+            "p2",
+            r6(seq_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+    # expansion 1: pairs WITHIN a copy group — cosine of the rep with
+    # itself, computed with the identical expression the oracle uses
+    # for the (a, b) member pair (a's and b's vectors are the same
+    # doubles), so r6(d / (sqrt(d)·sqrt(d))) matches bit-for-bit
+    self_cos = reps.select(
+        "rep_id",
+        r6(seq_dot(F.col("v"), F.col("v")) / (F.col("nrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    c1, c2 = copies.alias("c1"), copies.alias("c2")
+    within = (
+        c1.join(
+            c2,
+            (F.col("c1.rep_id") == F.col("c2.rep_id"))
+            & (F.col("c1.vec_id") < F.col("c2.vec_id")),
+        )
+        .select(F.col("c1.rep_id").alias("rep_id"),
+                F.col("c1.vec_id").alias("v1"), F.col("c2.vec_id").alias("v2"))
+        .join(self_cos, "rep_id")
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("v1", "v2", "cosine")
+    )
+    # expansion 2: pairs ACROSS two near-dup groups — every member of
+    # p1's group against every member of p2's group, oriented by id
+    across = (
+        rep_pairs.join(copies.select(F.col("rep_id").alias("p1"),
+                                     F.col("vec_id").alias("a")), "p1")
+        .join(copies.select(F.col("rep_id").alias("p2"),
+                            F.col("vec_id").alias("b")), "p2")
+        .select(
+            F.least("a", "b").alias("v1"),
+            F.greatest("a", "b").alias("v2"),
+            "cosine",
+        )
+    )
+    return within.unionAll(across)
 
 
 # --------------------------------------------------------------------------

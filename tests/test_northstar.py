@@ -190,3 +190,26 @@ def test_embedding_lsh_zero_missed_pairs_per_fixture(spark, sf_dir):
     missed = truth - got
     assert not missed, f"LSH missed {len(missed)} qualifying pairs: {sorted(missed)[:5]}"
     assert got == truth
+
+
+def test_seq_dot_udf_bit_identical_to_fold(spark, sf_small):
+    """The batched verify dot must equal the interpreted Catalyst fold
+    BIT-FOR-BIT (no tolerance): same dimension-by-dimension
+    accumulation order, same doubles."""
+    from pyspark.sql import functions as F
+
+    from eventstream_benchmark_spark.io import load_table
+    from eventstream_benchmark_spark.operators.dedup import _seq_dot_udf
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    fold = F.aggregate(
+        F.zip_with(F.col("v"), F.reverse("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = emb.select(
+        fold.alias("a"), _seq_dot_udf()(F.col("v"), F.reverse("v")).alias("b")
+    ).toPandas()
+    assert (out["a"].to_numpy() == out["b"].to_numpy()).all()
