@@ -36,6 +36,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "sql_tpch_q7",             # revenue re-summed over 1e-4-scaled BIGINTs
     "sql_tpch_q9",             # profit re-summed over 1e-4-scaled BIGINTs
     "reshape_unpivot",         # measure sums re-scaled to exact cents
+    "dedup_containment_ngram",  # new: asymmetric partial-dup pairs
+    "corpus_ngram_topk",       # new: corpus-wide top-k shingle docfreq
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -1,25 +1,30 @@
 """Deduplication pack over ``documents`` / ``embeddings`` (north-star ops).
 
-Five dedup families, each a ``queries()`` entry:
+Six dedup families, each a ``queries()`` entry — ALL hash-oracled as
+of round 5:
 
 - exact text dedup (md5 hash-groupBy) — oracle ✓
-- word-3-gram Jaccard near-dup pairs (exact, shingle equi-join) — oracle ✓
-- MinHash+LSH near-dup (shingle→minhash→band→bucket-join→exact verify)
-  — oracle ✓ against the all-pairs exact query: with 128 perms in
-  32 bands × 4 rows, P(miss | J ≥ 0.8) = (1-0.8⁴)³² ≈ 5e-8, and
-  candidates are verified exactly, so LSH output == all-pairs output
-- SimHash bucketing (xxhash64 bit-vote signature) — rows-only (the
-  signature is Spark-hash-specific)
-- embedding-cosine near-dup pairs (banded hyperplane-LSH candidates,
-  exact verify) — oracle ✓ against the all-pairs SQL (miss ≈ 3.5e-10
-  at the 0.45 threshold; double arithmetic both engines)
+- word-3-gram Jaccard near-dup pairs (exact, capped shingle
+  equi-join) — oracle ✓; plus the asymmetric CONTAINMENT variant for
+  partial duplicates — oracle ✓
+- MinHash+LSH near-dup (capped shingles→minhash→band→bucket-join→
+  exact verify) — oracle ✓ against the all-pairs exact query: with
+  128 perms in 32 bands × 4 rows, P(miss | J ≥ 0.8) = (1-0.8⁴)³² ≈
+  5e-8, and candidates are verified exactly, so LSH output ==
+  all-pairs output
+- SimHash bucketing — oracle ✓ (md5-derived bucket bits DuckDB can
+  replay); the xxhash64 production variant stays test-verified
+- embedding-cosine near-dup pairs (exact-dup collapse → banded
+  hyperplane-LSH on representatives → batched fold-order verify →
+  output-sized expansion) — oracle ✓ against the all-pairs SQL plus
+  per-fixture zero-missed-pairs certification
 
-Scale notes: the exact-pairs query is quadratic in docs-per-shingle
-and exists as the oracle shape; the 100 TB path is MinHash-LSH, whose
-only shuffles are (band_id, band_sig) groupBys — no cross join
-anywhere. Spark-side shingle hashing uses xxhash64 (never compared to
-DuckDB; parity is on the verified Jaccard values, which are exact
-integer ratios).
+Scale notes: every pair path runs behind the DOCFREQ_CAP stop-shingle
+cap (bounded per-key join fanout); the 100 TB text path is
+MinHash-LSH, whose only shuffles are (band_id, band_sig) groupBys —
+no cross join anywhere; the embedding path collapses exact-duplicate
+vectors before LSH so duplicate-flooded corpora cannot create hot
+buckets (the measured sf1 585 s → 10.7 s lesson).
 """
 
 from __future__ import annotations
@@ -191,6 +196,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", r6(jac))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingle containment (partial-duplicate pairs)
+# --------------------------------------------------------------------------
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate pairs by shingle CONTAINMENT ≥ 0.9:
+    ``|A∩B| / min(|A|, |B|)`` — the asymmetric companion to Jaccard
+    that catches a short document embedded inside a longer one (quote
+    farms, boilerplate-wrapped copies), which symmetric Jaccard
+    misses because the union term dilutes the score. Same capped
+    shingle equi-join shape as ``dedup_ngram_jaccard`` (stop-shingle
+    cap bounds the per-key fanout; one shuffle on shingle, one on the
+    pair key), so the plan scales identically."""
+    release_scoped_persists()
+    sh = _capped_shingles(_doc_shingles(spark, sf_dir))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    containment = F.col("inter") / F.least("n1", "n2")
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("containment", r6(containment))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("d1", "d2", "containment")
     )
 
 
@@ -711,6 +756,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact_text": dedup_exact_text,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment_ngram": dedup_containment_ngram,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -784,6 +830,16 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": _PAIRS_SQL,
     "dedup_minhash_lsh": _PAIRS_SQL,
+    # same capped-shingle CTEs as _PAIRS_SQL with the min-size
+    # containment denominator and its own threshold (drift-guarded by
+    # the asserts below the dict)
+    "dedup_containment_ngram": _PAIRS_SQL.replace(
+        "round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard",
+        "round(inter * 1.0 / least(s1.n, s2.n), 6) AS containment",
+    ).replace(
+        f"WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 6) >= {JACCARD_THRESHOLD}",
+        f"WHERE round(inter * 1.0 / least(s1.n, s2.n), 6) >= {CONTAINMENT_THRESHOLD}",
+    ),
     # replays dedup_simhash's bit votes exactly: same md5-derived 16
     # bucket bits (hex chars 13-16), same strictly-positive vote rule
     "dedup_simhash": f"""
@@ -834,3 +890,10 @@ ORACLES = {
                      sqrt(list_dot_product(b.v, b.v))), 6) >= {COSINE_DUP_THRESHOLD}
     """,
 }
+
+# the containment oracle is derived from _PAIRS_SQL by string surgery;
+# if _PAIRS_SQL's select/filter lines drift, fail at import instead of
+# shipping a silently-identical (jaccard) oracle
+assert ORACLES["dedup_containment_ngram"] != _PAIRS_SQL
+assert "containment" in ORACLES["dedup_containment_ngram"]
+assert "jaccard" not in ORACLES["dedup_containment_ngram"]

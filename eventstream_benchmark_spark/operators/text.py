@@ -526,8 +526,35 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_NGRAM_TOPK = 25
+
+
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k word-3-grams by document frequency — the
+    index a pipeline builds before choosing stop-shingles for dedup
+    (the DOCFREQ_CAP companion) or screening benchmark contamination:
+    which exact phrases dominate the corpus, and how many documents
+    carry each. One explode over the per-doc distinct shingle set, one
+    map-side-combined count, and a TakeOrderedAndProject top-k with
+    the deterministic (df DESC, shingle ASC) tiebreak — no full sort,
+    no second pass, linear at any corpus size."""
+    from eventstream_benchmark_spark.operators.dedup import SHINGLE_K, _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.filter(F.size(F.split(F.lower("text"), " ")) >= SHINGLE_K).select(
+        F.explode(_shingles(F.col("text"))).alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(bigint(F.count("*")).alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(CORPUS_NGRAM_TOPK)
+    )
+
+
 QUERIES = {
     "docs_chunk_overlap": docs_chunk_overlap,
+    "corpus_ngram_topk": corpus_ngram_topk,
     "sample_hash_split": sample_hash_split,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "text_repetition_score": text_repetition_score,
@@ -556,6 +583,20 @@ def _marker_score_sql(lang: str) -> str:
 
 
 ORACLES = {
+    "corpus_ngram_topk": """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 3
+        ),
+        sh AS (
+            SELECT unnest(list_distinct(
+                [w[i] || '_' || w[i+1] || '_' || w[i+2]
+                 FOR i IN range(1, len(w) - 1)])) AS shingle
+            FROM toks
+        )
+        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+        ORDER BY df DESC, shingle LIMIT 25
+    """,
     "docs_chunk_overlap": f"""
         WITH d AS (
             SELECT doc_id, string_split(lower(text), ' ') AS toks,
