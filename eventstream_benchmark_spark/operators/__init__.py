@@ -38,6 +38,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "reshape_unpivot",         # measure sums re-scaled to exact cents
     "dedup_containment_ngram",  # new: asymmetric partial-dup pairs
     "corpus_ngram_topk",       # new: corpus-wide top-k shingle docfreq
+    "agg_approx_quantiles",    # new: sketch-quantile accuracy contract
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -538,6 +538,38 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch percentiles with a checkable accuracy contract
+    — the ``agg_distinct_approx`` pattern applied to quantiles.
+    ``percentile_approx``'s sketch is engine-specific (its raw output
+    can't hash-match another engine), but the CONTRACT is engine-
+    independent: at accuracy=10000 the sketch's rank error is ≤ n/10⁴,
+    so the estimate must land within 2%% of the exact interpolated
+    percentile. The query emits the exact values (oracle-checkable
+    against quantile_cont) plus the in-plan contract booleans; sketch
+    drift fails the driver hash loudly. At 100 TB the sketch column is
+    the one that survives — exact percentiles need a per-group sort,
+    sketches merge map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("e90"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("percentile_approx(l_extendedprice, 0.9, 10000)").alias("a90"),
+    )
+    within = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.02  # noqa: E731
+    return (
+        agg.select(
+            "l_returnflag",
+            r4(F.col("e50")).alias("exact_p50"),
+            r4(F.col("e90")).alias("exact_p90"),
+            within("a50", "e50").alias("p50_within_2pct"),
+            within("a90", "e90").alias("p90_within_2pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregates: sample stddev/variance, correlation,
     covariance — single pass, mergeable power sums, no extra shuffle
@@ -1887,6 +1919,7 @@ QUERIES = {
     "agg_distinct_approx": agg_distinct_approx,
     "agg_skew_salted": agg_skew_salted,
     "agg_percentiles": agg_percentiles,
+    "agg_approx_quantiles": agg_approx_quantiles,
     "agg_stats_moments": agg_stats_moments,
     "agg_pivot": agg_pivot,
     "sql_tpch_q3": sql_tpch_q3,
@@ -2166,6 +2199,16 @@ ORACLES = {
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
                round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # the engine-independent sketch contract: percentile_approx at
+    # accuracy=10000 must land within 2% of the exact interpolated
+    # percentile for every group
+    "agg_approx_quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+               TRUE AS p50_within_2pct, TRUE AS p90_within_2pct
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "agg_stats_moments": """

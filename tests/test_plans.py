@@ -440,3 +440,19 @@ def test_simhash_md5_variant_is_pure_jvm(spark, sf_small):
         assert node not in plan
     assert plan.count("Exchange (") <= 2
     assert "partial_sum" in plan  # map-side combine of the bit votes
+
+
+def test_corpus_ngram_topk_is_takeordered_single_pass(spark, sf_small):
+    """The n-gram index build must be one scan + one count exchange +
+    a TakeOrderedAndProject — no global sort, no Python."""
+    plan = _plan(spark, sf_small, "corpus_ngram_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange (") <= 1
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_containment_pairs_no_cartesian(spark, sf_small):
+    plan = _plan(spark, sf_small, "dedup_containment_ngram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
