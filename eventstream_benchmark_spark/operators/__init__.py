@@ -41,6 +41,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "agg_approx_quantiles",    # new: sketch-quantile accuracy contract
     "corpus_temperature_resample",  # new: T=2 source-mixing weights
     "ann_lsh_query_topk",      # new: multiprobe LSH query-side kNN
+    "events_resample_interp",  # new: linear-interpolation resampling
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

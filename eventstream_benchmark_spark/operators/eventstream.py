@@ -353,6 +353,67 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour", "event_type")
 
 
+def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with LINEAR interpolation — the
+    companion to ``events_gap_fill_locf`` (step-fill) for signals
+    where a straight line between observations is the better estimate
+    (sensor readings, rates). Same bounded hour×type spine; silent
+    hours get ``prev + (next − prev)·(t − t_prev)/(t_next − t_prev)``
+    between the neighboring observed hourly averages, falling back to
+    nearest-observation at the series edges.
+
+    Cross-engine determinism: the neighbor values are 6-decimal
+    rounded BEFORE interpolation, the time fraction is a ratio of
+    integer epoch seconds cast to double, and both engines evaluate
+    the identical expression tree — so the interpolated doubles match
+    bit-for-bit under the final r6. Two window shuffles on event_type
+    (prev + next neighbor scans); the fact side pays one aggregate
+    shuffle, exactly like LOCF."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), r6(F.avg("value")).alias("avg_v"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    w_prev = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_next = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    obs_h = F.when(F.col("avg_v").isNotNull(), F.col("h"))
+    joined = (
+        grid.join(hourly, ["h", "event_type"], "left")
+        .withColumn("is_gap", F.col("n").isNull())
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("pv", F.last("avg_v", ignorenulls=True).over(w_prev))
+        .withColumn("ph", F.last(obs_h, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("avg_v", ignorenulls=True).over(w_next))
+        .withColumn("nh", F.first(obs_h, ignorenulls=True).over(w_next))
+    )
+    frac = (
+        (F.unix_timestamp("h") - F.unix_timestamp("ph")).cast("double")
+        / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+    )
+    v = (
+        F.when(~F.col("is_gap"), F.col("avg_v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(r6(F.col("pv") + (F.col("nv") - F.col("pv")) * frac))
+    )
+    return joined.select(
+        fmt_ts("h").alias("hour"),
+        "event_type",
+        bigint(F.col("n")).alias("n"),
+        "is_gap",
+        v.alias("v_interp"),
+    ).orderBy("hour", "event_type")
+
+
 MAD_K = 3.0  # outlier threshold in MAD units
 
 
@@ -439,6 +500,7 @@ QUERIES = {
     "rollup_hourly_daily": rollup_hourly_daily,
     "time_weighted_avg": time_weighted_avg,
     "events_gap_fill_locf": events_gap_fill_locf,
+    "events_resample_interp": events_resample_interp,
 }
 
 ORACLES = {
@@ -508,6 +570,56 @@ ORACLES = {
         FROM grid g LEFT JOIN hourly hr
           ON g.h = hr.h AND g.event_type = hr.event_type
         ORDER BY hour, g.event_type
+    """,
+    "events_resample_interp": f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   count(*) AS n, round(avg(value), 6) AS avg_v
+            FROM events GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT unnest(generate_series((SELECT min(h) FROM hourly),
+                                          (SELECT max(h) FROM hourly),
+                                          INTERVAL 1 HOUR)) AS h
+        ),
+        grid AS (
+            SELECT s.h, t.event_type
+            FROM spine s CROSS JOIN (SELECT DISTINCT event_type
+                                     FROM events) t
+        ),
+        nb AS (
+            SELECT g.h, g.event_type,
+                   coalesce(hr.n, 0) AS n, hr.n IS NULL AS is_gap,
+                   hr.avg_v,
+                   last_value(hr.avg_v IGNORE NULLS)
+                       OVER (PARTITION BY g.event_type ORDER BY g.h
+                             ROWS UNBOUNDED PRECEDING) AS pv,
+                   last_value(CASE WHEN hr.avg_v IS NOT NULL THEN g.h END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY g.event_type ORDER BY g.h
+                             ROWS UNBOUNDED PRECEDING) AS ph,
+                   first_value(hr.avg_v IGNORE NULLS)
+                       OVER (PARTITION BY g.event_type ORDER BY g.h
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN hr.avg_v IS NOT NULL THEN g.h END
+                               IGNORE NULLS)
+                       OVER (PARTITION BY g.event_type ORDER BY g.h
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS nh
+            FROM grid g LEFT JOIN hourly hr
+              ON g.h = hr.h AND g.event_type = hr.event_type
+        )
+        SELECT {duck_fmt_ts('h')} AS hour, event_type,
+               CAST(n AS BIGINT) AS n, is_gap,
+               CASE WHEN NOT is_gap THEN avg_v
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE round(pv + (nv - pv) *
+                         (CAST(epoch(h) - epoch(ph) AS DOUBLE)
+                          / CAST(epoch(nh) - epoch(ph) AS DOUBLE)), 6)
+               END AS v_interp
+        FROM nb ORDER BY hour, event_type
     """,
     "scd2_user_state": """
         WITH flagged AS (

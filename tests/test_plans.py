@@ -456,3 +456,14 @@ def test_containment_pairs_no_cartesian(spark, sf_small):
     plan = _plan(spark, sf_small, "dedup_containment_ngram")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multiprobe_knn_broadcast_and_rank_pushdown(spark, sf_small):
+    """The multiprobe candidate join must be a broadcast hash join
+    (tiny probe list vs bucketed corpus — never a shuffle or NL join),
+    and the per-query top-k must push down as WindowGroupLimit."""
+    plan = _plan(spark, sf_small, "ann_lsh_query_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
