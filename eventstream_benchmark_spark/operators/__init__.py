@@ -42,6 +42,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "corpus_temperature_resample",  # new: T=2 source-mixing weights
     "ann_lsh_query_topk",      # new: multiprobe LSH query-side kNN
     "events_resample_interp",  # new: linear-interpolation resampling
+    "join_interval_overlap",   # new: sessions x maintenance calendar
+    "scan_schema_evolution",   # new: mergeSchema across generations
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -353,6 +353,55 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour", "event_type")
 
 
+MAINT_START_H = 2  # daily maintenance window [02:00, 03:00)
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user sessions (intervals built by the
+    B30 sessionizer) against a generated calendar of daily
+    [02:00, 03:00) maintenance windows — "which sessions would a
+    nightly maintenance window have interrupted, per day".  The
+    overlap predicate is the classic half-open test
+    ``s_start < w_end AND w_start <= s_end``.
+
+    Scale shape: the window calendar is bounded by the DATE RANGE
+    (one row per day — broadcast-tiny at any event volume), so the
+    overlap join is a broadcast nested-loop whose cost is linear in
+    sessions with a tiny constant — the right plan when one interval
+    set is small.  (Big×big interval joins need bucketization instead
+    — the same hour-explode trick events_gap_fill_locf's spine uses —
+    at the cost of a dedup; not needed for a calendar side.)  Session
+    endpoints are integer microseconds end to end, so both engines
+    compare identical values."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        _sessions(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    windows = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    ).select(
+        "day",
+        (F.unix_micros("day") + MAINT_START_H * 3600 * 1_000_000).alias("w_start"),
+        (F.unix_micros("day") + (MAINT_START_H + 1) * 3600 * 1_000_000).alias("w_end"),
+    )
+    overlap = (F.col("s_us") < F.col("w_end")) & (F.col("w_start") <= F.col("e_us"))
+    return (
+        sess.join(F.broadcast(windows), overlap)
+        .groupBy(fmt_date("day").alias("day"))
+        .agg(
+            bigint(F.count("*")).alias("n_sessions"),
+            bigint(F.countDistinct("user_id")).alias("n_users"),
+        )
+        .orderBy("day")
+    )
+
+
 def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid resampling with LINEAR interpolation — the
     companion to ``events_gap_fill_locf`` (step-fill) for signals
@@ -501,6 +550,7 @@ QUERIES = {
     "time_weighted_avg": time_weighted_avg,
     "events_gap_fill_locf": events_gap_fill_locf,
     "events_resample_interp": events_resample_interp,
+    "join_interval_overlap": join_interval_overlap,
 }
 
 ORACLES = {
@@ -570,6 +620,49 @@ ORACLES = {
         FROM grid g LEFT JOIN hourly hr
           ON g.h = hr.h AND g.event_type = hr.event_type
         ORDER BY hour, g.event_type
+    """,
+    "join_interval_overlap": f"""
+        WITH flagged AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > {SESSION_GAP_MIN} * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_s,
+                   event_id
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id,
+                   us
+            FROM flagged
+        ),
+        iv AS (
+            SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+            FROM sess GROUP BY 1, 2
+        ),
+        days AS (
+            SELECT unnest(generate_series(
+                (SELECT date_trunc('day', min(ts)) FROM events),
+                (SELECT date_trunc('day', max(ts)) FROM events),
+                INTERVAL 1 DAY)) AS day
+        ),
+        win AS (
+            SELECT day,
+                   epoch_us(day)
+                       + CAST({MAINT_START_H} AS BIGINT) * 3600 * 1000000
+                       AS w_start,
+                   epoch_us(day)
+                       + CAST({MAINT_START_H + 1} AS BIGINT) * 3600 * 1000000
+                       AS w_end
+            FROM days
+        )
+        SELECT {duck_fmt_date('day')} AS day,
+               count(*) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM iv JOIN win ON s_us < w_end AND w_start <= e_us
+        GROUP BY day ORDER BY day
     """,
     "events_resample_interp": f"""
         WITH hourly AS (

@@ -1414,6 +1414,55 @@ def write_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVOLUTION_CUTOFF = "1997-01-01"
+
+
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet generations of the orders
+    fact — generation 1 written BEFORE a ``priority_flag`` column
+    existed, generation 2 with it — read back as ONE table via
+    ``mergeSchema`` (the footer-union path every long-lived lake needs
+    when columns are added over time). Generation-1 rows surface the
+    late-added column as NULL; the aggregate proves both the merge and
+    the null semantics. At 100 TB, schema merging is a planning-time
+    footer union — per-file pruning and column pruning are unaffected;
+    the generation partition column also demonstrates that evolution
+    composes with partition discovery. The oracle recomputes the same
+    per-generation aggregate from the source table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(EVOLUTION_CUTOFF).cast("timestamp")
+    root = tempfile.mkdtemp(prefix="esb_evo_")
+    gen1 = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    gen2 = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.col("o_orderpriority") == "1-URGENT").alias("priority_flag"),
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        merged.groupBy(F.col("gen").cast("int").alias("gen"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            bigint(F.sum(F.col("priority_flag").isNull().cast("int"))).alias(
+                "n_flag_null"
+            ),
+            bigint(
+                F.sum(F.coalesce(F.col("priority_flag"), F.lit(False)).cast("int"))
+            ).alias("n_urgent"),
+            # exact cents sum: order-proof across partitions/engines
+            r2(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0
+            ).alias("revenue"),
+        )
+        .orderBy("gen")
+    )
+
+
 def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-expression family (CASE WHEN / coalesce / nullif /
     least / greatest) over lineitem, aggregated per branch. All of these
@@ -1915,6 +1964,7 @@ QUERIES = {
     "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "write_partitioned_pruned": write_partitioned_pruned,
+    "scan_schema_evolution": scan_schema_evolution,
     "join_bucketed_colocated": join_bucketed_colocated,
     "agg_distinct_approx": agg_distinct_approx,
     "agg_skew_salted": agg_skew_salted,
@@ -2083,6 +2133,20 @@ ORACLES = {
         SELECT event_type, count(*) AS n,
                round(sum(value * length(event_type)), 2) AS weighted_sum
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "scan_schema_evolution": f"""
+        SELECT 1 AS gen, count(*) AS n_orders,
+               count(*) AS n_flag_null, CAST(0 AS BIGINT) AS n_urgent,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                   AS revenue
+        FROM orders WHERE o_orderdate < TIMESTAMP '{EVOLUTION_CUTOFF}'
+        UNION ALL
+        SELECT 2, count(*), CAST(0 AS BIGINT),
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{EVOLUTION_CUTOFF}'
+        ORDER BY gen
     """,
     "write_partitioned_pruned": f"""
         SELECT event_type, count(*) AS n,
