@@ -13,14 +13,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (~50 of 139 per round), so registry order decides which queries earn a
+# (~50 of 147 per round), so registry order decides which queries earn a
 # CORRECTNESS row this round.  Round-5 rotation, strictly by
 # verification staleness (merged CORRECTNESS_r1-r4): (1) never-sampled /
-# round-1-stale queries, (2) queries whose oracle or implementation
-# changes this round and therefore needs a fresh driver row, (3) the 34
-# round-2-green re-checks, (4) the first round-3-green entries to fill
-# the ~50 window; the round-4-green pack (all 50 sampled last round)
-# closes the list and cycles back next round.
+# round-1-stale queries, (2) the 18 queries whose oracle or
+# implementation changed or were ADDED in round 5 (a fresh driver row
+# beats any re-check), (3) the 33 round-2-green re-checks, (4)
+# round-3-green entries fill whatever window remains.  21 + 33 = 54
+# slightly overflows a 50-query window, so the LAST few r2 re-checks
+# (the streaming pack — independently pinned by offline-replay equality
+# tests) may slip to round 6 and must rotate to the very front then,
+# together with any round-5 additions that missed the window.
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
     # (1) never sampled / stalest
     "events_ohlc_candles",     # added post-window in round 4 — first driver row
@@ -44,6 +47,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "events_resample_interp",  # new: linear-interpolation resampling
     "join_interval_overlap",   # new: sessions x maintenance calendar
     "scan_schema_evolution",   # new: mergeSchema across generations
+    "agg_hll_merge_daily",     # new: mergeable HLL state contract
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -570,6 +570,47 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count state — the incremental pattern
+    ``agg_distinct_approx`` (single-shot) doesn't cover: build one HLL
+    sketch PER DAY (``hll_sketch_agg``, the materialized-view state a
+    pipeline persists), union the daily sketches into a period total
+    (``hll_union_agg`` — no re-scan of history), and estimate. At
+    100 TB this is how "distinct users this quarter" stays one cheap
+    merge instead of a quarter-long re-aggregation; sketch size is
+    O(kB)/day regardless of volume.
+
+    Contract check (engine-independent): the merged estimate must land
+    within 5%% of the exact all-period distinct, emitted in-plan as a
+    boolean next to the exact count per event_type — the
+    ``agg_distinct_approx`` contract applied to MERGED state, which
+    additionally certifies that the union preserved sketch validity."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    within = (
+        F.abs(F.col("est") - F.col("n_users_exact")) / F.col("n_users_exact") <= 0.05
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            bigint(F.col("n_days")).alias("n_days"),
+            "n_users_exact",
+            within.alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregates: sample stddev/variance, correlation,
     covariance — single pass, mergeable power sums, no extra shuffle
@@ -1970,6 +2011,7 @@ QUERIES = {
     "agg_skew_salted": agg_skew_salted,
     "agg_percentiles": agg_percentiles,
     "agg_approx_quantiles": agg_approx_quantiles,
+    "agg_hll_merge_daily": agg_hll_merge_daily,
     "agg_stats_moments": agg_stats_moments,
     "agg_pivot": agg_pivot,
     "sql_tpch_q3": sql_tpch_q3,
@@ -2264,6 +2306,15 @@ ORACLES = {
                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
                round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # merged-sketch contract: the unioned daily HLLs must estimate
+    # within 5% of the exact period distinct for every group
+    "agg_hll_merge_daily": """
+        SELECT event_type,
+               CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+               count(DISTINCT user_id) AS n_users_exact,
+               TRUE AS within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     # the engine-independent sketch contract: percentile_approx at
     # accuracy=10000 must land within 2% of the exact interpolated
