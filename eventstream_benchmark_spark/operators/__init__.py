@@ -48,6 +48,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "join_interval_overlap",   # new: sessions x maintenance calendar
     "scan_schema_evolution",   # new: mergeSchema across generations
     "agg_hll_merge_daily",     # new: mergeable HLL state contract
+    "join_runtime_filtered",   # revenue re-summed over 1e-4-scaled BIGINTs (r5)
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",
@@ -91,7 +92,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "join_inner_equi",
     "join_left_outer",
     "join_semi_anti",
-    "join_runtime_filtered",
     "join_skew_salted",
     "agg_hash_global",
     "agg_distinct",

@@ -423,14 +423,18 @@ def join_runtime_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
+    # revenue over 1e-4-scaled BIGINTs, rounded at the sum's own scale
+    # — the summation-order-proof pattern (see sql_tpch_q7); the plain
+    # round(sum(double), 2) form flipped a boundary cent at sf0.001
+    vol_e4 = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+    ).cast("long")
     return (
         li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
         .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
             F.count("*").alias("n_items"),
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            ),
+            F.round(F.sum(vol_e4) / F.lit(10000.0), 4).alias("revenue"),
         )
         .select(fmt_ts("month").alias("month"), "n_items", "revenue")
         .orderBy("month")
@@ -2067,7 +2071,8 @@ ORACLES = {
         SELECT strftime(date_trunc('month', o_orderdate),
                         '%Y-%m-%d %H:%M:%S.%f') AS month,
                count(*) AS n_items,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
+                              AS BIGINT)) / CAST(10000 AS DOUBLE), 4) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1 ORDER BY 1

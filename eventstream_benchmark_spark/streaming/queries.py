@@ -303,11 +303,20 @@ def streaming_rate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic set and the per-type summary carries a full DuckDB
     oracle — a hash-checked rate-source query."""
     with _state_shuffle(spark):
-        static = F.broadcast(
+        static_df = (
             load_table(spark, sf_dir, "events")
             .filter(F.col("event_id") < RATE_REPLAY_LIMIT)
             .select("event_id", "event_type", "user_id")
         )
+        # the completion target is the static side's actual max id, not
+        # the nominal LIMIT: at small SFs the fixture holds fewer events
+        # than the replay window, and waiting for an id that no event
+        # carries would spin to the deadline (found by the sf0.001
+        # parity sweep, round 5). One tiny pre-stream batch query over
+        # the already-filtered side — harness-side pacing, not a
+        # per-row driver loop.
+        target = static_df.agg(F.max("event_id")).collect()[0][0]
+        static = F.broadcast(static_df)
         rate = (
             spark.readStream.format("rate-micro-batch")
             .option("rowsPerBatch", RATE_ROWS_PER_BATCH)
@@ -327,7 +336,7 @@ def streaming_rate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             deadline = time.monotonic() + 120.0
             while True:
                 mx = spark.table(name).agg(F.max("value")).collect()[0][0]
-                if mx is not None and mx >= RATE_REPLAY_LIMIT - 1:
+                if mx is not None and mx >= target:
                     break
                 if time.monotonic() > deadline:
                     raise TimeoutError(
