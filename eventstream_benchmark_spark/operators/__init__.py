@@ -49,6 +49,10 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "scan_schema_evolution",   # new: mergeSchema across generations
     "agg_hll_merge_daily",     # new: mergeable HLL state contract
     "join_runtime_filtered",   # revenue re-summed over 1e-4-scaled BIGINTs (r5)
+    "text_line_dedup",         # new: C4-style cross-doc span dedup, keep-first
+    "text_pii_redact",         # new: deterministic PII plant + regex scrub
+    "quality_logreg_filter",   # new: fixed-weight linear quality gate
+    "export_shard_manifest",   # new: shard manifest w/ checksums + offsets
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

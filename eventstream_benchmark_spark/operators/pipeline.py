@@ -196,14 +196,117 @@ def pipeline_dedup_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXPORT_SHARDS = 16
+
+
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard manifest: assign every document to one of
+    ``EXPORT_SHARDS`` shards by multiplicative hash (reshard-stable,
+    key-uniform — the same coin as ``sample_hash_split``), then emit
+    the manifest a dataset writer publishes next to the shards: doc /
+    token / byte counts, an order-sensitive content checksum (sum of
+    the per-doc positional fingerprints from ``text_fingerprint``),
+    and each shard's byte offset in the concatenated export (one
+    newline per doc), so a reader can seek without opening shards.
+
+    Scale shape: one scan computing per-doc stats as column exprs, one
+    map-side-combined groupBy on the shard id (``EXPORT_SHARDS`` keys
+    — tiny, never skewed because the hash is uniform), and a window
+    over the shard-count-sized manifest itself for the running byte
+    offset (16 rows — the single-partition window is on the manifest,
+    never on the corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    code = lambda t: F.length(t) * 31 + F.ascii(F.substring(t, 1, 1))  # noqa: E731
+    fp = F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, i: i.cast("bigint") * code(t).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    per = docs.select(
+        "doc_id",
+        (
+            (F.col("doc_id") * F.lit(text.SPLIT_HASH_MULT))
+            % F.lit(text.SPLIT_HASH_MOD)
+            % EXPORT_SHARDS
+        )
+        .cast("bigint")
+        .alias("shard"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        fp.alias("fp"),
+    )
+    sh = per.groupBy("shard").agg(
+        bigint(F.count("*")).alias("n_docs"),
+        bigint(F.sum("n_tok")).alias("sum_tokens"),
+        bigint(F.sum("n_chars")).alias("sum_chars"),
+        bigint(F.sum("fp")).alias("checksum"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    from pyspark.sql import Window as W
+
+    w_prev = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    file_bytes = F.col("sum_chars") + F.col("n_docs")
+    return sh.select(
+        "shard",
+        "n_docs",
+        "sum_tokens",
+        "sum_chars",
+        "checksum",
+        "min_doc",
+        "max_doc",
+        bigint(file_bytes).alias("file_bytes"),
+        bigint(F.coalesce(F.sum(file_bytes).over(w_prev), F.lit(0))).alias("byte_offset"),
+    ).orderBy("shard")
+
+
 QUERIES = {
     "pipeline_corpus_prep": pipeline_corpus_prep,
+    "export_shard_manifest": export_shard_manifest,
     "corpus_mix_rebalance": corpus_mix_rebalance,
     "corpus_temperature_resample": corpus_temperature_resample,
     "pipeline_dedup_ordered": pipeline_dedup_ordered,
 }
 
 ORACLES = {
+    "export_shard_manifest": f"""
+        WITH perdoc AS (
+            SELECT doc_id,
+                   CAST((doc_id * {text.SPLIT_HASH_MULT})
+                        % {text.SPLIT_HASH_MOD} % {EXPORT_SHARDS} AS BIGINT)
+                       AS shard,
+                   CAST(len(toks) AS BIGINT) AS n_tok,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(list_sum([CAST(i AS BIGINT) *
+                       CAST(31 * length(toks[i])
+                            + ascii(substring(toks[i], 1, 1)) AS BIGINT)
+                       FOR i IN range(1, len(toks) + 1)]) AS BIGINT) AS fp
+            FROM (SELECT doc_id, text,
+                         string_split(lower(text), ' ') AS toks
+                  FROM documents)
+        ),
+        sh AS (
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(fp) AS BIGINT) AS checksum,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM perdoc GROUP BY shard
+        )
+        SELECT shard, n_docs, sum_tokens, sum_chars, checksum,
+               min_doc, max_doc,
+               CAST(sum_chars + n_docs AS BIGINT) AS file_bytes,
+               CAST(coalesce(sum(sum_chars + n_docs) OVER (ORDER BY shard
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS byte_offset
+        FROM sh ORDER BY shard
+    """,
     "pipeline_corpus_prep": f"""
         WITH t AS (
             SELECT doc_id, lang,

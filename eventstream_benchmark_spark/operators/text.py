@@ -552,8 +552,151 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_WIN = 8  # tokens per "line" (span) for cross-document span dedup
+
+# deliberately simple patterns: the fixture corpus is [a-z ]-only, so
+# every match is one we injected deterministically in-plan
+PII_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup: documents are cut into
+    non-overlapping ``LINE_WIN``-token spans (the corpus has no
+    newlines, so fixed token windows stand in for lines), every span
+    occurring more than once corpus-wide keeps exactly its FIRST
+    occurrence (global (doc_id, win_idx) order) and loses the rest,
+    and each document reports how much of it survived plus an md5 of
+    its reassembled kept text.
+
+    Scale shape: one explode (linear in corpus tokens), one shuffle on
+    the span text for the keep-first row_number (partition sizes are
+    per-span docfreq — bounded by duplication, never corpus-sized),
+    one groupBy doc_id to reassemble. No all-pairs form anywhere; at
+    100 TB this is the canonical two-shuffle dedup plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    last_win = F.floor((F.size(toks) - F.lit(1)) / F.lit(LINE_WIN)).cast("int")
+    wins = F.transform(
+        F.sequence(F.lit(0), last_win),
+        lambda i: F.array_join(F.slice(toks, i * LINE_WIN + 1, LINE_WIN), " "),
+    )
+    exploded = docs.select("doc_id", F.posexplode(wins).alias("win_idx", "win_text"))
+    w = W.partitionBy("win_text").orderBy("doc_id", "win_idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            bigint(F.count("*")).alias("n_windows"),
+            bigint(F.sum((~kept).cast("int"))).alias("n_removed"),
+            bigint(
+                F.coalesce(
+                    F.sum(F.when(kept, F.size(F.split(F.col("win_text"), " ")))), F.lit(0)
+                )
+            ).alias("n_tokens_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.when(kept, F.struct("win_idx", "win_text")))
+                        ),
+                        lambda s: s["win_text"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email / phone patterns with
+    in-plan regexes. The fixture text is letters-and-spaces only, so a
+    deterministic augmentation step first plants synthetic PII (an
+    email on every doc_id % 3 == 0, a phone on every doc_id % 5 == 0)
+    — the redaction then has known ground truth the DuckDB oracle
+    replays exactly, including the md5 of the scrubbed text.
+
+    Scale shape: pure per-row column expressions (JVM regex, no
+    Python), embarrassingly parallel, fuses into the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        bigint(F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), F.lit(0)))).alias(
+            "n_emails"
+        ),
+        bigint(F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE_RE), F.lit(0)))).alias(
+            "n_phones"
+        ),
+        bigint(F.length(red)).alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def quality_logreg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight linear classifier
+    over the quality features (capped token count, stopword ratio,
+    mean token length), thresholded at score > 0 — the shape of a
+    fastText/logreg quality gate in a pretraining pipeline, minus the
+    learned weights.
+
+    Cross-engine determinism: the features are rounded to 6 dp first
+    (exact rationals → identical doubles in both engines), and the
+    score is a transcendental-free +/*/− expression over them —
+    sigmoid(z) > 0.5 ⇔ z > 0, so the exp() never needs computing and
+    the keep decision is bit-deterministic. Single scan, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks).cast("bigint")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    sr = F.round(stop_hits * F.lit(1.0) / n_tok, 6)
+    mtl = F.round((F.length("text") - (n_tok - 1)) * F.lit(1.0) / n_tok, 6)
+    score = F.round(
+        F.lit(0.01) * (F.least(n_tok, F.lit(400)) - 60)
+        + F.lit(10.0) * (sr - 0.05)
+        - F.lit(0.5) * (mtl - 4.6),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        sr.alias("stop_ratio"),
+        mtl.alias("mean_tok_len"),
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
 QUERIES = {
     "docs_chunk_overlap": docs_chunk_overlap,
+    "text_line_dedup": text_line_dedup,
+    "text_pii_redact": text_pii_redact,
+    "quality_logreg_filter": quality_logreg_filter,
     "corpus_ngram_topk": corpus_ngram_topk,
     "sample_hash_split": sample_hash_split,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
@@ -839,5 +982,86 @@ ORACLES = {
             WHERE term <> '' AND term NOT IN {_STOP_SQL}
             GROUP BY lang, term
         ) WHERE rk <= 10
+    """,
+    "text_line_dedup": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        wins AS (
+            SELECT doc_id, CAST((i - 1) // {LINE_WIN} AS BIGINT) AS win_idx,
+                   array_to_string(w[i:i+{LINE_WIN - 1}], ' ') AS win_text,
+                   CAST(len(w[i:i+{LINE_WIN - 1}]) AS BIGINT) AS n_tok
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, len(w) + 1, {LINE_WIN})) AS i
+                  FROM t)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY win_text
+                          ORDER BY doc_id, win_idx) AS rn
+            FROM wins
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               CAST(coalesce(sum(CASE WHEN rn = 1 THEN n_tok END), 0)
+                   AS BIGINT) AS n_tokens_kept,
+               md5(coalesce(string_agg(CASE WHEN rn = 1 THEN win_text END,
+                                       ' ' ORDER BY win_idx), ''))
+                   AS kept_md5
+        FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    "text_pii_redact": f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com' ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 0
+                        THEN ' call 555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               CAST(length(regexp_replace(regexp_replace(t,
+                   '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+                   AS redacted_len,
+               md5(regexp_replace(regexp_replace(t,
+                   '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+        FROM aug ORDER BY doc_id
+    """,
+    "quality_logreg_filter": f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+                   CAST(length(text) AS BIGINT) AS nchars
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, lang,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                         * 1.0 / len(toks), 6) AS stop_ratio,
+                   round((nchars - (len(toks) - 1)) * 1.0 / len(toks), 6)
+                       AS mean_tok_len
+            FROM t
+        ),
+        scored AS (
+            SELECT *,
+                   round(0.01 * (least(n_tokens, 400) - 60)
+                         + 10.0 * (stop_ratio - 0.05)
+                         - 0.5 * (mean_tok_len - 4.6), 6) AS score
+            FROM feat
+        )
+        SELECT doc_id, lang, n_tokens, stop_ratio, mean_tok_len, score,
+               score > 0 AS keep
+        FROM scored ORDER BY doc_id
     """,
 }
