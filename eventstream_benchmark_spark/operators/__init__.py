@@ -53,6 +53,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "text_pii_redact",         # new: deterministic PII plant + regex scrub
     "quality_logreg_filter",   # new: fixed-weight linear quality gate
     "export_shard_manifest",   # new: shard manifest w/ checksums + offsets
+    "embed_pq_encode",         # new: product-quantization codes + recon MSE
+    "streaming_static_enrich",  # new: stream-static broadcast dim join
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

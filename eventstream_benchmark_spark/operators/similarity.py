@@ -418,8 +418,77 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_SUBS = 8  # subspaces (64-dim fixture → 8 dims per subspace)
+PQ_SUBDIM = 8
+PQ_CODES = 16  # codewords per subspace
+
+
+def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each 64-dim embedding into
+    ``PQ_SUBS`` subvectors and encode every subvector as the id of its
+    nearest codeword (squared-L2), yielding an 8-byte code per vector
+    — the memory-side companion to IVF (Jégou et al.'s IVFADC layout):
+    at 100 TB the float corpus doesn't fit executor memory but the PQ
+    codes do, and distance tables over codebooks replace full scans.
+
+    Codebook training is deterministic for the oracle: the codewords
+    of subspace s are the s-subvectors of the first ``PQ_CODES``
+    vectors (the seed-centroid trick from ``ann_ivf_cosine``; a Lloyd
+    round would refine them the same way ``_recompute_centroids``
+    does). Output per vector: the dash-joined code string and the
+    reconstruction MSE.
+
+    Scale shape: the codebook (PQ_SUBS·PQ_CODES rows) broadcasts; the
+    corpus explodes to (vec_id, sub) — a constant ×8, not a join blowup
+    — scores 16 codewords per row map-side, and reduces by (vec_id,
+    sub) then vec_id. One shuffle keyed on vec_id, nothing quadratic.
+    Every argmin uses (integer micro-distance, code) so both engines
+    cut identical codes and the mse sums exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
+    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("sub")
+    subvec = F.slice("v", F.col("sub") * PQ_SUBDIM + 1, PQ_SUBDIM)
+    subs = emb.select("vec_id", "v", sub).select("vec_id", "sub", subvec.alias("sv"))
+    codebook = (
+        subs.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("vec_id").alias("code"), "sub", F.col("sv").alias("cw"))
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    # micro-distances as exact integers (round(d·1e6)): the argmin
+    # tiebreak AND the final mse sum are then integer arithmetic, so no
+    # engine can disagree at a rounding boundary (the sequential fold
+    # makes the raw double identical; the 1e6 scale survives it)
+    scored = subs.join(F.broadcast(codebook), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        bigint(F.round(dist * F.lit(1_000_000.0), 0)).alias("dist_i"),
+    )
+    best = scored.groupBy("vec_id", "sub").agg(F.min(F.struct("dist_i", "code")).alias("m"))
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sub", F.col("m.code").alias("code")))
+                    ),
+                    lambda s: s["code"].cast("string"),
+                ),
+                "-",
+            ).alias("codes"),
+            r6(F.sum("m.dist_i") / F.lit(PQ_SUBS * PQ_SUBDIM * 1_000_000.0)).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "embed_cosine_topk": embed_cosine_topk,
+    "embed_pq_encode": embed_pq_encode,
     "embed_dim_stats": embed_dim_stats,
     "embed_quantize_int8": embed_quantize_int8,
     "knn_bruteforce_topk": knn_bruteforce_topk,
@@ -463,6 +532,41 @@ def _lsh_bucket_sql(v: str = "v", n_bits: int = LSH_PLANES) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 ORACLES = {
+    "embed_pq_encode": f"""
+        WITH e AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+            FROM embeddings
+        ),
+        subs AS (
+            SELECT vec_id, s.sub,
+                   list_slice(v, s.sub * {PQ_SUBDIM} + 1,
+                              s.sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+            FROM e, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) s
+        ),
+        cb AS (
+            SELECT vec_id AS code, sub, sv AS cw FROM subs
+            WHERE vec_id < {PQ_CODES}
+        ),
+        scored AS (
+            SELECT t.vec_id, t.sub, c.code,
+                   CAST(round(list_reduce(
+                       [(t.sv[i] - c.cw[i]) * (t.sv[i] - c.cw[i])
+                        FOR i IN range(1, {PQ_SUBDIM} + 1)],
+                       (a, x) -> a + x) * 1000000.0, 0) AS BIGINT) AS dist_i
+            FROM subs t JOIN cb c USING (sub)
+        ),
+        best AS (
+            SELECT vec_id, sub, code, dist_i FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist_i, code) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT vec_id,
+               string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS codes,
+               round(sum(dist_i) / {PQ_SUBS * PQ_SUBDIM * 1000000}.0, 6) AS mse
+        FROM best GROUP BY vec_id ORDER BY vec_id
+    """,
     # generate_series can't reference len(embedding) laterally in DuckDB;
     # the fixture dimensionality is fixed at 64
     "embed_quantize_int8": """

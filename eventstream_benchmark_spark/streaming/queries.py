@@ -487,8 +487,43 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("event_type")
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment — the one join shape the
+    streaming pack was missing: a micro-batched stream joined against
+    a bounded dimension table (here a per-user activity profile built
+    from batch history; heavy = at-or-above the mean event count, the
+    threshold computed in-plan via a broadcast 1-row aggregate, never
+    a driver collect). Stream-static inner joins are stateless — each
+    micro-batch re-plans the static side, the broadcast hint keeps the
+    stream off the shuffle path — so the complete-mode answer equals
+    the batch join the oracle runs.
+
+    At 100 TB the profile side is the small one (users ≪ events) and
+    broadcasts; if it outgrew broadcast the same plan degrades to a
+    shuffled equi-join per micro-batch, still stateless."""
+    with _state_shuffle(spark):
+        src = _replay_dir(spark, sf_dir)
+        ev = load_table(spark, sf_dir, "events")
+        counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+        mean_n = counts.agg(F.avg("n_events").alias("mean_n"))
+        profile = counts.crossJoin(F.broadcast(mean_n)).select(
+            "user_id",
+            F.when(F.col("n_events") >= F.col("mean_n"), F.lit("heavy"))
+            .otherwise(F.lit("light"))
+            .alias("tier"),
+        )
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        enriched = stream.join(F.broadcast(profile), "user_id")
+        agg = enriched.groupBy("event_type", "tier").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+        )
+        result = _run_to_memory(agg, "complete")
+    return result.orderBy("event_type", "tier")
+
+
 QUERIES = {
     "streaming_replay_tumbling": streaming_replay_tumbling,
+    "streaming_static_enrich": streaming_static_enrich,
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_pattern_state": streaming_pattern_state,
     "streaming_join_clicks_purchases": streaming_join_clicks_purchases,
@@ -500,6 +535,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    # stream-static inner join is stateless: complete-mode replay of an
+    # in-order stream equals the batch join against the same profile
+    "streaming_static_enrich": """
+        WITH prof AS (
+            SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+        ),
+        m AS (SELECT avg(n_events) AS mean_n FROM prof),
+        tiers AS (
+            SELECT user_id,
+                   CASE WHEN n_events >= (SELECT mean_n FROM m)
+                        THEN 'heavy' ELSE 'light' END AS tier
+            FROM prof
+        )
+        SELECT e.event_type, t.tier, count(*) AS n,
+               round(sum(e.value), 6) AS sum_value
+        FROM events e JOIN tiers t USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     # the foreachBatch parquet sink preserves the filtered stream
     # exactly, so reading the sink back equals aggregating the source
     "streaming_foreach_batch_sink": f"""
