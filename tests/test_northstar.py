@@ -231,3 +231,55 @@ def test_multiprobe_lsh_recall_floor(spark, sf_small):
     recalls = [len(es[q] & asets.get(q, set())) / KNN_K for q in es.index]
     assert np.mean(recalls) >= 0.25, f"multiprobe recall {np.mean(recalls):.2f}"
     assert (approx["rk"] <= KNN_K).all()
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark, sf_small):
+    """Codebook training is the identity on its own seeds: every
+    vec_id < PQ_CODES must encode to code vec_id in EVERY subspace
+    with zero reconstruction error — a codebook-wiring canary (a
+    wrong slice offset or argmin tiebreak breaks this immediately)."""
+    from eventstream_benchmark_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_SUBS,
+        embed_pq_encode,
+    )
+
+    out = embed_pq_encode(spark, sf_small).toPandas()
+    seeds = out[out["vec_id"] < PQ_CODES]
+    assert len(seeds) == PQ_CODES
+    for _, row in seeds.iterrows():
+        assert row["codes"] == "-".join([str(row["vec_id"])] * PQ_SUBS)
+        assert row["mse"] == 0.0
+    # non-seed vectors must quantize with loss (fixture vecs are dense
+    # near-uniform, never exactly equal to a seed subvector 8x over)
+    rest = out[out["vec_id"] >= PQ_CODES]
+    assert (rest["mse"] > 0).all()
+
+
+def test_line_dedup_removes_planted_duplicate_spans(spark, sf_small, tmp_path):
+    """Plant two documents sharing an identical leading 8-token span:
+    the first (lower doc_id) keeps it, the second loses exactly that
+    span and keeps its distinct tail."""
+    import pandas as pd
+
+    from eventstream_benchmark_spark.operators.text import LINE_WIN, text_line_dedup
+
+    span = " ".join(["dup"] * LINE_WIN)
+    tail = " ".join(f"tail{i}" for i in range(LINE_WIN))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [span, span + " " + tail],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [len(span), len(span) + 1 + len(tail)],
+        }
+    )
+    fix = tmp_path / "fixture"
+    fix.mkdir()
+    spark.createDataFrame(docs).write.parquet(str(fix / "documents.parquet"))
+    out = text_line_dedup(spark, str(fix)).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_removed"] == 0 and out.loc[0, "n_tokens_kept"] == LINE_WIN
+    assert out.loc[1, "n_windows"] == 2
+    assert out.loc[1, "n_removed"] == 1  # the shared leading span
+    assert out.loc[1, "n_tokens_kept"] == LINE_WIN  # only the tail survives

@@ -467,3 +467,55 @@ def test_multiprobe_knn_broadcast_and_rank_pushdown(spark, sf_small):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize("name", ["text_pii_redact", "quality_logreg_filter"])
+def test_scrub_and_quality_gate_fuse_into_scan(spark, sf_small, name):
+    """PII redaction and the linear quality gate are per-row column
+    expressions: they must stay a single scan + project — no exchange,
+    no Python eval node."""
+    plan = _plan(spark, sf_small, name)
+    assert "Scan parquet" in plan
+    for node in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"{name}: unexpected {node}"
+
+
+def test_line_dedup_two_semantic_shuffles_no_python(spark, sf_small):
+    """C4-style span dedup: one shuffle on the span text (keep-first
+    window), one on doc_id (reassembly), plus the presentation sort —
+    never a join, never Python."""
+    plan = _plan(spark, sf_small, "text_line_dedup")
+    assert plan.count("Exchange (") <= 3
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+    ):
+        assert node not in plan, f"unexpected {node}"
+
+
+def test_shard_manifest_single_agg_shuffle(spark, sf_small):
+    """The export manifest reduces the corpus to EXPORT_SHARDS rows in
+    one map-side-combined shuffle; the byte-offset window runs over
+    the 16-row manifest only (single-partition exchange is over the
+    aggregate, not the corpus)."""
+    plan = _plan(spark, sf_small, "export_shard_manifest")
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "SortMergeJoin", "CartesianProduct"):
+        assert node not in plan, f"unexpected {node}"
+
+
+def test_pq_encode_broadcasts_codebook(spark, sf_small):
+    """PQ encoding joins the corpus against the tiny codebook: that
+    join must arrive by broadcast (never a corpus-side shuffle join)
+    and the per-(vec, sub) argmin must be a hash aggregate."""
+    plan = _plan(spark, sf_small, "embed_pq_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"unexpected {node}"
