@@ -55,6 +55,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "export_shard_manifest",   # new: shard manifest w/ checksums + offsets
     "embed_pq_encode",         # new: product-quantization codes + recon MSE
     "streaming_static_enrich",  # new: stream-static broadcast dim join
+    "events_ewma_smooth",      # new: dyadic-exact EWMA smoother
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -536,8 +536,56 @@ def events_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_SPAN = 30  # trailing points per EWMA window
+
+
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per event type with
+    α = 1/2 over the trailing ``EWMA_SPAN`` points (pandas
+    ``ewm(adjust=True)`` semantics: weights 2⁻ʲ normalized by their
+    own partial sum, so early rows aren't biased toward the seed).
+
+    α = 1/2 is chosen deliberately: every weight 2⁻ʲ and the
+    normalizer 2 − 2⁻⁽ⁿ⁻¹⁾ are exact powers of two, multiplying a
+    double by them only shifts the exponent, and the weighted terms
+    are folded in fixed frame order — so the whole smoother is
+    bit-deterministic across engines with zero transcendentals
+    (the usual pow(1−α, j) EWMA is not hash-checkable).
+
+    Scale shape: one shuffle keyed on event_type for the ordered
+    window; the frame materializes ≤ EWMA_SPAN values per row (bounded
+    state, same cost class as a moving average) and the fold is a
+    single whole-stage expression — no join, no Python, no second
+    pass."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), 0)
+    )
+    rev = F.reverse(F.collect_list("value").over(w))
+    # single fold carrying (acc, weight): weight halves each step, so
+    # term j is value·2⁻ʲ (an exact exponent shift); the final weight
+    # 2⁻ⁿ yields the normalizer 2 − 2¹⁻ⁿ = 2 − 2·w without pow()
+    ewma = F.aggregate(
+        rev,
+        F.struct(F.lit(0.0).alias("acc"), F.lit(1.0).alias("wt")),
+        lambda s, x: F.struct(
+            (s["acc"] + x * s["wt"]).alias("acc"), (s["wt"] / 2).alias("wt")
+        ),
+        lambda s: s["acc"] / (F.lit(2.0) - s["wt"] * 2),
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        r6(ewma).alias("ewma"),
+    )
+
+
 QUERIES = {
     "events_ohlc_candles": events_ohlc_candles,
+    "events_ewma_smooth": events_ewma_smooth,
     "stream_tumbling_rate": stream_tumbling_rate,
     "stream_sliding_rate": stream_sliding_rate,
     "stream_sessionize": stream_sessionize,
@@ -554,6 +602,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the 1<<(i-1) divisions and the dyadic normalizer replay Spark's
+    # halving-weight fold exactly (every term is an exponent shift)
+    "events_ewma_smooth": f"""
+        WITH win AS (
+            SELECT event_id, event_type, value,
+                   list(value) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING
+                       AND CURRENT ROW) AS vals
+            FROM events WHERE value IS NOT NULL
+        ),
+        rev AS (
+            SELECT event_id, event_type, value,
+                   list_reverse(vals) AS r, len(vals) AS n
+            FROM win
+        )
+        SELECT event_id, event_type, value,
+               round(list_reduce(
+                       [r[i] / (1 << (i - 1)) FOR i IN range(1, len(r) + 1)],
+                       (a, x) -> a + x)
+                     / (2.0 - 1.0 / (1 << (n - 1))), 6) AS ewma
+        FROM rev ORDER BY event_id
+    """,
     # DuckDB 1.0's arg_min/arg_max take no struct ordering, so
     # open/close come from row_number windows with the same
     # (ts, event_id) tiebreak

@@ -519,3 +519,14 @@ def test_pq_encode_broadcasts_codebook(spark, sf_small):
     assert "CartesianProduct" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, f"unexpected {node}"
+
+
+def test_ewma_single_window_shuffle_no_python(spark, sf_small):
+    """The dyadic EWMA is one ordered window over event_type plus a
+    whole-stage fold: exactly one semantic exchange, no join, no
+    Python eval node."""
+    plan = _plan(spark, sf_small, "events_ewma_smooth")
+    assert plan.count("Exchange (") <= 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"unexpected {node}"
