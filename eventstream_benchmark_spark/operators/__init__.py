@@ -56,6 +56,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "embed_pq_encode",         # new: product-quantization codes + recon MSE
     "streaming_static_enrich",  # new: stream-static broadcast dim join
     "events_ewma_smooth",      # new: dyadic-exact EWMA smoother
+    "events_downsample_lttb",  # new: parallel LTTB curve downsampling
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -583,9 +583,126 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LTTB_BUCKETS = 40  # output points per series
+
+
+def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (parallel variant):
+    per event-type series, cut the (time, value) curve into
+    ``LTTB_BUCKETS`` rank-equal buckets, pin the global first/last
+    point, and in every interior bucket keep the point forming the
+    largest triangle against the NEIGHBOR BUCKET AVERAGES (Steinarsson
+    §4.2's LTTB uses the previously-selected point, which serializes
+    bucket selection; anchoring on the prev-bucket average instead
+    decouples every bucket — the published parallel/approximate
+    variant — so the whole pass is two shuffles, not a sequential
+    scan).
+
+    Cross-engine determinism: x is whole seconds relative to the
+    series start (exact bigint), y is integer cents (the operator's
+    declared working resolution), so bucket sums are exact integers,
+    the anchor averages are identical doubles, and every triangle
+    area — computed with the same cross-product expression in both
+    engines — ranks identically under the (area DESC, event_id)
+    tiebreak.
+
+    Scale shape: one window shuffle on event_type for ranks, one
+    groupBy for the (series × buckets)-sized anchor table, which then
+    BROADCASTS back against the point scan — no self-join on points,
+    nothing quadratic, output is series×buckets rows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w_series = W.partitionBy("event_type")
+    w_order = w_series.orderBy("ts", "event_id")
+    base = (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.unix_seconds("ts").alias("sec"),
+            bigint(F.round(F.col("value") * 100, 0)).alias("y"),
+            "ts",
+        )
+        .withColumn("x", F.col("sec") - F.min("sec").over(w_series))
+        .withColumn("rn", F.row_number().over(w_order) - 1)
+        .withColumn("n", F.count("*").over(w_series))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.lit(LTTB_BUCKETS - 1),
+                F.expr(f"rn * {LTTB_BUCKETS} div n"),
+            ).cast("bigint"),
+        )
+        .select("event_id", "event_type", "x", "y", "rn", "n", "bucket")
+    )
+    stats = base.groupBy("event_type", "bucket").agg(
+        bigint(F.sum("x")).alias("sx"),
+        bigint(F.sum("y")).alias("sy"),
+        bigint(F.count("*")).alias("cnt"),
+    )
+    prev = stats.select(
+        "event_type",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("sx").alias("sxp"),
+        F.col("sy").alias("syp"),
+        F.col("cnt").alias("cp"),
+    )
+    nxt = stats.select(
+        "event_type",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("sx").alias("sxn"),
+        F.col("sy").alias("syn"),
+        F.col("cnt").alias("cn"),
+    )
+    # triangle area with the anchor-average denominators cleared:
+    # S = |A·B − C·D| = area · cp²·cn is EXACT integer (decimal)
+    # arithmetic, so the argmax never hinges on a float ulp (a naive
+    # double cross product differs between engines at the last bit —
+    # FMA contraction); the single S/(cp²·cn) division happens once,
+    # on identical exact operands, for display only
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a_ = dec(F.col("sxp")) * F.col("cn") - dec(F.col("sxn")) * F.col("cp")
+    b_ = dec(F.col("y")) * F.col("cp") - F.col("syp")
+    c_ = dec(F.col("sxp")) - dec(F.col("x")) * F.col("cp")
+    d_ = dec(F.col("syn")) * F.col("cp") - dec(F.col("syp")) * F.col("cn")
+    middle = (
+        base.filter((F.col("bucket") > 0) & (F.col("bucket") < LTTB_BUCKETS - 1))
+        .join(F.broadcast(prev), ["event_type", "bucket"])
+        .join(F.broadcast(nxt), ["event_type", "bucket"])
+        .withColumn("s_area", F.abs(a_ * b_ - c_ * d_))
+    )
+    w_pick = W.partitionBy("event_type", "bucket").orderBy(
+        F.desc("s_area"), F.asc("event_id")
+    )
+    picked_mid = (
+        middle.withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            "bucket",
+            "event_id",
+            "x",
+            "y",
+            # the EXACT scaled area (area·cp²·cn) as a digit string:
+            # rounding the normalized double to any decimal scale finer
+            # than its ulp (~5e-7 at 1e9) is engine-specific, so the
+            # verifiable artifact is the integer the ranking used
+            F.col("s_area").cast("string").alias("area_scaled"),
+        )
+    )
+    ends = base.filter((F.col("rn") == 0) | (F.col("rn") == F.col("n") - 1)).select(
+        "event_type",
+        "bucket",
+        "event_id",
+        "x",
+        "y",
+        F.lit(None).cast("string").alias("area_scaled"),
+    )
+    return picked_mid.unionAll(ends).orderBy("event_type", "bucket")
+
+
 QUERIES = {
     "events_ohlc_candles": events_ohlc_candles,
     "events_ewma_smooth": events_ewma_smooth,
+    "events_downsample_lttb": events_downsample_lttb,
     "stream_tumbling_rate": stream_tumbling_rate,
     "stream_sliding_rate": stream_sliding_rate,
     "stream_sessionize": stream_sessionize,
@@ -602,6 +719,62 @@ QUERIES = {
 }
 
 ORACLES = {
+    # integer x/y and exact bucket sums make the anchor averages and
+    # triangle areas identical doubles in both engines
+    "events_downsample_lttb": f"""
+        WITH base AS (
+            SELECT event_id, event_type,
+                   epoch_us(ts) // 1000000 AS sec,
+                   CAST(round(value * 100) AS BIGINT) AS y, ts
+            FROM events WHERE value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_id, event_type, y,
+                   sec - min(sec) OVER (PARTITION BY event_type) AS x,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) - 1 AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM base
+        ),
+        pts AS (
+            SELECT *, CAST(least({LTTB_BUCKETS - 1},
+                                 rn * {LTTB_BUCKETS} // n) AS BIGINT) AS bucket
+            FROM ranked
+        ),
+        stats AS (
+            SELECT event_type, bucket, sum(x) AS sx, sum(y) AS sy,
+                   count(*) AS cnt
+            FROM pts GROUP BY 1, 2
+        ),
+        mid AS (
+            SELECT p.event_type, p.bucket, p.event_id, p.x, p.y,
+                   abs((pr.sx * nx.cnt - nx.sx * pr.cnt)
+                           * (p.y * pr.cnt - pr.sy)
+                       - (pr.sx - p.x * pr.cnt)
+                           * (nx.sy * pr.cnt - pr.sy * nx.cnt)) AS s_area,
+                   pr.cnt AS cp, nx.cnt AS cn
+            FROM pts p
+            JOIN stats pr ON pr.event_type = p.event_type
+                         AND pr.bucket = p.bucket - 1
+            JOIN stats nx ON nx.event_type = p.event_type
+                         AND nx.bucket = p.bucket + 1
+            WHERE p.bucket > 0 AND p.bucket < {LTTB_BUCKETS - 1}
+        ),
+        picked AS (
+            SELECT event_type, bucket, event_id, x, y,
+                   CAST(s_area AS VARCHAR) AS area_scaled
+            FROM (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                              ORDER BY s_area DESC, event_id) AS pick
+                  FROM mid)
+            WHERE pick = 1
+        )
+        SELECT event_type, bucket, event_id, x, y, area_scaled FROM picked
+        UNION ALL
+        SELECT event_type, bucket, event_id, x, y,
+               CAST(NULL AS VARCHAR) AS area_scaled
+        FROM pts WHERE rn = 0 OR rn = n - 1
+        ORDER BY event_type, bucket
+    """,
     # the 1<<(i-1) divisions and the dyadic normalizer replay Spark's
     # halving-weight fold exactly (every term is an exponent shift)
     "events_ewma_smooth": f"""

@@ -530,3 +530,15 @@ def test_ewma_single_window_shuffle_no_python(spark, sf_small):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, f"unexpected {node}"
+
+
+def test_lttb_anchor_joins_broadcast(spark, sf_small):
+    """Parallel LTTB joins the point scan against the tiny
+    (series x buckets) anchor table: both neighbor-anchor joins must
+    broadcast (never shuffle the points into a merge join), nothing
+    cartesian, no Python."""
+    plan = _plan(spark, sf_small, "events_downsample_lttb")
+    assert plan.count("BroadcastHashJoin") >= 2
+    for node in ("SortMergeJoin", "CartesianProduct",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"unexpected {node}"
