@@ -552,6 +552,47 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOPK = 30  # merge candidates reported
+
+
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration: corpus-wide adjacent-character
+    pair frequencies, ranked — the top row is the first merge a BPE
+    tokenizer would learn on this corpus.
+
+    The scale trick is the same one real BPE trainers use: aggregate
+    the corpus to its (word, count) VOCABULARY first, then do all
+    character work on distinct words weighted by count — char explode
+    cost is vocabulary-sized (tens of thousands) regardless of corpus
+    size, so at 100 TB the only corpus-scale operation is the initial
+    word count (one map-side-combined shuffle). The final ranking
+    window runs over the pair table (≤ alphabet², a few hundred rows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    counted = (
+        words.groupBy("w")
+        .agg(bigint(F.count("*")).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    chars = F.split(F.col("w"), "")
+    pair_list = F.zip_with(
+        F.slice(chars, 1, F.size(chars) - 1),
+        F.slice(chars, 2, F.size(chars) - 1),
+        lambda a, b: F.concat(a, b),
+    )
+    pairs = counted.select("wc", F.explode(pair_list).alias("pair"))
+    freqs = pairs.groupBy("pair").agg(bigint(F.sum("wc")).alias("freq"))
+    w_rank = W.orderBy(F.desc("freq"), F.asc("pair"))
+    return (
+        freqs.withColumn("rk", bigint(F.row_number().over(w_rank)))
+        .filter(F.col("rk") <= BPE_TOPK)
+        .orderBy("rk")
+    )
+
+
 LINE_WIN = 8  # tokens per "line" (span) for cross-document span dedup
 
 # deliberately simple patterns: the fixture corpus is [a-z ]-only, so
@@ -697,6 +738,7 @@ QUERIES = {
     "text_line_dedup": text_line_dedup,
     "text_pii_redact": text_pii_redact,
     "quality_logreg_filter": quality_logreg_filter,
+    "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
     "corpus_ngram_topk": corpus_ngram_topk,
     "sample_hash_split": sample_hash_split,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
@@ -982,6 +1024,25 @@ ORACLES = {
             WHERE term <> '' AND term NOT IN {_STOP_SQL}
             GROUP BY lang, term
         ) WHERE rk <= 10
+    """,
+    "corpus_bpe_pair_counts": f"""
+        WITH words AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+        ),
+        counted AS (
+            SELECT w, count(*) AS wc FROM words WHERE w <> '' GROUP BY w
+        ),
+        pairs AS (
+            SELECT string_split(w, '')[i] || string_split(w, '')[i+1] AS pair,
+                   sum(wc) AS freq
+            FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
+                  FROM counted WHERE length(w) >= 2)
+            GROUP BY 1
+        )
+        SELECT pair, CAST(freq AS BIGINT) AS freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT)
+                   AS rk
+        FROM pairs QUALIFY rk <= {BPE_TOPK} ORDER BY rk
     """,
     "text_line_dedup": f"""
         WITH t AS (

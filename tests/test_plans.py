@@ -542,3 +542,16 @@ def test_lttb_anchor_joins_broadcast(spark, sf_small):
     for node in ("SortMergeJoin", "CartesianProduct",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, f"unexpected {node}"
+
+
+def test_bpe_pairs_char_work_rides_vocabulary(spark, sf_small):
+    """BPE pair counting must shuffle the corpus only once (the word
+    count); the char explode and pair aggregate run over the distinct
+    vocabulary. Expect <= 3 exchanges (word agg, pair agg, final
+    single-partition rank) and no Python."""
+    plan = _plan(spark, sf_small, "corpus_bpe_pair_counts")
+    assert plan.count("Exchange (") <= 3
+    assert "partial_count" in plan or "partial_sum" in plan
+    for node in ("SortMergeJoin", "CartesianProduct",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"unexpected {node}"
