@@ -81,6 +81,13 @@ SF1_QUERIES = (
     # embeddings, and the iterative numeric loop over a 10x edge set
     "dedup_embedding_cosine",
     "graph_pagerank",
+    # round-5 operator additions with corpus-scale shuffles: span-level
+    # dedup (the 10x-replicated corpus floods the keep-first window's
+    # span-key partitions) and BPE pair counting (its char work should
+    # NOT grow 10x — it rides the vocabulary, which replication barely
+    # grows)
+    "text_line_dedup",
+    "corpus_bpe_pair_counts",
 )
 
 
