@@ -58,6 +58,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "events_ewma_smooth",      # new: dyadic-exact EWMA smoother
     "events_downsample_lttb",  # new: parallel LTTB curve downsampling
     "corpus_bpe_pair_counts",  # new: first BPE merge candidates
+    "events_cusum_shift",      # new: exact-integer CUSUM change detection
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

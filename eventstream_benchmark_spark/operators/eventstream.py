@@ -699,10 +699,76 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked_mid.unionAll(ends).orderBy("event_type", "bucket")
 
 
+CUSUM_FACTOR = 5  # alarm when max CUSUM⁺ > FACTOR · mean |deviation|
+
+
+def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection per event type: the classic
+    sequential statistic Sₜ = Σ(xᵢ − target), CUSUM⁺ₜ = Sₜ − min Sₜ′≤ₜ
+    — a persistent upward shift accumulates while noise cancels. The
+    recurrence LOOKS sequential but is two stacked running windows
+    (running sum, then running min), so it parallelizes like any
+    prefix scan. Output per type: the peak CUSUM⁺, the event at the
+    peak (the detected change point), and an alarm flag against a
+    self-scaling threshold.
+
+    Everything is exact integer arithmetic: values as cents, target =
+    integer mean (floor division), running sums/mins of bigints, and
+    the alarm comparison cross-multiplied (max_cusum·n >
+    FACTOR·Σ|dev|) so no division ever rounds — bit-deterministic in
+    both engines.
+
+    Scale shape: one shuffle keyed on event_type for the windows (per-
+    series sequential scan, the CUSUM lower bound), one tiny aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        bigint(F.round(F.col("value") * 100, 0)).alias("cents"),
+    )
+    tgt = base.groupBy("event_type").agg(
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("target")
+    )
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    dev = base.join(F.broadcast(tgt), "event_type").withColumn(
+        "s", F.sum(F.col("cents") - F.col("target")).over(w_run)
+    )
+    cusum = dev.select(
+        "event_id",
+        "event_type",
+        "cents",
+        "target",
+        (F.col("s") - F.min("s").over(w_run)).alias("cpos"),
+        F.abs(F.col("cents") - F.col("target")).alias("absdev"),
+    )
+    peak_key = F.struct(F.col("cpos"), (-F.col("event_id")).alias("t"))
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            bigint(F.count("*")).alias("n"),
+            bigint(F.max("cpos")).alias("max_cusum"),
+            F.max_by("event_id", peak_key).alias("peak_event_id"),
+            bigint(F.sum("absdev")).alias("sum_absdev"),
+        )
+        .withColumn(
+            "alarm",
+            F.col("max_cusum") * F.col("n") > CUSUM_FACTOR * F.col("sum_absdev"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_ohlc_candles": events_ohlc_candles,
     "events_ewma_smooth": events_ewma_smooth,
     "events_downsample_lttb": events_downsample_lttb,
+    "events_cusum_shift": events_cusum_shift,
     "stream_tumbling_rate": stream_tumbling_rate,
     "stream_sliding_rate": stream_sliding_rate,
     "stream_sessionize": stream_sessionize,
@@ -719,6 +785,52 @@ QUERIES = {
 }
 
 ORACLES = {
+    # exact-integer CUSUM: running sum then running min of bigint
+    # deviations; the alarm threshold is cross-multiplied so no
+    # division ever rounds
+    "events_cusum_shift": f"""
+        WITH base AS (
+            SELECT event_id, event_type, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL
+        ),
+        tgt AS (
+            SELECT event_type,
+                   CAST(sum(cents) // count(*) AS BIGINT) AS target
+            FROM base GROUP BY 1
+        ),
+        dev AS (
+            SELECT b.event_id, b.event_type, b.ts, b.cents, t.target,
+                   sum(b.cents - t.target) OVER (PARTITION BY b.event_type
+                       ORDER BY b.ts, b.event_id
+                       ROWS UNBOUNDED PRECEDING) AS s
+            FROM base b JOIN tgt t USING (event_type)
+        ),
+        cusum AS (
+            SELECT event_id, event_type, cents, target,
+                   s - min(s) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cpos,
+                   abs(cents - target) AS absdev
+            FROM dev
+        ),
+        peak AS (
+            SELECT event_type, event_id AS peak_event_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                              ORDER BY cpos DESC, event_id) AS rn
+                FROM cusum
+            ) WHERE rn = 1
+        )
+        SELECT c.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(cpos) AS BIGINT) AS max_cusum,
+               any_value(p.peak_event_id) AS peak_event_id,
+               CAST(sum(absdev) AS BIGINT) AS sum_absdev,
+               CAST(max(cpos) AS BIGINT) * count(*)
+                   > {CUSUM_FACTOR} * CAST(sum(absdev) AS BIGINT) AS alarm
+        FROM cusum c JOIN peak p USING (event_type)
+        GROUP BY 1 ORDER BY 1
+    """,
     # integer x/y and exact bucket sums make the anchor averages and
     # triangle areas identical doubles in both engines
     "events_downsample_lttb": f"""

@@ -555,3 +555,15 @@ def test_bpe_pairs_char_work_rides_vocabulary(spark, sf_small):
     for node in ("SortMergeJoin", "CartesianProduct",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, f"unexpected {node}"
+
+
+def test_cusum_single_series_shuffle_broadcast_target(spark, sf_small):
+    """CUSUM stacks two running windows on the same (event_type)
+    ordering: one window shuffle, target means arrive by broadcast,
+    no Python."""
+    plan = _plan(spark, sf_small, "events_cusum_shift")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for node in ("CartesianProduct", "BatchEvalPython",
+                 "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"unexpected {node}"
