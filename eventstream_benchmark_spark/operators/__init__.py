@@ -13,17 +13,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (~50 of 147 per round), so registry order decides which queries earn a
+# (~50 of 158 per round), so registry order decides which queries earn a
 # CORRECTNESS row this round.  Round-5 rotation, strictly by
 # verification staleness (merged CORRECTNESS_r1-r4): (1) never-sampled /
-# round-1-stale queries, (2) the 18 queries whose oracle or
+# round-1-stale queries, (2) the 29 queries whose oracle or
 # implementation changed or were ADDED in round 5 (a fresh driver row
 # beats any re-check), (3) the 33 round-2-green re-checks, (4)
-# round-3-green entries fill whatever window remains.  21 + 33 = 54
-# slightly overflows a 50-query window, so the LAST few r2 re-checks
-# (the streaming pack — independently pinned by offline-replay equality
-# tests) may slip to round 6 and must rotate to the very front then,
-# together with any round-5 additions that missed the window.
+# round-3-green entries fill whatever window remains.  32 + 33 = 65
+# overflows a 50-query window, so the LAST ~15 r2 re-checks (the
+# streaming pack and text lane tail — independently pinned by the local
+# parity suite and offline-replay equality tests) slip to round 6 and
+# must rotate to the very front then, together with any round-5
+# additions that missed the window.
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
     # (1) never sampled / stalest
     "events_ohlc_candles",     # added post-window in round 4 — first driver row
@@ -59,6 +60,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "events_downsample_lttb",  # new: parallel LTTB curve downsampling
     "corpus_bpe_pair_counts",  # new: first BPE merge candidates
     "events_cusum_shift",      # new: exact-integer CUSUM change detection
+    "pipeline_pretrain_corpus",  # new: gate->span-dedup->PII->manifest
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -266,8 +266,79 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard")
 
 
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 operators composed the way a pretraining data job
+    runs them, end to end in ONE lazy plan:
+
+    1. model-based quality gate (``quality_logreg_filter``'s linear
+       score > 0) — scan-fused column exprs;
+    2. C4-style span dedup over the gated corpus
+       (``text_line_dedup``'s keep-first window), DROPPING documents
+       that lose more than half their spans (heavy duplicates);
+    3. PII audit over the survivors (``text_pii_redact``'s planted
+       pattern counts + scrubbed byte size);
+    4. hash-sharded export manifest: doc/token counts, PII totals, a
+       content checksum, and running byte offsets of the scrubbed
+       shards.
+
+    Every stage reuses the exact builder the standalone query
+    registers (`_logreg_scored`, `_line_dedup_agg`, `_pii_stats`), so
+    the composition is hash-verified against a DuckDB oracle that
+    chains the same four CTE blocks — the whole-pipeline analogue of
+    ``pipeline_corpus_prep``.
+
+    Scale shape: gate fuses into the scan; span dedup is the two-
+    shuffle plan; the PII stats are scan-fused over the same kept
+    frame; the manifest reduces to EXPORT_SHARDS rows. Join keys are
+    doc_id only; no all-pairs anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        text._logreg_scored(docs, with_text=True)
+        .filter(F.col("keep"))
+        .select("doc_id", "text")
+    )
+    stats = text._line_dedup_agg(kept)
+    survivors = stats.filter(F.col("n_removed") * 2 <= F.col("n_windows"))
+    pii = text._pii_stats(kept).select("doc_id", "n_emails", "n_phones", "redacted_len")
+    per_doc = survivors.join(pii, "doc_id").select(
+        "doc_id",
+        "n_tokens_kept",
+        "n_emails",
+        "n_phones",
+        "redacted_len",
+        (
+            (F.col("doc_id") * F.lit(text.SPLIT_HASH_MULT))
+            % F.lit(text.SPLIT_HASH_MOD)
+            % EXPORT_SHARDS
+        )
+        .cast("bigint")
+        .alias("shard"),
+    )
+    sh = per_doc.groupBy("shard").agg(
+        bigint(F.count("*")).alias("n_docs"),
+        bigint(F.sum("n_tokens_kept")).alias("sum_tokens"),
+        bigint(F.sum(F.col("n_emails") + F.col("n_phones"))).alias("n_pii"),
+        bigint(F.sum("redacted_len")).alias("sum_bytes"),
+        bigint(F.sum(F.col("doc_id") * F.col("n_tokens_kept"))).alias("checksum"),
+    )
+    from pyspark.sql import Window as W
+
+    w_prev = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    file_bytes = F.col("sum_bytes") + F.col("n_docs")
+    return sh.select(
+        "shard",
+        "n_docs",
+        "sum_tokens",
+        "n_pii",
+        "checksum",
+        bigint(file_bytes).alias("file_bytes"),
+        bigint(F.coalesce(F.sum(file_bytes).over(w_prev), F.lit(0))).alias("byte_offset"),
+    ).orderBy("shard")
+
+
 QUERIES = {
     "pipeline_corpus_prep": pipeline_corpus_prep,
+    "pipeline_pretrain_corpus": pipeline_pretrain_corpus,
     "export_shard_manifest": export_shard_manifest,
     "corpus_mix_rebalance": corpus_mix_rebalance,
     "corpus_temperature_resample": corpus_temperature_resample,
@@ -275,6 +346,96 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_pretrain_corpus": f"""
+        WITH feat AS (
+            SELECT doc_id, text,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                       AS n_tokens,
+                   round(len(list_filter(string_split(lower(text), ' '),
+                             x -> x IN ('a', 'the')))
+                         * 1.0 / len(string_split(lower(text), ' ')), 6)
+                       AS stop_ratio,
+                   round((CAST(length(text) AS BIGINT)
+                          - (len(string_split(lower(text), ' ')) - 1)) * 1.0
+                         / len(string_split(lower(text), ' ')), 6)
+                       AS mean_tok_len
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, text FROM feat
+            WHERE round(0.01 * (least(n_tokens, 400) - 60)
+                        + 10.0 * (stop_ratio - 0.05)
+                        - 0.5 * (mean_tok_len - 4.6), 6) > 0
+        ),
+        wins AS (
+            SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS win_idx,
+                   array_to_string(w[i:i+7], ' ') AS win_text,
+                   CAST(len(w[i:i+7]) AS BIGINT) AS n_tok
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w,
+                         unnest(range(1,
+                             len(string_split(lower(text), ' ')) + 1, 8)) AS i
+                  FROM kept)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY win_text
+                          ORDER BY doc_id, win_idx) AS rn
+            FROM wins
+        ),
+        stats AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                   CAST(coalesce(sum(CASE WHEN rn = 1 THEN n_tok END), 0)
+                       AS BIGINT) AS n_tokens_kept
+            FROM ranked GROUP BY doc_id
+        ),
+        pii AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '[0-9]{{3}}-[0-9]{{4}}'))
+                       AS BIGINT) AS n_phones,
+                   CAST(length(regexp_replace(regexp_replace(t,
+                       '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                       '[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g')) AS BIGINT)
+                       AS redacted_len
+            FROM (SELECT doc_id,
+                         text ||
+                         CASE WHEN doc_id % 3 = 0
+                              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                   || '@example.com' ELSE '' END ||
+                         CASE WHEN doc_id % 5 = 0
+                              THEN ' call 555-'
+                                   || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                           4, '0')
+                              ELSE '' END AS t
+                  FROM kept)
+        ),
+        per_doc AS (
+            SELECT s.doc_id, s.n_tokens_kept, p.n_emails, p.n_phones,
+                   p.redacted_len,
+                   CAST((s.doc_id * {text.SPLIT_HASH_MULT})
+                        % {text.SPLIT_HASH_MOD} % {EXPORT_SHARDS} AS BIGINT)
+                       AS shard
+            FROM stats s JOIN pii p USING (doc_id)
+            WHERE s.n_removed * 2 <= s.n_windows
+        ),
+        sh AS (
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens_kept) AS BIGINT) AS sum_tokens,
+                   CAST(sum(n_emails + n_phones) AS BIGINT) AS n_pii,
+                   CAST(sum(redacted_len) AS BIGINT) AS sum_bytes,
+                   CAST(sum(doc_id * n_tokens_kept) AS BIGINT) AS checksum
+            FROM per_doc GROUP BY shard
+        )
+        SELECT shard, n_docs, sum_tokens, n_pii, checksum,
+               CAST(sum_bytes + n_docs AS BIGINT) AS file_bytes,
+               CAST(coalesce(sum(sum_bytes + n_docs) OVER (ORDER BY shard
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS byte_offset
+        FROM sh ORDER BY shard
+    """,
     "export_shard_manifest": f"""
         WITH perdoc AS (
             SELECT doc_id,

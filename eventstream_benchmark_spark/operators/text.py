@@ -616,7 +616,12 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy doc_id to reassemble. No all-pairs form anywhere; at
     100 TB this is the canonical two-shuffle dedup plan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return _line_dedup_agg(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _line_dedup_agg(docs: DataFrame) -> DataFrame:
+    """Per-doc span-dedup stats over an arbitrary documents frame —
+    shared by the standalone query and ``pipeline_pretrain_corpus``."""
     toks = _tokens(F.col("text"))
     last_win = F.floor((F.size(toks) - F.lit(1)) / F.lit(LINE_WIN)).cast("int")
     wins = F.transform(
@@ -649,7 +654,6 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("kept_md5"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -664,7 +668,12 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure per-row column expressions (JVM regex, no
     Python), embarrassingly parallel, fuses into the scan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return _pii_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc PII plant/count/redact over an arbitrary documents
+    frame — shared by the standalone query and the pretrain pipeline."""
     aug = F.concat(
         F.col("text"),
         F.when(
@@ -710,7 +719,13 @@ def quality_logreg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigmoid(z) > 0.5 ⇔ z > 0, so the exp() never needs computing and
     the keep decision is bit-deterministic. Single scan, no shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return _logreg_scored(load_table(spark, sf_dir, "documents"))
+
+
+def _logreg_scored(docs: DataFrame, with_text: bool = False) -> DataFrame:
+    """Per-doc linear-gate features/score over an arbitrary documents
+    frame — shared by the standalone query and the pretrain pipeline
+    (which asks for the text column to flow through the gate)."""
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks).cast("bigint")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -725,6 +740,7 @@ def quality_logreg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
+        *(["text"] if with_text else []),
         n_tok.alias("n_tokens"),
         sr.alias("stop_ratio"),
         mtl.alias("mean_tok_len"),

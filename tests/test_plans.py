@@ -567,3 +567,14 @@ def test_cusum_single_series_shuffle_broadcast_target(spark, sf_small):
     for node in ("CartesianProduct", "BatchEvalPython",
                  "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, f"unexpected {node}"
+
+
+def test_pretrain_pipeline_one_lazy_plan_no_python(spark, sf_small):
+    """The composed gate -> span-dedup -> PII -> manifest pipeline must
+    stay one lazy declarative plan: joins only on doc_id (hashed, never
+    cartesian), no Python eval node anywhere."""
+    plan = _plan(spark, sf_small, "pipeline_pretrain_corpus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"unexpected {node}"
