@@ -61,6 +61,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "corpus_bpe_pair_counts",  # new: first BPE merge candidates
     "events_cusum_shift",      # new: exact-integer CUSUM change detection
     "pipeline_pretrain_corpus",  # new: gate->span-dedup->PII->manifest
+    "join_asof_nearest",       # new: bidirectional tolerance-bounded asof
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -400,6 +400,73 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_NEAREST_TOL_S = 3600  # nearest-match tolerance (seconds)
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: each purchase matches its CLOSEST
+    click in time — backward or forward, ties to backward — within a
+    1-hour tolerance. The semantic DuckDB's native ASOF JOIN cannot
+    express (it is backward-only), so the oracle replays the same
+    tagged-union construction.
+
+    Same scalable shape as ``join_asof``: tagged union, ONE shuffle on
+    user_id, two frame passes over the same sort (running last
+    non-null backward, running first non-null forward) — never a
+    per-key cross join. A click at the exact purchase timestamp sorts
+    before the purchase (kind 0 < 1) and is therefore a backward match
+    at gap 0. All gap arithmetic is integer epoch-µs."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("click_us"),
+    )
+    order = [F.col("ts"), F.col("kind")]
+    w_back = (
+        W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        W.partitionBy("user_id").orderBy(*order).rowsBetween(0, W.unboundedFollowing)
+    )
+    merged = (
+        clicks.unionByName(purchases)
+        .withColumn("back_us", F.last("click_us", ignorenulls=True).over(w_back))
+        .withColumn("fwd_us", F.first("click_us", ignorenulls=True).over(w_fwd))
+    )
+    us = F.unix_micros("ts")
+    gb = us - F.col("back_us")
+    gf = F.col("fwd_us") - us
+    tol = ASOF_NEAREST_TOL_S * 1_000_000
+    pick_back = F.col("back_us").isNotNull() & (
+        F.col("fwd_us").isNull() | (gb <= gf)
+    )
+    gap = F.when(pick_back, gb).otherwise(gf)
+    matched = gap.isNotNull() & (gap <= tol)
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            fmt_ts("ts").alias("purchase_ts"),
+            F.when(matched & pick_back, F.lit("back"))
+            .when(matched, F.lit("fwd"))
+            .otherwise(F.lit("none"))
+            .alias("direction"),
+            bigint(F.when(matched, gap)).alias("gap_us"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # runtime-filtered join (bloom-filter semi-join pushdown probe)
 # --------------------------------------------------------------------------
@@ -2001,6 +2068,7 @@ QUERIES = {
     "join_semi_anti": join_semi_anti,
     "join_range_interval": join_range_interval,
     "join_asof": join_asof,
+    "join_asof_nearest": join_asof_nearest,
     "join_runtime_filtered": join_runtime_filtered,
     "join_skew_salted": join_skew_salted,
     "agg_hash_global": agg_hash_global,
@@ -2511,6 +2579,49 @@ ORACLES = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "join_asof_nearest": f"""
+        WITH merged AS (
+            SELECT user_id, ts, 0 AS kind, CAST(NULL AS BIGINT) AS event_id,
+                   epoch_us(ts) AS click_us
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, ts, 1 AS kind, event_id,
+                   CAST(NULL AS BIGINT) AS click_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        framed AS (
+            SELECT *,
+                   last_value(click_us IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, kind
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS back_us,
+                   first_value(click_us IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, kind
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS fwd_us
+            FROM merged
+        ),
+        gaps AS (
+            SELECT event_id, user_id, ts,
+                   epoch_us(ts) - back_us AS gb, fwd_us - epoch_us(ts) AS gf,
+                   back_us IS NOT NULL
+                       AND (fwd_us IS NULL
+                            OR epoch_us(ts) - back_us <= fwd_us - epoch_us(ts))
+                       AS pick_back
+            FROM framed WHERE kind = 1
+        )
+        SELECT event_id, user_id,
+               {duck_fmt_ts('ts')} AS purchase_ts,
+               CASE WHEN coalesce(CASE WHEN pick_back THEN gb ELSE gf END, {ASOF_NEAREST_TOL_S * 1_000_000 + 1})
+                         <= {ASOF_NEAREST_TOL_S * 1_000_000}
+                    THEN CASE WHEN pick_back THEN 'back' ELSE 'fwd' END
+                    ELSE 'none' END AS direction,
+               CAST(CASE WHEN coalesce(CASE WHEN pick_back THEN gb ELSE gf END, {ASOF_NEAREST_TOL_S * 1_000_000 + 1})
+                              <= {ASOF_NEAREST_TOL_S * 1_000_000}
+                         THEN CASE WHEN pick_back THEN gb ELSE gf END END
+                   AS BIGINT) AS gap_us
+        FROM gaps
     """,
     "agg_hash_global": """
         SELECT count(*) AS n,

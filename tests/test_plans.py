@@ -578,3 +578,11 @@ def test_pretrain_pipeline_one_lazy_plan_no_python(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, f"unexpected {node}"
+
+
+def test_asof_nearest_is_window_not_join(spark, sf_small):
+    """Nearest-asof must keep the tagged-union + two-frame shape: no
+    join operator at all, one user_id shuffle."""
+    plan = _plan(spark, sf_small, "join_asof_nearest")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, f"unexpected {node}"
