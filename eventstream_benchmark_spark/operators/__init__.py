@@ -62,6 +62,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "events_cusum_shift",      # new: exact-integer CUSUM change detection
     "pipeline_pretrain_corpus",  # new: gate->span-dedup->PII->manifest
     "join_asof_nearest",       # new: bidirectional tolerance-bounded asof
+    "dedup_url_normalize",     # new: URL canonicalization dedup
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

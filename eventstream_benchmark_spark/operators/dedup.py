@@ -41,7 +41,7 @@ from eventstream_benchmark_spark.operators._cache import (
     release_scoped_persists,
     scoped_persist,
 )
-from eventstream_benchmark_spark.operators._util import r6
+from eventstream_benchmark_spark.operators._util import bigint, r6
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.8
@@ -160,6 +160,61 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(key.alias("content_hash"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_copies") > 1)
+    )
+
+
+URL_PATH_MOD = 100  # planted path collisions: multiple of the 20 sources
+
+
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the web-crawl dedup that runs
+    BEFORE any content hash: lowercase host/path, strip tracking
+    params (utm_*, ref), strip trailing slash, then hash-group by the
+    canonical URL keeping the lowest doc_id.
+
+    The fixture has no URL column, so a deterministic in-plan step
+    plants one per document with realistic messiness (mixed case,
+    utm/ref query strings, trailing slashes) and path collisions every
+    ``URL_PATH_MOD`` doc_ids — the modulus is a multiple of the 20
+    sources so colliding docs share a host, while the mod-3 case/param
+    markers differ inside a group, so every duplicate group exercises
+    the normalizer (``n_variants > 1``). The DuckDB oracle replays the
+    same plant + normalization.
+
+    Scale shape: per-row regex chain fused into the scan, one shuffle
+    on the canonical URL — identical cost class to ``dedup_exact_text``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".Example.COM/Docs/"),
+        (F.col("doc_id") % URL_PATH_MOD).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?ref=home"))
+        .otherwise(F.lit("")),
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), "(utm_[a-z_]+|ref)=[^&]*&?", ""),
+            "[?&]+$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", url.alias("url"), norm.alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(
+            bigint(F.count("*")).alias("n_copies"),
+            bigint(F.count_distinct("url")).alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("norm_url")
     )
 
 
@@ -755,6 +810,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact_text": dedup_exact_text,
+    "dedup_url_normalize": dedup_url_normalize,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment_ngram": dedup_containment_ngram,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -821,6 +877,34 @@ ORACLES = {
         SELECT doc_id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp ORDER BY doc_id
+    """,
+    "dedup_url_normalize": f"""
+        WITH urls AS (
+            SELECT doc_id,
+                   'https://' ||
+                   CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END
+                   || source || '.Example.COM/Docs/'
+                   || CAST(doc_id % {URL_PATH_MOD} AS VARCHAR)
+                   || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '?utm_source=feed&utm_campaign=x'
+                           WHEN doc_id % 3 = 1 THEN '?ref=home'
+                           ELSE '' END AS url
+            FROM documents
+        ),
+        norm AS (
+            SELECT doc_id, url,
+                   regexp_replace(regexp_replace(regexp_replace(lower(url),
+                       '(utm_[a-z_]+|ref)=[^&]*&?', '', 'g'),
+                       '[?&]+$', ''),
+                       '/$', '') AS norm_url
+            FROM urls
+        )
+        SELECT norm_url,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+               min(doc_id) AS keeper_doc_id
+        FROM norm GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
     """,
     "dedup_exact_text": f"""
         SELECT md5(array_to_string(string_split(lower(text), ' ')[1:{PREFIX_TOKENS}], ' '))

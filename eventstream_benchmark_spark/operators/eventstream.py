@@ -63,16 +63,24 @@ def stream_tumbling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 15 minutes. Spark assigns each event
     to 4 overlapping windows; oracle reproduces that assignment by
-    exploding a 0..3 offset against the 15-minute floor."""
+    exploding a 0..3 offset against the 15-minute floor.
+
+    The window average is computed over 1e-4-quantized values with
+    exact integer sums and a final 0-dp round (sf0.1 hardening:
+    ``round(avg(double), 4)`` flipped a 4-dp boundary digit because the
+    1e-4 grid isn't float-representable; 0-dp boundaries are)."""
     ev = load_table(spark, sf_dir, "events")
+    v4 = F.round(F.col("value") * 10000, 0).cast("bigint")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value"))
+        .agg(F.count("*").alias("n"), F.sum(v4).alias("s4"))
         .select(
             F.unix_timestamp(F.col("win.start")).alias("win_start_s"),
             "event_type",
             "n",
-            "avg_value",
+            (F.round(F.col("s4") * F.lit(1.0) / F.col("n"), 0) / F.lit(10000.0)).alias(
+                "avg_value"
+            ),
         )
     )
 
@@ -320,13 +328,13 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     range and the type vocabulary, never by event volume, so the
     explode and the spine×types cross join stay broadcast-tiny at any
     corpus scale; the event side pays one aggregate shuffle and the
-    LOCF one window shuffle on event_type. The hourly average is
-    rounded BEFORE the carry-forward so copied values are
-    representation-identical across engines."""
+    LOCF one window shuffle on event_type. The carried value is an
+    exact INTEGER micro-average (sum of 1e-4-quantized values, scaled
+    to 1e-6, 0-dp rounded — the sf0.1-proof pattern: the 1e-6 round
+    grid of ``round(x, 6)`` isn't float-representable and flipped a
+    boundary microdigit) divided once for display."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(F.count("*").alias("n"), r6(F.avg("value")).alias("avg_v"))
+    hourly = _hourly_micro_avg(ev)
     bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
@@ -342,15 +350,34 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(hourly, ["h", "event_type"], "left")
         .withColumn("is_gap", F.col("n").isNull())
         .withColumn("n", F.coalesce("n", F.lit(0)))
-        .withColumn("v_filled", F.last("avg_v", ignorenulls=True).over(w))
+        .withColumn("v_i", F.last("avg_i", ignorenulls=True).over(w))
     )
     return filled.select(
         fmt_ts("h").alias("hour"),
         "event_type",
         bigint(F.col("n")).alias("n"),
         F.col("is_gap"),
-        F.col("v_filled"),
+        (F.col("v_i") / F.lit(1_000_000.0)).alias("v_filled"),
     ).orderBy("hour", "event_type")
+
+
+def _hourly_micro_avg(ev: DataFrame) -> DataFrame:
+    """(h, event_type, n, avg_i): hourly count and the hourly average
+    as an exact micro-scaled BIGINT — round(Σ round(v·1e4)·100 / n) —
+    so every downstream carry/interpolation stays in integer space."""
+    v4 = F.round(F.col("value") * 10000, 0).cast("bigint")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(v4).alias("s4"))
+        .select(
+            "h",
+            "event_type",
+            "n",
+            F.round(F.col("s4") * F.lit(100.0) / F.col("n"), 0)
+            .cast("bigint")
+            .alias("avg_i"),
+        )
+    )
 
 
 MAINT_START_H = 2  # daily maintenance window [02:00, 03:00)
@@ -411,17 +438,16 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the neighboring observed hourly averages, falling back to
     nearest-observation at the series edges.
 
-    Cross-engine determinism: the neighbor values are 6-decimal
-    rounded BEFORE interpolation, the time fraction is a ratio of
-    integer epoch seconds cast to double, and both engines evaluate
-    the identical expression tree — so the interpolated doubles match
-    bit-for-bit under the final r6. Two window shuffles on event_type
-    (prev + next neighbor scans); the fact side pays one aggregate
-    shuffle, exactly like LOCF."""
+    Cross-engine determinism (sf0.1-hardened): the neighbor values are
+    exact micro-scaled INTEGERS (see ``_hourly_micro_avg``), the time
+    fraction is a ratio of integer epoch seconds cast to double, and
+    the interpolated correction ``(nv−pv)·frac`` is 0-dp rounded back
+    into integer micro-space — so the only float ops are one identical
+    multiply/divide pair and a 0-dp round both engines agree on. Two
+    window shuffles on event_type (prev + next neighbor scans); the
+    fact side pays one aggregate shuffle, exactly like LOCF."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(F.count("*").alias("n"), r6(F.avg("value")).alias("avg_v"))
+    hourly = _hourly_micro_avg(ev)
     bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
@@ -434,32 +460,35 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_next = W.partitionBy("event_type").orderBy("h").rowsBetween(
         0, W.unboundedFollowing
     )
-    obs_h = F.when(F.col("avg_v").isNotNull(), F.col("h"))
+    obs_h = F.when(F.col("avg_i").isNotNull(), F.col("h"))
     joined = (
         grid.join(hourly, ["h", "event_type"], "left")
         .withColumn("is_gap", F.col("n").isNull())
         .withColumn("n", F.coalesce("n", F.lit(0)))
-        .withColumn("pv", F.last("avg_v", ignorenulls=True).over(w_prev))
+        .withColumn("pv", F.last("avg_i", ignorenulls=True).over(w_prev))
         .withColumn("ph", F.last(obs_h, ignorenulls=True).over(w_prev))
-        .withColumn("nv", F.first("avg_v", ignorenulls=True).over(w_next))
+        .withColumn("nv", F.first("avg_i", ignorenulls=True).over(w_next))
         .withColumn("nh", F.first(obs_h, ignorenulls=True).over(w_next))
     )
     frac = (
         (F.unix_timestamp("h") - F.unix_timestamp("ph")).cast("double")
         / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
     )
-    v = (
-        F.when(~F.col("is_gap"), F.col("avg_v"))
+    v_i = (
+        F.when(~F.col("is_gap"), F.col("avg_i"))
         .when(F.col("pv").isNull(), F.col("nv"))
         .when(F.col("nv").isNull(), F.col("pv"))
-        .otherwise(r6(F.col("pv") + (F.col("nv") - F.col("pv")) * frac))
+        .otherwise(
+            F.col("pv")
+            + F.round((F.col("nv") - F.col("pv")) * frac, 0).cast("bigint")
+        )
     )
     return joined.select(
         fmt_ts("h").alias("hour"),
         "event_type",
         bigint(F.col("n")).alias("n"),
         "is_gap",
-        v.alias("v_interp"),
+        (v_i / F.lit(1_000_000.0)).alias("v_interp"),
     ).orderBy("hour", "event_type")
 
 
@@ -954,7 +983,9 @@ ORACLES = {
     "events_gap_fill_locf": f"""
         WITH hourly AS (
             SELECT date_trunc('hour', ts) AS h, event_type,
-                   count(*) AS n, round(avg(value), 6) AS avg_v
+                   count(*) AS n,
+                   CAST(round(sum(CAST(round(value * 10000) AS BIGINT))
+                              * 100.0 / count(*)) AS BIGINT) AS avg_i
             FROM events GROUP BY 1, 2
         ),
         spine AS (
@@ -970,9 +1001,9 @@ ORACLES = {
         SELECT {duck_fmt_ts('g.h')} AS hour, g.event_type,
                CAST(coalesce(hr.n, 0) AS BIGINT) AS n,
                hr.n IS NULL AS is_gap,
-               last_value(hr.avg_v IGNORE NULLS)
+               last_value(hr.avg_i IGNORE NULLS)
                    OVER (PARTITION BY g.event_type ORDER BY g.h
-                         ROWS UNBOUNDED PRECEDING) AS v_filled
+                         ROWS UNBOUNDED PRECEDING) / 1000000.0 AS v_filled
         FROM grid g LEFT JOIN hourly hr
           ON g.h = hr.h AND g.event_type = hr.event_type
         ORDER BY hour, g.event_type
@@ -1023,7 +1054,9 @@ ORACLES = {
     "events_resample_interp": f"""
         WITH hourly AS (
             SELECT date_trunc('hour', ts) AS h, event_type,
-                   count(*) AS n, round(avg(value), 6) AS avg_v
+                   count(*) AS n,
+                   CAST(round(sum(CAST(round(value * 10000) AS BIGINT))
+                              * 100.0 / count(*)) AS BIGINT) AS avg_v
             FROM events GROUP BY 1, 2
         ),
         spine AS (
@@ -1064,10 +1097,11 @@ ORACLES = {
                CASE WHEN NOT is_gap THEN avg_v
                     WHEN pv IS NULL THEN nv
                     WHEN nv IS NULL THEN pv
-                    ELSE round(pv + (nv - pv) *
+                    ELSE pv + CAST(round((nv - pv) *
                          (CAST(epoch(h) - epoch(ph) AS DOUBLE)
-                          / CAST(epoch(nh) - epoch(ph) AS DOUBLE)), 6)
-               END AS v_interp
+                          / CAST(epoch(nh) - epoch(ph) AS DOUBLE)))
+                         AS BIGINT)
+               END / 1000000.0 AS v_interp
         FROM nb ORDER BY hour, event_type
     """,
     "scd2_user_state": """
@@ -1134,7 +1168,9 @@ ORACLES = {
     """,
     "stream_sliding_rate": """
         SELECT ((epoch_us(ts) // 900000000) * 900 - g.g * 900) AS win_start_s,
-               event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+               event_type, count(*) AS n,
+               round(sum(CAST(round(value * 10000) AS BIGINT)) * 1.0
+                     / count(*)) / 10000.0 AS avg_value
         FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS g) g
         GROUP BY 1, 2
     """,

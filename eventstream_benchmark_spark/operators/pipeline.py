@@ -351,21 +351,22 @@ ORACLES = {
             SELECT doc_id, text,
                    CAST(len(string_split(lower(text), ' ')) AS BIGINT)
                        AS n_tokens,
-                   round(len(list_filter(string_split(lower(text), ' '),
-                             x -> x IN ('a', 'the')))
-                         * 1.0 / len(string_split(lower(text), ' ')), 6)
-                       AS stop_ratio,
-                   round((CAST(length(text) AS BIGINT)
-                          - (len(string_split(lower(text), ' ')) - 1)) * 1.0
-                         / len(string_split(lower(text), ' ')), 6)
-                       AS mean_tok_len
+                   CAST(round(len(list_filter(string_split(lower(text), ' '),
+                              x -> x IN ('a', 'the')))
+                              * 1000000.0
+                              / len(string_split(lower(text), ' ')))
+                       AS BIGINT) AS sr_i,
+                   CAST(round((CAST(length(text) AS BIGINT)
+                               - (len(string_split(lower(text), ' ')) - 1))
+                              * 1000000.0
+                              / len(string_split(lower(text), ' ')))
+                       AS BIGINT) AS mtl_i
             FROM documents
         ),
         kept AS (
             SELECT doc_id, text FROM feat
-            WHERE round(0.01 * (least(n_tokens, 400) - 60)
-                        + 10.0 * (stop_ratio - 0.05)
-                        - 0.5 * (mean_tok_len - 4.6), 6) > 0
+            WHERE 20000 * (least(n_tokens, 400) - 60)
+                  + 20 * (sr_i - 50000) - (mtl_i - 4600000) > 0
         ),
         wins AS (
             SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS win_idx,

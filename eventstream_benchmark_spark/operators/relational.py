@@ -2479,8 +2479,11 @@ ORACLES = {
                CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
                round(sum(value) OVER w, 2) AS sum_last_hour
         FROM events
+        -- epoch_us // 1e6 FLOORS like Spark's unix_seconds;
+        -- date_part('epoch') ROUNDS the fractional second and flipped
+        -- a 3600-vs-3601s frame boundary at sf0.1
         WINDOW w AS (PARTITION BY user_id
-                     ORDER BY CAST(date_part('epoch', ts) AS BIGINT)
+                     ORDER BY (epoch_us(ts) // 1000000)
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     # bucketing is a physical property only — the oracle is the plain join

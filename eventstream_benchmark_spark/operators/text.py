@@ -76,18 +76,25 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # restructured as ONE integer-arithmetic ratio so Spark and DuckDB
     # compute bit-identical doubles (a sum of three separately-divided
     # doubles rounds differently across engines at 1e-6 boundaries):
-    quality = (
+    quality_num = (
         F.least(n_tok, F.lit(100)) * n_tok
         + (n_tok - stop_hits) * 60
         + F.least(n_tok * 8, chars_adj) * 5
-    ) / (n_tok * 200)
+    ).cast("bigint")
+    # micro-scaled integer ratios: round(x·1e6) is a 0-dp round both
+    # engines agree on at every representable .5 boundary; the final
+    # /1e6 is one deterministic division.  round(x, 6) flipped a
+    # boundary microdigit at sf0.1 (the 1e-6 grid isn't representable).
+    def micro(num, den):
+        return F.round(num.cast("bigint") * F.lit(1_000_000.0) / den, 0).cast("bigint")
+
     return docs.select(
         "doc_id",
         "lang",
         bigint(n_tok).alias("n_tokens"),
-        r6(stop_ratio).alias("stop_ratio"),
-        r6(mean_tok_len).alias("mean_tok_len"),
-        r6(quality).alias("quality"),
+        (micro(stop_hits, n_tok) / F.lit(1_000_000.0)).alias("stop_ratio"),
+        (micro(chars_adj, n_tok) / F.lit(1_000_000.0)).alias("mean_tok_len"),
+        (micro(quality_num, n_tok * 200) / F.lit(1_000_000.0)).alias("quality"),
     )
 
 
@@ -725,27 +732,37 @@ def quality_logreg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _logreg_scored(docs: DataFrame, with_text: bool = False) -> DataFrame:
     """Per-doc linear-gate features/score over an arbitrary documents
     frame — shared by the standalone query and the pretrain pipeline
-    (which asks for the text column to flow through the gate)."""
+    (which asks for the text column to flow through the gate).
+
+    Boundary-proof arithmetic (the sf0.1 sweep caught a 6-dp round
+    flip): features are micro-scaled INTEGERS — ``round(x·1e6)`` is a
+    0-dp round of identical doubles, which both engines agree on at
+    every representable .5 boundary, unlike ``round(x, 6)`` whose
+    boundary 1e-6 grid is not representable — and the score is pure
+    bigint arithmetic (weights scaled by 2e6 so the 0.5 weight stays
+    integral), so the keep decision is an exact integer sign test."""
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks).cast("bigint")
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    sr = F.round(stop_hits * F.lit(1.0) / n_tok, 6)
-    mtl = F.round((F.length("text") - (n_tok - 1)) * F.lit(1.0) / n_tok, 6)
-    score = F.round(
-        F.lit(0.01) * (F.least(n_tok, F.lit(400)) - 60)
-        + F.lit(10.0) * (sr - 0.05)
-        - F.lit(0.5) * (mtl - 4.6),
-        6,
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    sr_i = F.round(stop_hits * F.lit(1_000_000.0) / n_tok, 0).cast("bigint")
+    mtl_i = F.round(
+        (F.length("text") - (n_tok - 1)) * F.lit(1_000_000.0) / n_tok, 0
+    ).cast("bigint")
+    # score·2e6 = 20000·(min(n,400)−60) + 20·(sr_i−50000) − (mtl_i−4600000)
+    score_i2 = (
+        F.lit(20000) * (F.least(n_tok, F.lit(400)) - 60)
+        + F.lit(20) * (sr_i - 50000)
+        - (mtl_i - 4_600_000)
     )
     return docs.select(
         "doc_id",
         "lang",
         *(["text"] if with_text else []),
         n_tok.alias("n_tokens"),
-        sr.alias("stop_ratio"),
-        mtl.alias("mean_tok_len"),
-        score.alias("score"),
-        (score > 0).alias("keep"),
+        (sr_i / F.lit(1_000_000.0)).alias("stop_ratio"),
+        (mtl_i / F.lit(1_000_000.0)).alias("mean_tok_len"),
+        (score_i2 / F.lit(2_000_000.0)).alias("score"),
+        (score_i2 > 0).alias("keep"),
     )
 
 
@@ -966,13 +983,16 @@ ORACLES = {
         )
         SELECT doc_id, lang,
                CAST(len(toks) AS BIGINT) AS n_tokens,
-               round(len(list_filter(toks, x -> x IN {_STOP_SQL})) * 1.0 / len(toks), 6)
+               CAST(round(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                          * 1000000.0 / len(toks)) AS BIGINT) / 1000000.0
                    AS stop_ratio,
-               round((nchars - (len(toks) - 1)) * 1.0 / len(toks), 6) AS mean_tok_len,
-               round((least(len(toks), 100) * len(toks)
+               CAST(round((nchars - (len(toks) - 1)) * 1000000.0
+                          / len(toks)) AS BIGINT) / 1000000.0 AS mean_tok_len,
+               CAST(round((least(len(toks), 100) * len(toks)
                       + (len(toks) - len(list_filter(toks, x -> x IN {_STOP_SQL}))) * 60
                       + least(len(toks) * 8, nchars - (len(toks) - 1)) * 5)
-                     * 1.0 / (len(toks) * 200), 6) AS quality
+                     * 1000000.0 / (len(toks) * 200)) AS BIGINT) / 1000000.0
+                   AS quality
         FROM t
     """,
     "text_langid": f"""
@@ -1124,21 +1144,24 @@ ORACLES = {
         feat AS (
             SELECT doc_id, lang,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
-                   round(len(list_filter(toks, x -> x IN {_STOP_SQL}))
-                         * 1.0 / len(toks), 6) AS stop_ratio,
-                   round((nchars - (len(toks) - 1)) * 1.0 / len(toks), 6)
-                       AS mean_tok_len
+                   CAST(round(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                              * 1000000.0 / len(toks)) AS BIGINT) AS sr_i,
+                   CAST(round((nchars - (len(toks) - 1)) * 1000000.0
+                              / len(toks)) AS BIGINT) AS mtl_i
             FROM t
         ),
         scored AS (
             SELECT *,
-                   round(0.01 * (least(n_tokens, 400) - 60)
-                         + 10.0 * (stop_ratio - 0.05)
-                         - 0.5 * (mean_tok_len - 4.6), 6) AS score
+                   20000 * (least(n_tokens, 400) - 60)
+                   + 20 * (sr_i - 50000)
+                   - (mtl_i - 4600000) AS score_i2
             FROM feat
         )
-        SELECT doc_id, lang, n_tokens, stop_ratio, mean_tok_len, score,
-               score > 0 AS keep
+        SELECT doc_id, lang, n_tokens,
+               sr_i / 1000000.0 AS stop_ratio,
+               mtl_i / 1000000.0 AS mean_tok_len,
+               score_i2 / 2000000.0 AS score,
+               score_i2 > 0 AS keep
         FROM scored ORDER BY doc_id
     """,
 }
