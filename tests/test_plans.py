@@ -586,3 +586,15 @@ def test_asof_nearest_is_window_not_join(spark, sf_small):
     plan = _plan(spark, sf_small, "join_asof_nearest")
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan, f"unexpected {node}"
+
+
+def test_url_normalize_single_shuffle_no_python(spark, sf_small):
+    """URL canonicalization is a per-row regex chain fused into the
+    scan plus a count-distinct aggregate on the canonical URL — the
+    two-phase distinct shuffle plus the presentation sort, no join, no
+    Python."""
+    plan = _plan(spark, sf_small, "dedup_url_normalize")
+    assert plan.count("Exchange (") <= 3
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"unexpected {node}"
