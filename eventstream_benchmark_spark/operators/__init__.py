@@ -63,6 +63,10 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "pipeline_pretrain_corpus",  # new: gate->span-dedup->PII->manifest
     "join_asof_nearest",       # new: bidirectional tolerance-bounded asof
     "dedup_url_normalize",     # new: URL canonicalization dedup
+    "text_quality_score",      # r5 hardening: micro-int ratios (sf0.1 sweep)
+    "stream_sliding_rate",     # r5 hardening: quantized integer window avg
+    "win_frame_range",         # r5 hardening: oracle epoch floor fix
+    "events_gap_fill_locf",    # r5 hardening: integer micro-avg carry
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",
@@ -86,7 +90,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "knn_bruteforce_topk",
     "sample_hash_split",
     "text_token_count",
-    "text_quality_score",
     "text_langid",
     "text_fingerprint",
     "text_tokenize_topterms",
