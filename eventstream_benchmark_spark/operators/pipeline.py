@@ -336,9 +336,64 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard")
 
 
+TOPP_PCT = 90  # nucleus cut: smallest source set covering 90% of tokens
+
+
+def corpus_source_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) source selection: rank sources by token mass
+    and keep the smallest prefix covering ``TOPP_PCT``% of the corpus
+    — the source-level analogue of nucleus sampling, used to cut the
+    long tail of scraped domains before mixing.
+
+    A source is kept while the share accumulated BEFORE it is still
+    under the cut, so the source that crosses the threshold is
+    included (the standard top-p rule). The keep decision is an exact
+    integer cross-multiplication (``prev_cum·100 < total·PCT``) — no
+    division, no float; displayed shares are micro-scaled integers
+    divided once.
+
+    Scale shape: one corpus-scale aggregate to (source, tokens) — a
+    handful of rows at any corpus size — then windows over that tiny
+    table (total via an unpartitioned window over ~20 rows, not the
+    corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        bigint(F.sum(F.size(F.split(F.lower("text"), " ")))).alias("tokens")
+    )
+    from pyspark.sql import Window as W
+
+    w_all = W.partitionBy()
+    w_cum = W.orderBy(F.desc("tokens"), F.asc("source")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = per_source.select(
+        "source",
+        "tokens",
+        F.sum("tokens").over(w_all).alias("total"),
+        F.sum("tokens").over(w_cum).alias("cum_tokens"),
+        F.row_number().over(W.orderBy(F.desc("tokens"), F.asc("source"))).alias("rk"),
+    )
+    prev_cum = F.col("cum_tokens") - F.col("tokens")
+    return ranked.select(
+        "source",
+        "tokens",
+        bigint(F.col("rk")).alias("rk"),
+        (
+            F.round(F.col("tokens") * F.lit(1_000_000.0) / F.col("total"), 0)
+            / F.lit(1_000_000.0)
+        ).alias("share"),
+        (
+            F.round(F.col("cum_tokens") * F.lit(1_000_000.0) / F.col("total"), 0)
+            / F.lit(1_000_000.0)
+        ).alias("cum_share"),
+        (prev_cum * 100 < F.col("total") * TOPP_PCT).alias("kept"),
+    ).orderBy("rk")
+
+
 QUERIES = {
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "pipeline_pretrain_corpus": pipeline_pretrain_corpus,
+    "corpus_source_topp": corpus_source_topp,
     "export_shard_manifest": export_shard_manifest,
     "corpus_mix_rebalance": corpus_mix_rebalance,
     "corpus_temperature_resample": corpus_temperature_resample,
@@ -346,6 +401,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_source_topp": f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                       AS tokens
+            FROM documents GROUP BY source
+        ),
+        ranked AS (
+            SELECT source, tokens,
+                   CAST(sum(tokens) OVER () AS BIGINT) AS total,
+                   CAST(sum(tokens) OVER (ORDER BY tokens DESC, source
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                   row_number() OVER (ORDER BY tokens DESC, source) AS rk
+            FROM per_source
+        )
+        SELECT source, tokens, CAST(rk AS BIGINT) AS rk,
+               CAST(round(tokens * 1000000.0 / total) AS BIGINT)
+                   / 1000000.0 AS share,
+               CAST(round(cum_tokens * 1000000.0 / total) AS BIGINT)
+                   / 1000000.0 AS cum_share,
+               (cum_tokens - tokens) * 100 < total * {TOPP_PCT} AS kept
+        FROM ranked ORDER BY rk
+    """,
     "pipeline_pretrain_corpus": f"""
         WITH feat AS (
             SELECT doc_id, text,
