@@ -68,6 +68,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "win_frame_range",         # r5 hardening: oracle epoch floor fix
     "events_gap_fill_locf",    # r5 hardening: integer micro-avg carry
     "corpus_source_topp",      # new: nucleus source selection
+    "events_markov_transitions",  # new: transition-matrix estimation
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -728,6 +728,43 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked_mid.unionAll(ends).orderBy("event_type", "bucket")
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition-matrix estimation over per-user
+    event streams — the INVERSE of the reference's pattern generator
+    (eventstream.py:85-95 emits type sequences from a pattern set;
+    this estimates the type→type transition structure back from the
+    merged stream): count consecutive (prev → cur) type pairs per
+    user timeline, then normalize per source state.
+
+    The probabilities are micro-scaled integers divided once (the
+    0-dp-round rule), so the matrix is hash-exact; row counts are
+    exact; a modeling consumer can feed the matrix straight into a
+    sequence simulator.
+
+    Scale shape: one shuffle on user_id for the lag, one map-side-
+    combined aggregate to the (|types|², ~25-row) matrix, windows only
+    over that matrix for the row totals."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("cur_type"))
+        .agg(bigint(F.count("*")).alias("n"))
+    )
+    w_row = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "cur_type",
+        "n",
+        bigint(F.sum("n").over(w_row)).alias("row_total"),
+        (
+            F.round(F.col("n") * F.lit(1_000_000.0) / F.sum("n").over(w_row), 0)
+            / F.lit(1_000_000.0)
+        ).alias("prob"),
+    ).orderBy("prev_type", "cur_type")
+
+
 CUSUM_FACTOR = 5  # alarm when max CUSUM⁺ > FACTOR · mean |deviation|
 
 
@@ -798,6 +835,7 @@ QUERIES = {
     "events_ewma_smooth": events_ewma_smooth,
     "events_downsample_lttb": events_downsample_lttb,
     "events_cusum_shift": events_cusum_shift,
+    "events_markov_transitions": events_markov_transitions,
     "stream_tumbling_rate": stream_tumbling_rate,
     "stream_sliding_rate": stream_sliding_rate,
     "stream_sessionize": stream_sessionize,
@@ -814,6 +852,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_markov_transitions": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type,
+                   event_type AS cur_type
+            FROM events
+        ),
+        counted AS (
+            SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS n
+            FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_type, cur_type, n,
+               CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+                   AS row_total,
+               CAST(round(n * 1000000.0
+                    / sum(n) OVER (PARTITION BY prev_type)) AS BIGINT)
+                   / 1000000.0 AS prob
+        FROM counted ORDER BY prev_type, cur_type
+    """,
     # exact-integer CUSUM: running sum then running min of bigint
     # deviations; the alarm threshold is cross-multiplied so no
     # division ever rounds
