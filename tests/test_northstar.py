@@ -283,3 +283,57 @@ def test_line_dedup_removes_planted_duplicate_spans(spark, sf_small, tmp_path):
     assert out.loc[1, "n_windows"] == 2
     assert out.loc[1, "n_removed"] == 1  # the shared leading span
     assert out.loc[1, "n_tokens_kept"] == LINE_WIN  # only the tail survives
+
+
+def test_line_dedup_window_count_invariant(spark, sf_small):
+    """Per doc: n_windows == ceil(n_ws_tokens / LINE_WIN) and the kept
+    token count never exceeds the doc's own token count."""
+    import math
+
+    from eventstream_benchmark_spark.operators.text import (
+        LINE_WIN,
+        text_line_dedup,
+        text_token_count,
+    )
+
+    dd = text_line_dedup(spark, sf_small).toPandas().set_index("doc_id")
+    tc = text_token_count(spark, sf_small).toPandas().set_index("doc_id")
+    for doc_id, row in dd.iterrows():
+        n_tok = int(tc.loc[doc_id, "n_ws_tokens"])
+        assert row["n_windows"] == math.ceil(n_tok / LINE_WIN)
+        assert 0 <= row["n_tokens_kept"] <= n_tok
+
+
+def test_source_topp_kept_is_rank_prefix(spark, sf_small):
+    """The nucleus cut must keep a contiguous rank prefix whose
+    cumulative share reaches the threshold."""
+    from eventstream_benchmark_spark.operators.pipeline import (
+        TOPP_PCT,
+        corpus_source_topp,
+    )
+
+    df = corpus_source_topp(spark, sf_small).toPandas().sort_values("rk")
+    kept = df["kept"].tolist()
+    assert kept == sorted(kept, reverse=True), "kept must be a rank prefix"
+    last_kept = df[df["kept"]].iloc[-1]
+    prev_cum = last_kept["cum_share"] - last_kept["share"]
+    assert prev_cum < TOPP_PCT / 100 + 1e-9
+    assert df[df["kept"]]["cum_share"].iloc[-1] >= TOPP_PCT / 100 - 1e-9
+
+
+def test_markov_matrix_row_stochastic(spark, sf_small):
+    """Transition counts must sum to (events − first-event-per-user)
+    and each row's probabilities to ~1 (micro-rounding slack)."""
+    from eventstream_benchmark_spark.operators.eventstream import (
+        events_markov_transitions,
+    )
+    from eventstream_benchmark_spark.io import load_table
+
+    df = events_markov_transitions(spark, sf_small).toPandas()
+    ev = load_table(spark, sf_small, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert df["n"].sum() == n_events - n_users
+    for _, grp in df.groupby("prev_type"):
+        assert (grp["row_total"] == grp["n"].sum()).all()
+        assert abs(grp["prob"].sum() - 1.0) < 5e-6 * len(grp)
