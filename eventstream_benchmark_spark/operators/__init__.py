@@ -69,6 +69,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "events_gap_fill_locf",    # r5 hardening: integer micro-avg carry
     "corpus_source_topp",      # new: nucleus source selection
     "events_markov_transitions",  # new: transition-matrix estimation
+    "streaming_ewma_state",    # new: 2nd applyInPandasWithState, exact oracle
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -190,6 +190,57 @@ def streaming_pattern_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming EWMA per user — the second
+    ``applyInPandasWithState`` surface (B37's sibling): the α = 1/2
+    recurrence y ← (y + x)/2 runs in the state store across
+    micro-batches, seeded with the user's first value.
+
+    α = 1/2 makes the whole stream-long recurrence hash-checkable:
+    every step is one correctly-rounded IEEE add and one exact
+    exponent-shift halving, so Python's float loop, and DuckDB's
+    ``list_reduce`` over the (ts, event_id)-ordered values, produce
+    bit-identical doubles — no rounding contract needed at all, the
+    strongest oracle in the streaming pack."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdf_iter, state: GroupState):
+        y, n = state.get if state.exists else (None, 0)
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+            for x in pdf["value"]:
+                x = float(x)
+                y = x if y is None else (y + x) / 2
+                n += 1
+        state.update((y, n))
+        yield pd.DataFrame({"user_id": [key[0]], "ewma": [y], "n_events": [n]})
+
+    with _state_shuffle(spark):
+        src = _replay_dir(spark, sf_dir)
+        events = spark.readStream.schema(
+            load_table(spark, sf_dir, "events").schema
+        ).parquet(src)
+        folded = (
+            events.filter(F.col("value").isNotNull())
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fold,
+                outputStructType="user_id long, ewma double, n_events long",
+                stateStructType="ewma double, n_events long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        result = _run_to_memory(folded, "update")
+    latest = result.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "ewma")).alias("s")
+    )
+    return latest.select(
+        "user_id", F.col("s.ewma").alias("ewma"), F.col("s.n_events").alias("n_events")
+    ).orderBy("user_id")
+
+
 def streaming_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with an event-time range condition:
     clicks joined to same-user purchases within the following hour.
@@ -526,6 +577,7 @@ QUERIES = {
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_pattern_state": streaming_pattern_state,
+    "streaming_ewma_state": streaming_ewma_state,
     "streaming_join_clicks_purchases": streaming_join_clicks_purchases,
     "streaming_rate_replay": streaming_rate_replay,
     "streaming_foreach_batch_sink": streaming_foreach_batch_sink,
@@ -535,6 +587,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the dyadic α=1/2 recurrence is bit-identical between Python's
+    # float loop and list_reduce over the same ordered values
+    "streaming_ewma_state": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               list_reduce(list(value ORDER BY ts, event_id),
+                           (a, x) -> (a + x) / 2) AS ewma
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id ORDER BY user_id
+    """,
     # stream-static inner join is stateless: complete-mode replay of an
     # in-order stream equals the batch join against the same profile
     "streaming_static_enrich": """
