@@ -88,6 +88,9 @@ SF1_QUERIES = (
     # grows)
     "text_line_dedup",
     "corpus_bpe_pair_counts",
+    # the composed gate->span-dedup->PII->manifest pipeline: the 10x
+    # duplicate-flooded corpus stresses its span-dedup stage end to end
+    "pipeline_pretrain_corpus",
 )
 
 
