@@ -70,6 +70,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "corpus_source_topp",      # new: nucleus source selection
     "events_markov_transitions",  # new: transition-matrix estimation
     "streaming_ewma_state",    # new: 2nd applyInPandasWithState, exact oracle
+    "streaming_incremental_rollup",  # new: foreachBatch merge rollup
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

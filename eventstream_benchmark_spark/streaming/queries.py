@@ -462,6 +462,73 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup via ``foreachBatch`` MERGE — the
+    streaming pattern that maintains an (hour × type) aggregate table
+    without ever recomputing history: each micro-batch aggregates only
+    its own rows, unions them with the CURRENT values of just the
+    (hour, type) partials it touches, re-aggregates, and rewrites ONLY
+    the touched hour partitions (dynamic partition overwrite). At
+    100 TB this is the idempotent exactly-once rollup recipe: per-batch
+    work is proportional to the batch, a replayed batch overwrites its
+    own partitions instead of double-counting, and untouched history
+    is never read or written.
+
+    The end state after the full replay equals the one-shot batch
+    rollup, which is exactly what the DuckDB oracle computes — the
+    driver hash-checks the maintained table, not a weaker row count.
+    Sums are exact integer micro-units per the determinism rule."""
+    with _state_shuffle(spark):
+        src = _replay_dir(spark, sf_dir)
+        out = os.path.join(tempfile.gettempdir(), f"esb_roll_{uuid.uuid4().hex[:8]}")
+        events = spark.readStream.schema(
+            load_table(spark, sf_dir, "events").schema
+        ).parquet(src)
+        v4 = F.round(F.col("value") * 10000, 0).cast("bigint")
+        slim = events.filter(F.col("value").isNotNull()).select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH").alias("hour"),
+            "event_type",
+            v4.alias("v4"),
+        )
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            sess = bdf.sparkSession
+            partial = bdf.groupBy("hour", "event_type").agg(
+                F.count("*").alias("n"), F.sum("v4").alias("s4")
+            )
+            if os.path.exists(out):  # target exists: merge touched partials
+                current = sess.read.parquet(out)
+                touched = partial.select("hour").distinct()
+                existing = current.join(F.broadcast(touched), "hour")
+                merged = (
+                    existing.unionByName(partial)
+                    .groupBy("hour", "event_type")
+                    .agg(F.sum("n").alias("n"), F.sum("s4").alias("s4"))
+                )
+            else:  # first batch bootstraps the target
+                merged = partial
+            merged.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("hour").parquet(out)
+
+        query = (
+            slim.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", out + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        rollup = spark.read.parquet(out)
+    return rollup.select(
+        "hour",
+        "event_type",
+        bigint(F.col("n")).alias("n"),
+        (
+            F.round(F.col("s4") * F.lit(1.0) / F.col("n"), 0) / F.lit(10000.0)
+        ).alias("avg_value"),
+    ).orderBy("hour", "event_type")
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True streaming session windows: the same 30-min-gap
     ``F.session_window`` as ``session_window_agg``, but evaluated
@@ -578,6 +645,7 @@ QUERIES = {
     "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_pattern_state": streaming_pattern_state,
     "streaming_ewma_state": streaming_ewma_state,
+    "streaming_incremental_rollup": streaming_incremental_rollup,
     "streaming_join_clicks_purchases": streaming_join_clicks_purchases,
     "streaming_rate_replay": streaming_rate_replay,
     "streaming_foreach_batch_sink": streaming_foreach_batch_sink,
@@ -587,6 +655,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the maintained rollup's end state equals the one-shot batch
+    # rollup; micro-int average per the determinism rule
+    "streaming_incremental_rollup": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') AS hour,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(CAST(round(value * 10000) AS BIGINT)) * 1.0
+                     / count(*)) / 10000.0 AS avg_value
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     # the dyadic α=1/2 recurrence is bit-identical between Python's
     # float loop and list_reduce over the same ordered values
     "streaming_ewma_state": """
