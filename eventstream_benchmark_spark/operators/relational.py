@@ -400,6 +400,44 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): a
+    reconciliation between click-side and purchase-side value buckets
+    where the bucket key is NULL for low-value events — plain ``=``
+    silently drops every NULL pair, ``<=>`` matches them, which is the
+    semantic ledger-reconciliation jobs need.
+
+    Scale shape: both sides pre-aggregate to (bucket, count) BEFORE the
+    join — the null bucket on each side collapses to one row, so the
+    NULL⋈NULL match is 1×1 instead of the n×m explosion a raw null-safe
+    join of fact tables produces (at sf0.1 that raw form would emit
+    ~10⁸ rows; the aggregate form is the only shape that survives
+    100×). One shuffle per side plus a key-count-sized join."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.when(F.col("value") >= 50, F.floor(F.col("value") / 100)).cast("bigint")
+
+    def side(event_type: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(bigint(F.count("*")).alias(out))
+        )
+
+    clicks = side("click", "n_click")
+    purchases = side("purchase", "n_purchase")
+    return (
+        clicks.join(purchases, clicks["bucket"].eqNullSafe(purchases["bucket"]))
+        .select(
+            clicks["bucket"].alias("bucket"),
+            "n_click",
+            "n_purchase",
+            bigint(F.col("n_click") * F.col("n_purchase")).alias("pair_mass"),
+        )
+        .orderBy(F.asc_nulls_first("bucket"))
+    )
+
+
 ASOF_NEAREST_TOL_S = 3600  # nearest-match tolerance (seconds)
 
 
@@ -2069,6 +2107,7 @@ QUERIES = {
     "join_range_interval": join_range_interval,
     "join_asof": join_asof,
     "join_asof_nearest": join_asof_nearest,
+    "join_null_safe": join_null_safe,
     "join_runtime_filtered": join_runtime_filtered,
     "join_skew_salted": join_skew_salted,
     "agg_hash_global": agg_hash_global,
@@ -2582,6 +2621,24 @@ ORACLES = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "join_null_safe": """
+        WITH c AS (
+            SELECT CASE WHEN value >= 50
+                        THEN CAST(floor(value / 100) AS BIGINT) END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_click
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ),
+        p AS (
+            SELECT CASE WHEN value >= 50
+                        THEN CAST(floor(value / 100) AS BIGINT) END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_purchase
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT c.bucket, n_click, n_purchase,
+               CAST(n_click * n_purchase AS BIGINT) AS pair_mass
+        FROM c JOIN p ON c.bucket IS NOT DISTINCT FROM p.bucket
+        ORDER BY c.bucket NULLS FIRST
     """,
     "join_asof_nearest": f"""
         WITH merged AS (
