@@ -76,6 +76,59 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV ingestion under PERMISSIVE mode — the
+    dirty-landing-zone reality check the clean round-trips skip: a CSV
+    is materialized with deterministically planted defects (every
+    97th id drops the value column, every 89th writes a non-numeric
+    value), read back with an explicit schema +
+    ``columnNameOfCorruptRecord``, and triaged into good / truncated /
+    parse-failed classes.
+
+    Two gotchas encoded here (both measured): (1) Spark's CSV parser
+    only materializes the corrupt column for fields it actually
+    parses, so an aggregate touching a SUBSET of columns undercounts
+    parse failures (projection pushdown prunes the parse) — the
+    summary references every data column, forcing the full-row parse;
+    (2) rows with FEWER tokens than the schema are NOT corrupt — the
+    missing trailing column is silently null-filled, so truncation is
+    only detectable by null-profiling the value column, which is
+    exactly what the triage does.
+
+    Good values are exact quarters ((id % 1000)·0.25), so their sum is
+    dyadic-exact in any order — no rounding contract. The oracle
+    replays the plant arithmetic on the source table."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    qv = F.format_string("%.2f", (F.col("event_id") % 1000) * F.lit(0.25))
+    eid = F.col("event_id").cast("string")
+    line = (
+        F.when(F.col("event_id") % 97 == 0, F.concat_ws(",", eid, F.lit("click")))
+        .when(
+            F.col("event_id") % 89 == 0,
+            F.concat_ws(",", eid, F.lit("view"), F.lit("nan_text")),
+        )
+        .otherwise(F.concat_ws(",", eid, F.lit("purchase"), qv))
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="esb_dirty_"), "dirty_csv")
+    ev.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema("event_id bigint, event_type string, value double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    ok = F.col("_corrupt").isNull()
+    good = ok & F.col("value").isNotNull()
+    return back.agg(
+        bigint(F.count("*")).alias("n_rows"),
+        bigint(F.count("_corrupt")).alias("n_parse_fail"),
+        bigint(F.sum((ok & F.col("value").isNull()).cast("int"))).alias("n_truncated"),
+        bigint(F.sum(good.cast("int"))).alias("n_good"),
+        bigint(F.sum(F.when(good, F.col("event_id")))).alias("good_id_sum"),
+        F.sum(F.when(good, F.col("value"))).alias("good_value_sum"),
+    )
+
+
 def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an events subset as JSON-lines, read it back with an
     explicit schema (schema-on-read; no inference job at scale),
@@ -2097,6 +2150,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "scan_parquet_project_filter": scan_parquet_project_filter,
     "scan_csv_roundtrip": scan_csv_roundtrip,
+    "scan_csv_permissive": scan_csv_permissive,
     "predicate_combo": predicate_combo,
     "join_inner_equi": join_inner_equi,
     "join_broadcast_dims": join_broadcast_dims,
@@ -2268,6 +2322,20 @@ ORACLES = {
     """,
     "scan_parquet_project_filter": """
         SELECT event_id, user_id, value FROM events WHERE event_type = 'error'
+    """,
+    "scan_csv_permissive": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN event_id % 89 = 0 AND event_id % 97 <> 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_fail,
+               CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_truncated,
+               CAST(sum(CASE WHEN event_id % 97 <> 0 AND event_id % 89 <> 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+               CAST(sum(CASE WHEN event_id % 97 <> 0 AND event_id % 89 <> 0
+                        THEN event_id END) AS BIGINT) AS good_id_sum,
+               sum(CASE WHEN event_id % 97 <> 0 AND event_id % 89 <> 0
+                        THEN (event_id % 1000) * 0.25 END) AS good_value_sum
+        FROM events
     """,
     "scan_csv_roundtrip": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
