@@ -290,10 +290,49 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = {"doc_id": [], "n_samples": [], "zero_crossings": [], "energy": [], "peak": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = _decode_wav(bytes(payload)).astype(np.int64)
+            rows["doc_id"].append(int(doc_id))
+            rows["n_samples"].append(len(s))
+            rows["zero_crossings"].append(int(((s[:-1] * s[1:]) < 0).sum()))
+            rows["energy"].append(int((s * s).sum()))
+            rows["peak"].append(int(np.abs(s).max()))
+        yield pd.DataFrame(rows)
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio DSP features over REAL decoded PCM: the WAV lane's RIFF
+    chunks are walked and the int16 samples profiled — zero-crossing
+    count (the classic cheap pitch/voicedness proxy), total energy
+    (Σs², the loudness side), and peak amplitude — Arrow-batched NumPy
+    per partition, no shuffle until the (tiny) result.
+
+    Every feature is exact int64 arithmetic, so the closed-form oracle
+    (which regenerates the deterministic sample sequence from doc_id
+    and never parses bytes, per the multimodal contract) matches
+    hash-for-hash."""
+    audio = media_table(spark, sf_dir).filter(F.col("media_type") == "audio/wav")
+    return (
+        audio.select("doc_id", "payload")
+        .mapInPandas(
+            _audio_feature_batches,
+            "doc_id bigint, n_samples bigint, zero_crossings bigint, "
+            "energy bigint, peak bigint",
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "multimodal_extract": multimodal_extract,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_features": multimodal_audio_features,
 }
 
 # The oracles never parse bytes: they recompute the closed-form unit
@@ -301,6 +340,31 @@ QUERIES = {
 # independently check that the Spark side both GENERATED and DECODED
 # the real byte formats correctly.
 ORACLES: dict[str, str] = {
+    "multimodal_audio_features": """
+        WITH d AS (
+            SELECT doc_id, n_chars % 500 + 100 AS n FROM documents
+            WHERE doc_id % 3 = 1
+        ),
+        s AS (
+            SELECT doc_id, i,
+                   (doc_id * 13 + 11 * i) % 65536 - 32768 AS v
+            FROM (SELECT doc_id, n,
+                         unnest(generate_series(0, n - 1)) AS i
+                  FROM d)
+        ),
+        x AS (
+            SELECT doc_id, v,
+                   lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(CASE WHEN nv IS NOT NULL AND v * nv < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+               CAST(sum(v * v) AS BIGINT) AS energy,
+               CAST(max(abs(v)) AS BIGINT) AS peak
+        FROM x GROUP BY doc_id ORDER BY doc_id
+    """,
     "multimodal_extract": """
         WITH d AS (
             SELECT doc_id,
