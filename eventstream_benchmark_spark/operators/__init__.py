@@ -74,6 +74,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "join_null_safe",          # new: <=> reconciliation on pre-aggregates
     "scan_csv_permissive",     # new: malformed-CSV triage, full-parse forced
     "multimodal_audio_features",  # new: PCM zero-crossings/energy/peak
+    "dedup_recall_eval",       # new: LSH-vs-truth confusion contract
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -406,6 +406,41 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
     return verified.select("d1", "d2", "jaccard")
 
 
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation as a first-class query: run the LSH
+    path AND the exact all-pairs path, confusion-join them, and emit
+    TP/FP/FN with precision/recall — the measurement a pipeline owner
+    watches before trusting approximate dedup at scale.
+
+    Because the LSH path verifies every candidate with the exact
+    Jaccard, precision is 1 by construction; recall is the contract
+    under test (banding theory puts the miss probability ≈5e-8 per
+    pair at J ≥ 0.8). The oracle is therefore the zero-miss contract
+    itself — tp = |truth|, fp = fn = 0 — so any fixture or signature
+    regression that drops a single pair fails the driver hash, exactly
+    like the per-fixture zero-miss certification test but continuously
+    driver-checked.
+
+    Scale note: the exact side is the capped oracle shape (stop-shingle
+    docfreq bound); at 100 TB one runs this eval on a sampled stratum,
+    not the full corpus — the query composes unchanged."""
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2", F.lit(1).alias("in_lsh"))
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("in_exact")
+    )
+    conf = lsh.join(exact, ["d1", "d2"], "full_outer")
+    tp = F.sum((F.col("in_lsh").isNotNull() & F.col("in_exact").isNotNull()).cast("int"))
+    fp = F.sum((F.col("in_lsh").isNotNull() & F.col("in_exact").isNull()).cast("int"))
+    fn = F.sum((F.col("in_lsh").isNull() & F.col("in_exact").isNotNull()).cast("int"))
+    return conf.agg(
+        bigint(tp).alias("tp"),
+        bigint(fp).alias("fp"),
+        bigint(fn).alias("fn"),
+        r6(tp / (tp + fp)).alias("precision_ratio"),
+        r6(tp / (tp + fn)).alias("recall_ratio"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
@@ -814,6 +849,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment_ngram": dedup_containment_ngram,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_recall_eval": dedup_recall_eval,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_cc": dedup_cluster_cc,
@@ -877,6 +913,16 @@ ORACLES = {
         SELECT doc_id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp ORDER BY doc_id
+    """,
+    # the zero-miss contract: LSH output == exact truth on this corpus,
+    # so the confusion matrix degenerates to (|truth|, 0, 0, 1, 1)
+    "dedup_recall_eval": f"""
+        SELECT CAST(count(*) AS BIGINT) AS tp,
+               CAST(0 AS BIGINT) AS fp,
+               CAST(0 AS BIGINT) AS fn,
+               1.0 AS precision_ratio,
+               1.0 AS recall_ratio
+        FROM ({_PAIRS_SQL}) t
     """,
     "dedup_url_normalize": f"""
         WITH urls AS (
