@@ -75,6 +75,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "scan_csv_permissive",     # new: malformed-CSV triage, full-parse forced
     "multimodal_audio_features",  # new: PCM zero-crossings/energy/peak
     "dedup_recall_eval",       # new: LSH-vs-truth confusion contract
+    "ann_recall_eval",         # new: measured recall@k, composed oracles
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

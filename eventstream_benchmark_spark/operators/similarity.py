@@ -740,3 +740,45 @@ ORACLES = {
         ) WHERE rk <= {KNN_K}
     """,
 }
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-quality evaluation as a first-class query: per query vector,
+    recall@k of the multiprobe-LSH kNN against brute-force truth — the
+    number an ANN operator is actually judged by before it replaces
+    exact search at 100 TB. Both sides are the registered queries
+    themselves; the oracle composes their two existing DuckDB replays,
+    so the measured recall (not a constant) is hash-checked end to end.
+
+    Scale shape: both inputs are top-k tables (queries×k rows); the
+    confusion join and per-query aggregate are trivially small — the
+    cost is the two ANN pipelines, each already scale-shaped."""
+    exact = knn_bruteforce_topk(spark, sf_dir).select("q_id", "vec_id")
+    approx = ann_lsh_query_topk(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(approx, ["q_id", "vec_id"], "left")
+    return (
+        joined.groupBy("q_id")
+        .agg(
+            bigint(F.count("*")).alias("k"),
+            bigint(F.sum(F.coalesce(F.col("hit"), F.lit(0)))).alias("n_hit"),
+        )
+        .withColumn("recall_at_k", F.col("n_hit") * F.lit(1.0) / F.col("k"))
+        .orderBy("q_id")
+    )
+
+
+QUERIES["ann_recall_eval"] = ann_recall_eval
+ORACLES["ann_recall_eval"] = f"""
+    WITH exact AS ({ORACLES["knn_bruteforce_topk"]}),
+    approx AS ({ORACLES["ann_lsh_query_topk"]})
+    SELECT e.q_id, CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+           sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+               / count(*) AS recall_at_k
+    FROM exact e LEFT JOIN approx a
+      ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+    GROUP BY e.q_id ORDER BY e.q_id
+"""
