@@ -98,3 +98,33 @@ def test_slot_schedule_counts(n: int, length: int, ratio: float):
     emitted = n_rand + n_inst * length
     assert emitted >= n
     assert emitted - n < length  # overshoot bounded by one instance
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_dyadic_ewma_fold_bit_identical_python_vs_duckdb(xs: list[float]):
+    """The α=1/2 EWMA recurrence y ← (y + x)/2 must produce
+    BIT-identical doubles in a Python float loop and DuckDB's
+    list_reduce over the same ordered values — the determinism claim
+    ``streaming_ewma_state``'s no-rounding oracle rests on, checked
+    here on arbitrary (not just fixture) inputs."""
+    import duckdb
+
+    y = xs[0]
+    for x in xs[1:]:
+        y = (y + x) / 2
+    # bind natively: a decimal LITERAL would be parsed as DECIMAL first
+    # and lose ulps before the DOUBLE cast (measured — test artifact,
+    # not an engine divergence)
+    (dy,) = (
+        duckdb.connect()
+        .execute("SELECT list_reduce($1::DOUBLE[], (a, x) -> (a + x) / 2)", [xs])
+        .fetchone()
+    )
+    assert y == dy, f"{y!r} != {dy!r}"
