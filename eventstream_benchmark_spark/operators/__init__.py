@@ -76,6 +76,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "multimodal_audio_features",  # new: PCM zero-crossings/energy/peak
     "dedup_recall_eval",       # new: LSH-vs-truth confusion contract
     "ann_recall_eval",         # new: measured recall@k, composed oracles
+    "scalar_variant",          # new: Spark 4 VARIANT parse + typed paths
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -2128,6 +2128,49 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion — the shredded semi-structured path
+    that supersedes string-JSON probing at scale (binary encoding, no
+    re-parse per extraction): a nested document is assembled around
+    the fixture's ``props`` JSON, parsed ONCE with ``parse_json``, and
+    probed with typed ``variant_get`` paths — nested object, array
+    index, and a missing path (NULL, not an error).
+
+    The DuckDB oracle runs the same paths with ``json_extract`` over
+    the identical document string; values are exact
+    integers/strings, so parity is representation-free. Single scan,
+    one aggregate shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta": '),
+        F.col("props"),
+        F.lit(', "tags": ["'),
+        F.col("event_type"),
+        F.lit('"], "id": '),
+        F.col("event_id").cast("string"),
+        F.lit("}"),
+    )
+    v = F.parse_json(doc)
+    k = F.variant_get(v, "$.meta.k", "bigint")
+    tag = F.variant_get(v, "$.tags[0]", "string")
+    missing = F.variant_get(v, "$.absent", "bigint")
+    return (
+        ev.select(
+            (k % 5).alias("k_mod5"),
+            tag.alias("tag"),
+            missing.alias("missing"),
+            "event_id",
+        )
+        .groupBy("k_mod5", "tag")
+        .agg(
+            bigint(F.count("*")).alias("n"),
+            bigint(F.sum(F.col("missing").isNull().cast("int"))).alias("n_missing_null"),
+            bigint(F.sum("event_id")).alias("id_sum"),
+        )
+        .orderBy("k_mod5", "tag")
+    )
+
+
 def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over the embedding column (the only
     nested type in the fixtures): element stats via transform/aggregate."""
@@ -2224,6 +2267,7 @@ QUERIES = {
     "scalar_math": scalar_math,
     "scalar_math_density": scalar_math_density,
     "scalar_json": scalar_json,
+    "scalar_variant": scalar_variant,
     "scalar_array": scalar_array,
 }
 
@@ -2913,6 +2957,21 @@ ORACLES = {
                    1.0 * (1.0 + 0.6 * sin(2.0 * pi() *
                        (epoch_us(ts) / 1000000.0) / 86400.0))), 6) AS density_rate
         FROM events
+    """,
+    "scalar_variant": """
+        WITH docs AS (
+            SELECT '{"meta": ' || props || ', "tags": ["' || event_type
+                   || '"], "id": ' || CAST(event_id AS VARCHAR) || '}' AS j,
+                   event_id
+            FROM events
+        )
+        SELECT CAST(json_extract(j, '$.meta.k') AS BIGINT) % 5 AS k_mod5,
+               json_extract_string(j, '$.tags[0]') AS tag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN json_extract(j, '$.absent') IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_null,
+               CAST(sum(event_id) AS BIGINT) AS id_sum
+        FROM docs GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "scalar_json": """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
