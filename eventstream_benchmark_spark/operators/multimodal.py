@@ -328,11 +328,53 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BUCKETS = 16  # 256 gray levels / 16 per bucket
+
+
+def _image_hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = {"bucket": [], "n_px": []}
+        counts = np.zeros(HIST_BUCKETS, dtype=np.int64)
+        for payload in pdf["payload"]:
+            _, _, grid = _decode_bmp(bytes(payload))
+            counts += np.bincount(
+                np.asarray(grid).ravel() >> 4, minlength=HIST_BUCKETS
+            )
+        rows["bucket"] = list(range(HIST_BUCKETS))
+        rows["n_px"] = counts.tolist()
+        yield pd.DataFrame(rows)
+
+
+def multimodal_image_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide pixel-intensity histogram over REAL decoded BMP
+    grids (the exposure/contrast profile an image-curation pipeline
+    computes before filtering): each partition decodes its images and
+    emits per-bucket partial counts (16 buckets of 16 gray levels),
+    which one tiny groupBy folds to the final histogram — the
+    map-side-combine shape, with the combine done in NumPy inside the
+    Arrow batch.
+
+    Exact integers throughout; the closed-form oracle regenerates the
+    (doc_id·31 + 7i) mod 256 pixel law per doc without parsing bytes."""
+    images = media_table(spark, sf_dir).filter(F.col("media_type") == "image/bmp")
+    partials = images.select("payload").mapInPandas(
+        _image_hist_batches, "bucket int, n_px bigint"
+    )
+    return (
+        partials.groupBy("bucket")
+        .agg(bigint(F.sum("n_px")).alias("n_px"))
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "multimodal_extract": multimodal_extract,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_image_hist": multimodal_image_hist,
 }
 
 # The oracles never parse bytes: they recompute the closed-form unit
@@ -340,6 +382,22 @@ QUERIES = {
 # independently check that the Spark side both GENERATED and DECODED
 # the real byte formats correctly.
 ORACLES: dict[str, str] = {
+    "multimodal_image_hist": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   (n_chars % 56 + 8) * (n_chars * 3 % 40 + 8) AS n_px
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        px AS (
+            SELECT ((doc_id * 31 + 7 * i) % 256) // 16 AS bucket
+            FROM (SELECT doc_id, n_px,
+                         unnest(generate_series(0, n_px - 1)) AS i
+                  FROM d)
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_px
+        FROM px GROUP BY 1 ORDER BY 1
+    """,
     "multimodal_audio_features": """
         WITH d AS (
             SELECT doc_id, n_chars % 500 + 100 AS n FROM documents
