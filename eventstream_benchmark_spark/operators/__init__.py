@@ -13,18 +13,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (~50 of 161 per round), so registry order decides which queries earn a
+# (~50 of 172 per round), so registry order decides which queries earn a
 # CORRECTNESS row this round.  Round-5 rotation, strictly by
 # verification staleness (merged CORRECTNESS_r1-r4): (1) never-sampled /
-# round-1-stale queries, (2) the 29 queries whose oracle or
+# round-1-stale queries, (2) the ~52 queries whose oracle or
 # implementation changed or were ADDED in round 5 (a fresh driver row
-# beats any re-check), (3) the 33 round-2-green re-checks, (4)
-# round-3-green entries fill whatever window remains.  32 + 33 = 65
-# overflows a 50-query window, so the LAST ~15 r2 re-checks (the
-# streaming pack and text lane tail — independently pinned by the local
-# parity suite and offline-replay equality tests) slip to round 6 and
-# must rotate to the very front then, together with any round-5
-# additions that missed the window.
+# beats any re-check), (3) round-2-green re-checks, (4) round-3-green
+# entries fill whatever window remains.  Section (2) alone slightly
+# overflows a 50-query window, so its LAST few entries (the latest
+# round-5 additions — each parity-certified locally at all three SFs)
+# plus ALL r2/r3 re-checks slip to round 6 and must rotate to the very
+# front then.
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
     # (1) never sampled / stalest
     "events_ohlc_candles",     # added post-window in round 4 — first driver row
