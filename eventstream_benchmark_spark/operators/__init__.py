@@ -77,6 +77,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "ann_recall_eval",         # new: measured recall@k, composed oracles
     "scalar_variant",          # new: Spark 4 VARIANT parse + typed paths
     "multimodal_image_hist",   # new: corpus pixel-intensity histogram
+    "agg_kmv_distinct",        # new: bottom-k sketch, replayable estimate
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -773,6 +773,93 @@ def agg_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64  # bottom-k size: relative SE ≈ 1/sqrt(k-2) ≈ 12.7%
+KMV_SALTS = 32  # stage-1 partial-select fanout (skew/size bound)
+# 48-bit hash space (12 md5 hex chars) as an exact double literal —
+# h / KMV_SPACE maps a hash to (0, 1) with one correctly-rounded
+# division, identical in every IEEE engine
+KMV_SPACE = float(1 << 48)
+
+
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k minimum values) distinct sketch whose ESTIMATE is
+    itself hash-checkable cross-engine — the property HLL can't offer
+    (``agg_hll_merge_daily`` can only contract-check its estimate).
+    KMV keeps the k smallest values of a uniform hash; the estimate
+    (k-1)/u_k is a pure function of the kth hash, so DuckDB replays it
+    bit-for-bit: hash = 48-bit md5 prefix (the portable-hash idiom of
+    ``dedup_simhash``), u_k = h_k/2^48 (exact int→double, one rounded
+    division), and the output is floor(100·est) — floor of the same
+    IEEE double is engine-exact, immune to the k-digit round()
+    divergence documented in SCALE.md.
+
+    Scale shape (100 TB): bottom-k is selected in two bounded stages —
+    per-(type, h%%32) partial top-k, then a final top-k over ≤ 32k
+    survivors per type — so no window ever sorts a full group and the
+    per-task state is O(k). The sketch is exactly mergeable (bottom-k
+    of a union == bottom-k of bottom-ks, a theorem, not an estimate):
+    the query builds per-DAY sketches, merges them, and emits
+    ``merged_equal`` certifying the merged kth hash equals the direct
+    one — the incremental-state story of ``agg_hll_merge_daily`` with
+    exact instead of approximate semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    # one distinct over (type, day, h); the direct path re-dedupes away
+    # the day column (cheaper than a second scan of the fact table)
+    dd = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), h.alias("h")
+    ).distinct()
+    d = dd.select("event_type", "h").distinct()
+
+    exact = d.groupBy("event_type").agg(bigint(F.count("*")).alias("n_exact"))
+
+    w_salt = W.partitionBy(
+        "event_type", F.pmod(F.col("h"), F.lit(KMV_SALTS))
+    ).orderBy("h")
+    w_type = W.partitionBy("event_type").orderBy("h")
+    kth = (
+        d.withColumn("rn", F.row_number().over(w_salt))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+        .withColumn("rn", F.row_number().over(w_type))
+        .filter(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("h_k"))
+    )
+
+    # daily sketches -> union -> re-bottom-k (the merge path)
+    w_day = W.partitionBy("event_type", "day").orderBy("h")
+    merged_kth = (
+        dd.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_type))
+        .filter(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("mh_k"))
+    )
+
+    est = F.when(
+        F.col("n_exact") <= KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) / (F.col("h_k").cast("double") / F.lit(KMV_SPACE))
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .join(merged_kth, "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            bigint(F.floor(est * 100)).alias("est_kmv_cents"),
+            F.coalesce(
+                F.col("h_k") == F.col("mh_k"), F.col("n_exact") <= KMV_K
+            ).alias("merged_equal"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregates: sample stddev/variance, correlation,
     covariance — single pass, mergeable power sums, no extra shuffle
@@ -2220,6 +2307,7 @@ QUERIES = {
     "agg_percentiles": agg_percentiles,
     "agg_approx_quantiles": agg_approx_quantiles,
     "agg_hll_merge_daily": agg_hll_merge_daily,
+    "agg_kmv_distinct": agg_kmv_distinct,
     "agg_stats_moments": agg_stats_moments,
     "agg_pivot": agg_pivot,
     "sql_tpch_q3": sql_tpch_q3,
@@ -2539,6 +2627,34 @@ ORACLES = {
                count(DISTINCT user_id) AS n_users_exact,
                TRUE AS within_5pct
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # KMV replay: same 48-bit md5-prefix hash, same kth-smallest
+    # selection, same (k-1)/u_k estimate — floor(100·est) of the same
+    # IEEE double is engine-exact.  merged_equal is the bottom-k
+    # mergeability theorem (bottom-k of a union == bottom-k of
+    # bottom-ks), so the oracle states it as the TRUE constant the
+    # Spark side must reproduce by actually merging daily sketches.
+    "agg_kmv_distinct": f"""
+        WITH d AS (
+            SELECT DISTINCT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+            FROM events
+        ), r AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS nd
+            FROM d
+        )
+        SELECT event_type,
+               CAST(max(nd) AS BIGINT) AS n_exact,
+               CAST(floor(100 * (
+                   CASE WHEN max(nd) <= {KMV_K} THEN CAST(max(nd) AS DOUBLE)
+                        ELSE {float(KMV_K - 1)!r} /
+                             (CAST(max(CASE WHEN rn = {KMV_K} THEN h END) AS DOUBLE)
+                              / {KMV_SPACE!r})
+                   END)) AS BIGINT) AS est_kmv_cents,
+               TRUE AS merged_equal
+        FROM r GROUP BY event_type ORDER BY event_type
     """,
     # the engine-independent sketch contract: percentile_approx at
     # accuracy=10000 must land within 2% of the exact interpolated
