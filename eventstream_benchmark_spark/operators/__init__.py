@@ -78,6 +78,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "scalar_variant",          # new: Spark 4 VARIANT parse + typed paths
     "multimodal_image_hist",   # new: corpus pixel-intensity histogram
     "agg_kmv_distinct",        # new: bottom-k sketch, replayable estimate
+    "graph_bfs_hops",          # new: multi-source BFS, recursive-CTE oracle
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -213,10 +213,72 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_MAX_HOPS = 4
+BFS_SEEDS = 3
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the thresholded co-purchase graph: from
+    the 3 highest-degree hubs (ties by id), the minimum hop count to
+    every reachable vertex within 4 hops — the "how close is the
+    catalog to its hubs" reachability profile, and the third iterative
+    graph primitive next to ``dedup_cluster_cc`` (labels) and
+    ``graph_pagerank`` (numeric).
+
+    Scale shape (100 TB): classic frontier expansion — each round
+    joins the CURRENT frontier (never the accumulated reached set)
+    onto the edge list and anti-joins what's already reached, so every
+    round shuffles only (vertex) pairs and the per-round work tracks
+    the frontier size, not the graph. Rounds are persisted via
+    ``scoped_persist`` so round k+1 doesn't recompute rounds 1..k.
+    Output is the per-hop profile (count + id-sum fingerprint), exact
+    integers; the DuckDB oracle replays it as a recursive CTE whose
+    UNION-dedupe bounds the walk at |V|·hops rows despite cycles."""
+    release_scoped_persists()
+    li = load_table(spark, sf_dir, "lineitem")
+    e = _copurchase_edges(li).filter(
+        F.col("n_orders") >= TRIANGLE_MIN_ORDERS
+    ).select("p1", "p2")
+    un = scoped_persist(
+        e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
+            e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+    )
+    seeds = (
+        un.groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), "v")
+        .limit(BFS_SEEDS)
+        .select("v")
+    )
+    reached = scoped_persist(seeds.withColumn("hops", F.lit(0)))
+    frontier = reached.select("v")
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(un, frontier["v"] == un["src"])
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(reached.select("v"), "v", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        reached = scoped_persist(reached.union(nxt))
+        frontier = nxt.select("v")
+    return (
+        reached.groupBy("hops")
+        .agg(
+            bigint(F.count("*")).alias("n_nodes"),
+            bigint(F.sum("v")).alias("sum_v"),
+        )
+        .orderBy("hops")
+        .select(bigint(F.col("hops")).alias("hops"), "n_nodes", "sum_v")
+    )
+
+
 QUERIES = {
     "copurchase_part_pairs": copurchase_part_pairs,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
+    "graph_bfs_hops": graph_bfs_hops,
 }
 
 _EDGES_CTE = """
@@ -269,6 +331,32 @@ ORACLES = {
         WITH {_EDGES_CTE}
         SELECT p1, p2, n_orders FROM edges
         ORDER BY n_orders DESC, p1, p2 LIMIT {COPURCHASE_TOPK}
+    """,
+    # min-hop BFS as a recursive CTE: the UNION (not UNION ALL)
+    # dedupes accumulated (v, hops) pairs each iteration, so cycles
+    # can't blow the walk past |V|·(hops+1) rows; min(hops) per vertex
+    # afterwards == the layer at which Spark's frontier first reached it
+    "graph_bfs_hops": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        e AS (SELECT p1, p2 FROM edges WHERE n_orders >= {TRIANGLE_MIN_ORDERS}),
+        un AS (SELECT p1 AS src, p2 AS dst FROM e
+               UNION ALL SELECT p2, p1 FROM e),
+        seeds AS (
+            SELECT src AS v FROM un GROUP BY src
+            ORDER BY count(*) DESC, src LIMIT {BFS_SEEDS}
+        ),
+        walk(v, hops) AS (
+            SELECT v, 0 FROM seeds
+            UNION
+            SELECT un.dst, w.hops + 1
+            FROM walk w JOIN un ON un.src = w.v
+            WHERE w.hops < {BFS_MAX_HOPS}
+        ),
+        minhop AS (SELECT v, min(hops) AS hops FROM walk GROUP BY v)
+        SELECT CAST(hops AS BIGINT) AS hops,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(v) AS BIGINT) AS sum_v
+        FROM minhop GROUP BY hops ORDER BY hops
     """,
     "graph_triangle_count": f"""
         WITH {_EDGES_CTE},
