@@ -79,6 +79,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "multimodal_image_hist",   # new: corpus pixel-intensity histogram
     "agg_kmv_distinct",        # new: bottom-k sketch, replayable estimate
     "graph_bfs_hops",          # new: multi-source BFS, recursive-CTE oracle
+    "index_inverted_postings",  # new: positional inverted-index build
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

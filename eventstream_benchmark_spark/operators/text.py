@@ -766,7 +766,62 @@ def _logreg_scored(docs: DataFrame, with_text: bool = False) -> DataFrame:
     )
 
 
+INDEX_TOPK = 20  # posting lists assembled only for the selected terms
+
+
+def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the retrieval-side sibling of
+    ``corpus_ngram_topk``: positional postings (doc_id, token position)
+    per term, for the top-20 terms by document frequency. Emits each
+    term's docfreq, total term frequency, posting count, and an md5
+    fingerprint of the canonically ordered posting list so the full
+    index content is hash-checked without shipping the lists.
+
+    Scale shape (100 TB): term statistics are one (term) groupBy over
+    the exploded stream with map-side combine; posting ASSEMBLY — the
+    part that concentrates a term's whole corpus footprint on one
+    reducer — happens only after the top-k cut, via a broadcast semi
+    join of the 20 selected terms, so no stop-term posting list is
+    ever materialized. (A full-corpus index build would instead shard
+    postings by (term, doc_id range) — this query pins the
+    select-then-assemble shape.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    pt = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos0", "term")
+    ).filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+    stats = pt.groupBy("term").agg(
+        bigint(F.countDistinct("doc_id")).alias("docfreq"),
+        bigint(F.count("*")).alias("tf_total"),
+    )
+    top = stats.orderBy(F.desc("docfreq"), "term").limit(INDEX_TOPK)
+    postings = (
+        pt.join(F.broadcast(top.select("term")), "term")
+        .groupBy("term")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("doc_id", (F.col("pos0") + 1).alias("pos"))
+                            )
+                        ),
+                        lambda s: F.concat_ws(":", s["doc_id"], s["pos"]),
+                    ),
+                )
+            ).alias("posting_md5"),
+        )
+    )
+    return (
+        top.join(postings, "term")
+        .select("term", "docfreq", "tf_total", "posting_md5")
+        .orderBy(F.desc("docfreq"), "term")
+    )
+
+
 QUERIES = {
+    "index_inverted_postings": index_inverted_postings,
     "docs_chunk_overlap": docs_chunk_overlap,
     "text_line_dedup": text_line_dedup,
     "text_pii_redact": text_pii_redact,
@@ -801,6 +856,31 @@ def _marker_score_sql(lang: str) -> str:
 
 
 ORACLES = {
+    # positional postings: parallel unnest zips tokens with their
+    # 1-based positions; posting order is (doc_id, pos) in both engines
+    "index_inverted_postings": f"""
+        WITH pt AS (
+            SELECT doc_id, unnest(toks) AS term,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents)
+        ),
+        f AS (SELECT * FROM pt WHERE term <> '' AND term NOT IN {_STOP_SQL}),
+        stats AS (
+            SELECT term,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS docfreq,
+                   CAST(count(*) AS BIGINT) AS tf_total
+            FROM f GROUP BY term
+        ),
+        top AS (SELECT * FROM stats ORDER BY docfreq DESC, term
+                LIMIT {INDEX_TOPK})
+        SELECT t.term, t.docfreq, t.tf_total,
+               md5(string_agg(f.doc_id || ':' || f.pos, ','
+                              ORDER BY f.doc_id, f.pos)) AS posting_md5
+        FROM top t JOIN f ON f.term = t.term
+        GROUP BY t.term, t.docfreq, t.tf_total
+        ORDER BY t.docfreq DESC, t.term
+    """,
     "corpus_ngram_topk": """
         WITH toks AS (
             SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
