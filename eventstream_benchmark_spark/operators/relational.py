@@ -1704,6 +1704,80 @@ def write_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORD_BITS = 8  # 8 bits per dimension -> 16-bit Morton code
+ZORD_FILES = 16  # files per layout
+ZORD_D2_PROBE = 7  # the point-query slice on the NON-leading dimension
+
+
+def _morton_sql(div: str) -> str:
+    """Closed-form 2-D Morton interleave as pure integer div/mod
+    arithmetic (no engine-specific bit ops): bit b of d1 lands at
+    position 2b, bit b of d2 at 2b+1. ``div`` is the integer-division
+    operator spelling (Spark ``div``, DuckDB ``//``)."""
+    return " + ".join(
+        f"((d1 {div} {1 << b}) % 2) * {1 << (2 * b)}"
+        f" + ((d2 {div} {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(ZORD_BITS)
+    )
+
+
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering vs linear sort order, measured
+    by the per-file min/max statistics data skipping actually uses.
+    Rows carry two bucketed dimensions — user bucket and hour-of-epoch
+    bucket — and are assigned to 16 files under (a) a LINEAR layout
+    keyed by the leading dimension only (what ``ORDER BY d1`` file
+    splits produce) and (b) a Z-ORDER layout keyed by the interleaved
+    Morton code. Per (layout, file) the query derives the bounding box
+    a parquet footer would record, then aggregates the skipping
+    metrics: total bounding-box area and how many files a point query
+    on the NON-leading dimension must open. Linear layouts leave every
+    file's d2-range wide open (all 16 files hit); Z-order bounds both
+    spans, so the d2 probe touches ~sqrt-many files — the reason
+    lakehouse writers Z-order multi-predicate tables at 100 TB.
+
+    Everything is exact integer arithmetic (the Morton code is pure
+    div/mod — no engine bit ops), one scan, map-combinable aggregates;
+    the two layouts ride a single ``stack`` unpivot instead of two
+    passes. In production the same expression feeds
+    ``repartitionByRange(z).sortWithinPartitions(z)`` at write time —
+    this query pins the layout math and its measured skipping value."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.pmod("user_id", F.lit(1 << ZORD_BITS)).cast("long").alias("d1"),
+        F.expr(f"pmod(unix_seconds(ts) div 3600, {1 << ZORD_BITS})")
+        .cast("long")
+        .alias("d2"),
+    ).withColumn("z", F.expr(_morton_sql("div")))
+    per_dim_files = (1 << ZORD_BITS) // ZORD_FILES  # linear: d1-range per file
+    z_per_file = (1 << (2 * ZORD_BITS)) // ZORD_FILES
+    tagged = d.select(
+        "d1",
+        "d2",
+        F.expr(
+            f"stack(2, 'linear', d1 div {per_dim_files},"
+            f" 'zorder', z div {z_per_file}) AS (layout, file_id)"
+        ),
+    )
+    boxes = tagged.groupBy("layout", "file_id").agg(
+        F.min("d1").alias("min1"),
+        F.max("d1").alias("max1"),
+        F.min("d2").alias("min2"),
+        F.max("d2").alias("max2"),
+    )
+    area = (F.col("max1") - F.col("min1") + 1) * (F.col("max2") - F.col("min2") + 1)
+    hit = (F.col("min2") <= ZORD_D2_PROBE) & (F.lit(ZORD_D2_PROBE) <= F.col("max2"))
+    return (
+        boxes.groupBy("layout")
+        .agg(
+            bigint(F.count("*")).alias("n_files"),
+            bigint(F.sum(area)).alias("sum_box_area"),
+            bigint(F.sum(hit.cast("long"))).alias("files_hit_d2_probe"),
+        )
+        .orderBy("layout")
+    )
+
+
 EVOLUTION_CUTOFF = "1997-01-01"
 
 
@@ -2308,6 +2382,7 @@ QUERIES = {
     "agg_approx_quantiles": agg_approx_quantiles,
     "agg_hll_merge_daily": agg_hll_merge_daily,
     "agg_kmv_distinct": agg_kmv_distinct,
+    "layout_zorder_skipping": layout_zorder_skipping,
     "agg_stats_moments": agg_stats_moments,
     "agg_pivot": agg_pivot,
     "sql_tpch_q3": sql_tpch_q3,
@@ -2628,6 +2703,40 @@ ORACLES = {
                TRUE AS within_5pct
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    # Z-order replay: identical div/mod Morton arithmetic (the oracle
+    # swaps Spark's `div` spelling for DuckDB's `//`), identical file
+    # assignment and bounding-box algebra — exact integers throughout
+    "layout_zorder_skipping": f"""
+        WITH d AS (
+            SELECT user_id %% {1 << ZORD_BITS} AS d1,
+                   (epoch_us(ts) // 1000000 // 3600) %% {1 << ZORD_BITS} AS d2
+            FROM events
+        ),
+        zc AS (SELECT d1, d2, {_morton_sql('//')} AS z FROM d),
+        tagged AS (
+            SELECT 'linear' AS layout,
+                   d1 // {(1 << ZORD_BITS) // ZORD_FILES} AS file_id, d1, d2
+            FROM zc
+            UNION ALL
+            SELECT 'zorder', z // {(1 << (2 * ZORD_BITS)) // ZORD_FILES}, d1, d2
+            FROM zc
+        ),
+        boxes AS (
+            SELECT layout, file_id,
+                   min(d1) AS min1, max(d1) AS max1,
+                   min(d2) AS min2, max(d2) AS max2
+            FROM tagged GROUP BY layout, file_id
+        )
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum((max1 - min1 + 1) * (max2 - min2 + 1)) AS BIGINT)
+                   AS sum_box_area,
+               CAST(sum(CASE WHEN min2 <= {ZORD_D2_PROBE}
+                              AND {ZORD_D2_PROBE} <= max2
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files_hit_d2_probe
+        FROM boxes GROUP BY layout ORDER BY layout
+    """.replace("%%", "%"),
     # KMV replay: same 48-bit md5-prefix hash, same kth-smallest
     # selection, same (k-1)/u_k estimate — floor(100·est) of the same
     # IEEE double is engine-exact.  merged_equal is the bottom-k
