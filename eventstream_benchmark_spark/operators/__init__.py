@@ -81,6 +81,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "graph_bfs_hops",          # new: multi-source BFS, recursive-CTE oracle
     "index_inverted_postings",  # new: positional inverted-index build
     "layout_zorder_skipping",  # new: Morton layout vs linear, skip metric
+    "events_acf_lags",         # new: exact-integer hourly autocorrelation
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -830,7 +830,80 @@ def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACF_MAX_LAG = 6
+
+
+def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1..6 —
+    the seasonality detector feeding the reference's sin-density story
+    (``_density_scale``, eventstream.py:94-113): a rate modulated with
+    period P shows an ACF peak at lag P. Series = per-hour counts on
+    the complete min..max hour spine (missing hours count 0, the
+    gap-fill spine of ``events_gap_fill_locf``).
+
+    Exact cross-engine arithmetic: with n hours and S = Σx, the
+    centered product Σ(x_t−x̄)(x_{t+k}−x̄) is scaled by n² so every
+    term is the exact integer (n·x_t − S)(n·x_{t+k} − S); numerator
+    and denominator are BIGINT sums, and the displayed coefficient is
+    floor(10⁶·num/den) — int→double conversion and one division are
+    correctly rounded IEEE ops, and floor of the same double is
+    engine-exact (the SCALE.md rule).
+
+    Scale shape: one map-combinable (hour) groupBy over the fact
+    table; everything after — spine, centering, the per-lag self-join
+    — runs on the hour-grid-sized aggregate (≤ thousands of rows at
+    any corpus size), the \"windows only over the matrix-sized
+    aggregate\" pattern of ``events_markov_transitions``."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(F.expr("unix_seconds(ts) div 3600").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("x"))
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    series = spine.join(counts, "h", "left").select(
+        "h", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    tot = F.broadcast(
+        series.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    )
+    d = series.crossJoin(tot).select(
+        "h", (F.col("n") * F.col("x") - F.col("s")).alias("dx")
+    )
+    den = F.broadcast(d.agg(F.sum(F.col("dx") * F.col("dx")).alias("den")))
+    lagged = d.select(
+        "h", F.col("dx").alias("dx_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
+    ).withColumn("h2", F.col("h") + F.col("lag"))
+    pairs = lagged.join(
+        d.select(F.col("h").alias("h2"), F.col("dx").alias("dx_b")), "h2"
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            bigint(F.count("*")).alias("n_terms"),
+            F.sum(F.col("dx_a") * F.col("dx_b")).alias("num"),
+        )
+        .crossJoin(den)
+        .select(
+            bigint(F.col("lag")).alias("lag"),
+            "n_terms",
+            bigint(
+                F.floor(
+                    F.lit(1_000_000.0)
+                    * (F.col("num").cast("double") / F.col("den").cast("double"))
+                )
+            ).alias("acf_micro"),
+        )
+        .orderBy("lag")
+    )
+
+
 QUERIES = {
+    "events_acf_lags": events_acf_lags,
     "events_ohlc_candles": events_ohlc_candles,
     "events_ewma_smooth": events_ewma_smooth,
     "events_downsample_lttb": events_downsample_lttb,
@@ -852,6 +925,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    # n²-scaled centered products keep every ACF term an exact
+    # integer; both engines convert the two BIGINT sums to doubles and
+    # floor the micro-scaled quotient — engine-exact per SCALE.md
+    "events_acf_lags": f"""
+        WITH c AS (
+            SELECT epoch_us(ts) // 1000000 // 3600 AS h, count(*) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+        spine AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+        s AS (SELECT spine.h, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+              FROM spine LEFT JOIN c USING (h)),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS ssum FROM s),
+        d AS (SELECT h, n * x - ssum AS dx FROM s CROSS JOIN t),
+        den AS (SELECT CAST(sum(dx * dx) AS BIGINT) AS den FROM d),
+        l AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag),
+        pairs AS (
+            SELECT l.lag,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(a.dx * bb.dx) AS BIGINT) AS num
+            FROM l JOIN d a ON TRUE JOIN d bb ON bb.h = a.h + l.lag
+            GROUP BY l.lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n_terms,
+               CAST(floor(1000000.0 *
+                    (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))) AS BIGINT)
+                   AS acf_micro
+        FROM pairs CROSS JOIN den ORDER BY lag
+    """,
     "events_markov_transitions": """
         WITH pairs AS (
             SELECT lag(event_type) OVER (PARTITION BY user_id
