@@ -82,6 +82,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "index_inverted_postings",  # new: positional inverted-index build
     "layout_zorder_skipping",  # new: Morton layout vs linear, skip metric
     "events_acf_lags",         # new: exact-integer hourly autocorrelation
+    "join_dpp_partition_pruned",  # new: runtime partition pruning, plan-pinned
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

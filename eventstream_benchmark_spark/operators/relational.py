@@ -1704,6 +1704,67 @@ def write_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the RUNTIME sibling of
+    ``write_partitioned_pruned``'s static pruning and the
+    partition-level analogue of ``join_runtime_filtered``'s bloom
+    pushdown: the orders fact lands partitioned by order year, the
+    year dimension lands as its own table, and the query filters the
+    DIM (peak years = above-average order count, a predicate the
+    planner can't fold into the fact statically). Catalyst's DPP rule
+    reuses the broadcast dim to prune fact PARTITIONS at runtime —
+    the fact scan carries a ``dynamicpruningexpression`` on its
+    partition column (pinned by ``tests/test_plans.py``) and never
+    opens the off-peak years' files. At 100 TB with date-partitioned
+    facts this is the difference between scanning the quarter the dim
+    selected and scanning a decade.
+
+    The peak predicate is cross-multiplied integer arithmetic
+    (n·n_years > total — no division), and revenue is summed in exact
+    cents, so the oracle replays the whole pipeline from the source
+    table bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    tmp = tempfile.mkdtemp(prefix="esb_dpp_")
+    fact_path = os.path.join(tmp, "orders_by_year")
+    dim_path = os.path.join(tmp, "year_dim")
+    base.write.mode("overwrite").partitionBy("o_year").parquet(fact_path)
+    years = base.groupBy("o_year").agg(F.count("*").alias("n"))
+    tot = years.agg(
+        F.count("*").alias("n_years"), F.sum("n").alias("total")
+    )
+    # the peak flag lands as an INT compared against a literal at read
+    # time: Catalyst's DPP rule only prunes behind a *likely-selective*
+    # dim predicate (binary comparison / IN / LIKE) — a bare boolean
+    # attribute filter does not qualify and silently skips pruning
+    years.crossJoin(tot).select(
+        "o_year",
+        "n",
+        (F.col("n") * F.col("n_years") > F.col("total"))
+        .cast("int")
+        .alias("is_peak"),
+    ).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    ydim = spark.read.parquet(dim_path).filter(F.col("is_peak") == 1)
+    return (
+        fact.join(F.broadcast(ydim), "o_year")
+        .groupBy("o_year")
+        .agg(
+            bigint(F.count("*")).alias("n_orders"),
+            bigint(F.sum(F.round(F.col("o_totalprice") * 100, 0))).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("o_year")
+        .select(bigint(F.col("o_year")).alias("o_year"), "n_orders", "revenue_cents")
+    )
+
+
 ZORD_BITS = 8  # 8 bits per dimension -> 16-bit Morton code
 ZORD_FILES = 16  # files per layout
 ZORD_D2_PROBE = 7  # the point-query slice on the NON-leading dimension
@@ -2383,6 +2444,7 @@ QUERIES = {
     "agg_hll_merge_daily": agg_hll_merge_daily,
     "agg_kmv_distinct": agg_kmv_distinct,
     "layout_zorder_skipping": layout_zorder_skipping,
+    "join_dpp_partition_pruned": join_dpp_partition_pruned,
     "agg_stats_moments": agg_stats_moments,
     "agg_pivot": agg_pivot,
     "sql_tpch_q3": sql_tpch_q3,
@@ -2702,6 +2764,24 @@ ORACLES = {
                count(DISTINCT user_id) AS n_users_exact,
                TRUE AS within_5pct
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # DPP replay from the source table: same peak-year predicate
+    # (cross-multiplied integers), same exact-cents revenue
+    "join_dpp_partition_pruned": """
+        WITH y AS (
+            SELECT year(o_orderdate) AS o_year, count(*) AS n
+            FROM orders GROUP BY 1
+        ),
+        t AS (SELECT count(*) AS n_years, sum(n) AS total FROM y),
+        peak AS (SELECT o_year FROM y CROSS JOIN t
+                 WHERE n * n_years > total)
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM (SELECT year(o_orderdate) AS o_year, o_totalprice FROM orders) o
+        JOIN peak USING (o_year)
+        GROUP BY o_year ORDER BY o_year
     """,
     # Z-order replay: identical div/mod Morton arithmetic (the oracle
     # swaps Spark's `div` spelling for DuckDB's `//`), identical file

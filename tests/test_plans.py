@@ -598,3 +598,42 @@ def test_url_normalize_single_shuffle_no_python(spark, sf_small):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, f"unexpected {node}"
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_small):
+    """The partitioned fact scan must carry a dynamic-pruning
+    expression on its partition column (the broadcast dim is reused as
+    the pruning subquery), and the dim side must stay a broadcast —
+    the partition-level analogue of the bloom-filter plan test."""
+    plan = _plan(spark, sf_small, "join_dpp_partition_pruned")
+    assert "dynamicpruningexpression(o_year" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_single_scan_no_python(spark, sf_small):
+    """The layout metric is one fact scan + the stack unpivot + two
+    map-combinable aggregations — no join, no Python, and the Morton
+    code stays whole-stage-codegen arithmetic."""
+    plan = _plan(spark, sf_small, "layout_zorder_skipping")
+    for node in ("SortMergeJoin", "CartesianProduct",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"unexpected {node}"
+
+
+def test_bfs_frontier_joins_stay_equi(spark, sf_small):
+    """Every BFS round is an equi-join of the frontier onto the edge
+    list plus an anti-join against the reached set — no nested-loop
+    product anywhere in the unrolled plan."""
+    plan = _plan(spark, sf_small, "graph_bfs_hops")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_assembles_only_topk(spark, sf_small):
+    """Posting assembly must sit behind the broadcast semi join of the
+    selected terms: the collect_list aggregate runs on the filtered
+    stream, and the term-stats aggregate keeps its map-side combine."""
+    plan = _plan(spark, sf_small, "index_inverted_postings")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
