@@ -83,6 +83,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "layout_zorder_skipping",  # new: Morton layout vs linear, skip metric
     "events_acf_lags",         # new: exact-integer hourly autocorrelation
     "join_dpp_partition_pruned",  # new: runtime partition pruning, plan-pinned
+    "sample_weighted_reservoir",  # new: weighted-minwise fixed-K sample
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -393,6 +393,58 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESERVOIR_K = 50  # sample size
+RESERVOIR_MAX_W = 16  # integer-weight cap (tickets per doc)
+RESERVOIR_W_DIV = 400  # chars per extra ticket
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement — the
+    without-replacement sibling of ``sample_weighted_hash``'s Bernoulli
+    keep: exactly K documents, selection pressure proportional to an
+    integer size weight. Classic A-ES priority sampling orders docs by
+    u^(1/w) — a transcendental whose last-ulp differs between JVM and
+    DuckDB, a hash-parity landmine. This uses the hash-replication
+    equivalent (weighted-minwise): doc i holds w_i lottery tickets,
+    ticket j's draw is the 48-bit md5 of ``id:j``, and the doc's
+    priority key is its MINIMUM ticket — min of w uniforms, so heavier
+    docs win more often, all in exact integer space. The K smallest
+    keys are the sample; both engines replay the identical selection.
+
+    Scale shape: tickets are a bounded ≤16× explode of the id/weight
+    projection (never the text); per-doc min is map-combinable; the
+    global bottom-K is a TakeOrderedAndProject heap merge; the rank
+    window runs over K rows only."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(
+        F.lit(RESERVOIR_MAX_W),
+        F.lit(1) + (F.col("n_chars") / F.lit(RESERVOIR_W_DIV)).cast("long"),
+    )
+    tickets = docs.select(
+        "doc_id",
+        w.alias("weight"),
+        F.explode(F.sequence(F.lit(1), w)).alias("j"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("j"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = tickets.select("doc_id", "weight", h.alias("hk")).groupBy(
+        "doc_id", "weight"
+    ).agg(F.min("hk").alias("k"))
+    top = keyed.orderBy("k", "doc_id").limit(RESERVOIR_K)
+    wnd = W.orderBy("k", "doc_id")
+    return top.select(
+        bigint(F.row_number().over(wnd)).alias("rank"),
+        "doc_id",
+        bigint(F.col("weight")).alias("weight"),
+        F.col("k").alias("priority_key"),
+    )
+
+
 STRATUM_N = 20
 
 
@@ -833,6 +885,7 @@ QUERIES = {
     "text_repetition_score": text_repetition_score,
     "vocab_oov_rate": vocab_oov_rate,
     "sample_weighted_hash": sample_weighted_hash,
+    "sample_weighted_reservoir": sample_weighted_reservoir,
     "sample_topn_per_stratum": sample_topn_per_stratum,
     "pack_sequences_chunked": pack_sequences_chunked,
     "text_bigram_surprisal": text_bigram_surprisal,
@@ -856,6 +909,28 @@ def _marker_score_sql(lang: str) -> str:
 
 
 ORACLES = {
+    # weighted-minwise replay: identical ticket hashes (48-bit md5
+    # prefix of id:j), identical min-per-doc key, identical bottom-K
+    "sample_weighted_reservoir": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   least({RESERVOIR_MAX_W},
+                         1 + n_chars // {RESERVOIR_W_DIV}) AS weight
+            FROM documents
+        ),
+        tickets AS (
+            SELECT doc_id, weight,
+                   ('0x' || substr(md5(doc_id || ':' || j), 1, 12))::BIGINT AS hk
+            FROM t, LATERAL unnest(range(1, weight + 1)) AS u(j)
+        ),
+        keyed AS (SELECT doc_id, weight, min(hk) AS k
+                  FROM tickets GROUP BY doc_id, weight),
+        top AS (SELECT * FROM keyed ORDER BY k, doc_id LIMIT {RESERVOIR_K})
+        SELECT CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS rank,
+               doc_id, CAST(weight AS BIGINT) AS weight,
+               k AS priority_key
+        FROM top ORDER BY rank
+    """,
     # positional postings: parallel unnest zips tokens with their
     # 1-based positions; posting order is (doc_id, pos) in both engines
     "index_inverted_postings": f"""
