@@ -84,6 +84,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "events_acf_lags",         # new: exact-integer hourly autocorrelation
     "join_dpp_partition_pruned",  # new: runtime partition pruning, plan-pinned
     "sample_weighted_reservoir",  # new: weighted-minwise fixed-K sample
+    "events_forecast_backtest",  # new: naive vs seasonal-naive error floor
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

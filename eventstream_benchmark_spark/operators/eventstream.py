@@ -902,8 +902,65 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SN_SEASON = 24  # seasonal-naive period (hours)
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the two standard baseline forecasters over the
+    hourly count series: naive (x̂_t = x_{t−1}) and seasonal-naive
+    (x̂_t = x_{t−24}) — the error floor every real forecaster must
+    beat, and the evaluation twin of ``events_acf_lags`` (a strong
+    lag-24 ACF predicts exactly the seasonal-naive win). Series =
+    per-hour counts on the complete min..max spine (missing hours 0).
+
+    Errors stay exact: the sum of absolute errors is a BIGINT, and the
+    reported MAE is floor(10⁶·sae/n) — int→double and one division are
+    correctly rounded, floor is engine-exact (SCALE.md). Forecast
+    lookback is an equi self-join on the hour-grid-sized aggregate
+    keyed h−lag (no global-order window), the ACF pair shape."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(F.expr("unix_seconds(ts) div 3600").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("x"))
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
+    series = spine.join(counts, "h", "left").select(
+        "h", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    lags = series.select(
+        "h",
+        F.col("x").alias("actual"),
+        F.explode(F.array(F.lit(1), F.lit(SN_SEASON))).alias("lag"),
+    ).withColumn("h_src", F.col("h") - F.col("lag"))
+    pairs = lags.join(
+        series.select(F.col("h").alias("h_src"), F.col("x").alias("forecast")),
+        "h_src",
+    )
+    method = F.when(F.col("lag") == 1, "naive").otherwise("seasonal_naive")
+    return (
+        pairs.groupBy(method.alias("method"))
+        .agg(
+            bigint(F.count("*")).alias("n_terms"),
+            bigint(F.sum(F.abs(F.col("actual") - F.col("forecast")))).alias("sae"),
+        )
+        .withColumn(
+            "mae_micro",
+            bigint(
+                F.floor(
+                    F.lit(1_000_000.0)
+                    * (F.col("sae").cast("double") / F.col("n_terms").cast("double"))
+                )
+            ),
+        )
+        .orderBy("method")
+    )
+
+
 QUERIES = {
     "events_acf_lags": events_acf_lags,
+    "events_forecast_backtest": events_forecast_backtest,
     "events_ohlc_candles": events_ohlc_candles,
     "events_ewma_smooth": events_ewma_smooth,
     "events_downsample_lttb": events_downsample_lttb,
@@ -925,6 +982,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    # exact-integer error sums; same spine, same lag self-join
+    "events_forecast_backtest": f"""
+        WITH c AS (
+            SELECT epoch_us(ts) // 1000000 // 3600 AS h, count(*) AS x
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+        spine AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+        s AS (SELECT spine.h, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+              FROM spine LEFT JOIN c USING (h)),
+        l AS (SELECT unnest([1, {SN_SEASON}]) AS lag),
+        pairs AS (
+            SELECT CASE WHEN l.lag = 1 THEN 'naive'
+                        ELSE 'seasonal_naive' END AS method,
+                   a.x AS actual, f.x AS forecast
+            FROM l JOIN s a ON TRUE JOIN s f ON f.h = a.h - l.lag
+        )
+        SELECT method,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(abs(actual - forecast)) AS BIGINT) AS sae,
+               CAST(floor(1000000.0 * (CAST(sum(abs(actual - forecast))
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE))) AS BIGINT)
+                   AS mae_micro
+        FROM pairs GROUP BY method ORDER BY method
+    """,
     # n²-scaled centered products keep every ACF term an exact
     # integer; both engines convert the two BIGINT sums to doubles and
     # floor the micro-scaled quotient — engine-exact per SCALE.md
