@@ -85,6 +85,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "join_dpp_partition_pruned",  # new: runtime partition pruning, plan-pinned
     "sample_weighted_reservoir",  # new: weighted-minwise fixed-K sample
     "events_forecast_backtest",  # new: naive vs seasonal-naive error floor
+    "events_holt_trend",       # new: dyadic Holt level+trend, bit-exact
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -958,9 +960,74 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of the
+    per-type hourly count series with dyadic α = β = 1/2 — the 2-D
+    extension of ``events_ewma_smooth``'s bit-determinism trick:
+    lₜ = (xₜ + (l + b))/2 and bₜ = ((lₜ − l) + b)/2 are adds,
+    subtracts, and exponent-shift halvings, every one a correctly-
+    rounded IEEE op, so Python's float loop and the DuckDB recursive
+    CTE replay the whole recurrence bit-for-bit — raw doubles in the
+    output, no rounding contract.
+
+    Scale split: the heavy work (hourly per-type counting over the
+    fact table) is a distributed map-combinable aggregate; only the
+    genuinely sequential state fold runs in Python, per type over the
+    hour-grid-sized series via ``applyInPandas`` — one tiny task per
+    series, the §4.2 recipe (distribute the aggregation, sequentialize
+    only the recurrence)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select("event_type", F.expr("unix_seconds(ts) div 3600").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
+    types = counts.select("event_type").distinct()
+    series = (
+        types.crossJoin(spine)
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+        )
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values("h")
+        xs = pdf["x"].tolist()
+        level = float(xs[0])
+        trend = 0.0
+        for x in xs[1:]:
+            new_level = (float(x) + (level + trend)) / 2
+            trend = ((new_level - level) + trend) / 2
+            level = new_level
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(xs)],
+                "level": [level],
+                "trend": [trend],
+                "forecast_next": [level + trend],
+            }
+        )
+
+    out_schema = (
+        "event_type string, n_hours long, level double, "
+        "trend double, forecast_next double"
+    )
+    return (
+        series.groupBy("event_type")
+        .applyInPandas(fold, schema=out_schema)
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_acf_lags": events_acf_lags,
     "events_forecast_backtest": events_forecast_backtest,
+    "events_holt_trend": events_holt_trend,
+
     "events_ohlc_candles": events_ohlc_candles,
     "events_ewma_smooth": events_ewma_smooth,
     "events_downsample_lttb": events_downsample_lttb,
@@ -982,6 +1049,45 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the dyadic Holt recurrence replayed step-by-step: adds/subs and
+    # exponent-shift halvings are correctly-rounded IEEE ops, so the
+    # recursive CTE produces bit-identical doubles to the Python fold
+    "events_holt_trend": """
+        WITH RECURSIVE c AS (
+            SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+                   count(*) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+        spine AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+        ty AS (SELECT DISTINCT event_type FROM c),
+        s AS (
+            SELECT ty.event_type, spine.h,
+                   CAST(coalesce(c.x, 0) AS BIGINT) AS x,
+                   row_number() OVER (PARTITION BY ty.event_type
+                                      ORDER BY spine.h) AS i
+            FROM ty CROSS JOIN spine
+            LEFT JOIN c ON c.event_type = ty.event_type AND c.h = spine.h
+        ),
+        n AS (SELECT event_type, max(i) AS n FROM s GROUP BY 1),
+        rec(event_type, i, l, tr) AS (
+            -- seed trend must be CAST to DOUBLE: a bare 0.0 literal
+            -- types the whole recursive column DECIMAL(2,1), silently
+            -- quantizing every trend to one decimal
+            SELECT event_type, i, CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)
+            FROM s WHERE i = 1
+            UNION ALL
+            SELECT s.event_type, s.i,
+                   (CAST(s.x AS DOUBLE) + (r.l + r.tr)) / 2,
+                   (((CAST(s.x AS DOUBLE) + (r.l + r.tr)) / 2 - r.l) + r.tr) / 2
+            FROM rec r JOIN s ON s.event_type = r.event_type
+                            AND s.i = r.i + 1
+        )
+        SELECT r.event_type, CAST(n.n AS BIGINT) AS n_hours,
+               r.l AS level, r.tr AS trend, r.l + r.tr AS forecast_next
+        FROM rec r JOIN n ON n.event_type = r.event_type AND r.i = n.n
+        ORDER BY r.event_type
+    """,
     # exact-integer error sums; same spine, same lag self-join
     "events_forecast_backtest": f"""
         WITH c AS (
