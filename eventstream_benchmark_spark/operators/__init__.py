@@ -86,6 +86,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "sample_weighted_reservoir",  # new: weighted-minwise fixed-K sample
     "events_forecast_backtest",  # new: naive vs seasonal-naive error floor
     "events_holt_trend",       # new: dyadic Holt level+trend, bit-exact
+    "agg_mode_median",         # new: explicit-tiebreak order statistics
+    "join_lateral_topn",       # new: correlated LATERAL, decorrelated plan
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

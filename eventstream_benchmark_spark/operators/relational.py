@@ -860,6 +860,83 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_TOPN_SQL = """
+    SELECT r.r_name, t.c_name, t.c_acctbal
+    FROM region r JOIN LATERAL (
+        SELECT c.c_name, c.c_acctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 2
+    ) t ON TRUE
+    ORDER BY r.r_name, t.c_acctbal DESC, t.c_name
+"""
+# `JOIN LATERAL ... ON TRUE`: Spark accepts the bare JOIN LATERAL but
+# DuckDB's parser requires the ON clause — the explicit ON TRUE is the
+# spelling both engines share.
+
+
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — per region, the top-2 customers
+    by account balance, written as the for-each-row subquery shape
+    (the SQL form of ``topk_per_group``). Catalyst decorrelates the
+    per-row ORDER BY/LIMIT into a ranked window over the join — no
+    per-region re-execution — so the plan scales like the window
+    variant while keeping the user-facing lateral syntax. Identical
+    SQL text runs on DuckDB; no arithmetic touches c_acctbal, so the
+    doubles compare exactly."""
+    from eventstream_benchmark_spark.io import register_views
+
+    register_views(spark, sf_dir, ("region", "nation", "customer"))
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode and discrete median of the hour-of-day distribution
+    per event type — the two order statistics native functions make
+    non-deterministic (Spark's ``mode()`` and engines' quantile_disc
+    break ties differently), pinned here with explicit tiebreaks both
+    engines replay: mode = max count then SMALLEST hour; median = the
+    smallest hour whose cumulative count reaches half (2·cum ≥ n, all
+    integer — no interpolation, no division).
+
+    Scale shape: one (type, hour) groupBy with map-side combine — the
+    grid is 5×24, so the argmax/cumulative windows run over ≤ 24 rows
+    per type, never the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.select("event_type", F.hour("ts").alias("hod"))
+        .groupBy("event_type", "hod")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = grid.groupBy("event_type").agg(F.sum("n").alias("n_total"))
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("hod")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("cum", F.sum("n").over(w_cum)).join(tot, "event_type")
+    med = (
+        cum.filter(2 * F.col("cum") >= F.col("n_total"))
+        .groupBy("event_type")
+        .agg(F.min("hod").alias("median_hod"))
+    )
+    mode_key = F.struct(F.col("n"), (-F.col("hod")).alias("neg"))
+    mode = grid.groupBy("event_type").agg(
+        F.max_by("hod", mode_key).alias("mode_hod"),
+        F.max("n").alias("n_mode"),
+    )
+    return (
+        mode.join(med, "event_type")
+        .select(
+            "event_type",
+            bigint(F.col("mode_hod")).alias("mode_hod"),
+            bigint(F.col("n_mode")).alias("n_mode"),
+            bigint(F.col("median_hod")).alias("median_hod"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregates: sample stddev/variance, correlation,
     covariance — single pass, mergeable power sums, no extra shuffle
@@ -2445,6 +2522,8 @@ QUERIES = {
     "agg_kmv_distinct": agg_kmv_distinct,
     "layout_zorder_skipping": layout_zorder_skipping,
     "join_dpp_partition_pruned": join_dpp_partition_pruned,
+    "agg_mode_median": agg_mode_median,
+    "join_lateral_topn": join_lateral_topn,
     "agg_stats_moments": agg_stats_moments,
     "agg_pivot": agg_pivot,
     "sql_tpch_q3": sql_tpch_q3,
@@ -2764,6 +2843,37 @@ ORACLES = {
                count(DISTINCT user_id) AS n_users_exact,
                TRUE AS within_5pct
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # identical lateral SQL text runs on both engines
+    "join_lateral_topn": _LATERAL_TOPN_SQL,
+    # explicit-tiebreak order statistics: mode = (max n, min hour),
+    # median = smallest hour with 2·cum ≥ n — pure integers, no
+    # engine-native mode()/quantile_disc tie semantics involved
+    "agg_mode_median": """
+        WITH g AS (
+            SELECT event_type, hour(ts) AS hod, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT event_type, hod, n,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY hod) AS cum,
+                   sum(n) OVER (PARTITION BY event_type) AS n_total
+            FROM g
+        ),
+        med AS (SELECT event_type, min(hod) AS median_hod
+                FROM c WHERE 2 * cum >= n_total GROUP BY event_type),
+        mo AS (
+            SELECT event_type, hod AS mode_hod, n AS n_mode
+            FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, hod) AS rk FROM g)
+            WHERE rk = 1
+        )
+        SELECT mo.event_type,
+               CAST(mode_hod AS BIGINT) AS mode_hod,
+               CAST(n_mode AS BIGINT) AS n_mode,
+               CAST(median_hod AS BIGINT) AS median_hod
+        FROM mo JOIN med USING (event_type)
+        ORDER BY event_type
     """,
     # DPP replay from the source table: same peak-year predicate
     # (cross-multiplied integers), same exact-cents revenue
