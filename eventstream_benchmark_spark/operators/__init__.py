@@ -88,6 +88,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "events_holt_trend",       # new: dyadic Holt level+trend, bit-exact
     "agg_mode_median",         # new: explicit-tiebreak order statistics
     "join_lateral_topn",       # new: correlated LATERAL, decorrelated plan
+    "events_dispersion_index",  # new: Fano factor vs the Poisson law
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

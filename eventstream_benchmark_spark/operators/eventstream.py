@@ -1023,8 +1023,54 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor) of the per-type hourly count
+    series — the over/under-dispersion test against the Poisson
+    process the reference's random lane samples from
+    (``_sample_interval_int``, eventstream.py:63-91): D = s²/x̄ ≈ 1
+    for Poisson arrivals, > 1 for bursty streams, < 1 for the
+    pattern-regularized ones. Series on the per-type hour spine
+    (missing hours 0).
+
+    Exact algebra: D = (n·Σx² − S²) / (S·(n−1)) — numerator and
+    denominator are exact BIGINTs from one map-combinable aggregate,
+    the verdict flag is the integer comparison num > den, and the
+    displayed index is the floor-micro quotient (SCALE.md rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select("event_type", F.expr("unix_seconds(ts) div 3600").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("x"))
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
+    types = counts.select("event_type").distinct()
+    series = (
+        types.crossJoin(spine)
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+        )
+    )
+    agg = series.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    den = F.col("s") * (F.col("n") - 1)
+    return agg.select(
+        "event_type",
+        bigint(F.col("n")).alias("n_hours"),
+        bigint(F.floor(F.lit(1_000_000.0) * (F.col("s").cast("double") / F.col("n").cast("double")))).alias("mean_micro"),
+        bigint(F.floor(F.lit(1_000_000.0) * (num.cast("double") / den.cast("double")))).alias("dispersion_micro"),
+        (num > den).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "events_acf_lags": events_acf_lags,
+    "events_dispersion_index": events_dispersion_index,
     "events_forecast_backtest": events_forecast_backtest,
     "events_holt_trend": events_holt_trend,
 
@@ -1049,6 +1095,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    # exact BIGINT moment sums; integer-comparison verdict; floor-micro
+    # quotients of correctly-rounded double divisions
+    "events_dispersion_index": """
+        WITH c AS (
+            SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+                   count(*) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+        spine AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+        ty AS (SELECT DISTINCT event_type FROM c),
+        s AS (
+            SELECT ty.event_type, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+            FROM ty CROSS JOIN spine
+            LEFT JOIN c ON c.event_type = ty.event_type AND c.h = spine.h
+        ),
+        a AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sm,
+                   CAST(sum(x * x) AS BIGINT) AS q
+            FROM s GROUP BY event_type
+        )
+        SELECT event_type,
+               n AS n_hours,
+               CAST(floor(1000000.0 * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)))
+                    AS BIGINT) AS mean_micro,
+               CAST(floor(1000000.0 * (CAST(n * q - sm * sm AS DOUBLE)
+                        / CAST(sm * (n - 1) AS DOUBLE))) AS BIGINT)
+                   AS dispersion_micro,
+               n * q - sm * sm > sm * (n - 1) AS overdispersed
+        FROM a ORDER BY event_type
+    """,
     # the dyadic Holt recurrence replayed step-by-step: adds/subs and
     # exponent-shift halvings are correctly-rounded IEEE ops, so the
     # recursive CTE produces bit-identical doubles to the Python fold
