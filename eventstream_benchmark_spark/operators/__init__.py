@@ -89,6 +89,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "agg_mode_median",         # new: explicit-tiebreak order statistics
     "join_lateral_topn",       # new: correlated LATERAL, decorrelated plan
     "events_dispersion_index",  # new: Fano factor vs the Poisson law
+    "audit_referential_integrity",  # new: FK orphan audit, anti joins
+    "dq_null_profile",         # new: column null/distinct/range profile
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -1781,6 +1781,98 @@ def write_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema — the
+    data-quality gate a pipeline runs before publishing a snapshot:
+    for each FK edge (lineitem→orders, lineitem→part, orders→customer,
+    customer→nation, supplier→nation, nation→region), the child row
+    count and how many child rows have no parent (anti-join). Each
+    edge is one left-anti join; parent key sets are dimension-sized
+    (broadcast) except orders, which stays a shuffled anti join — at
+    100 TB exactly the shapes you'd pick. A healthy snapshot returns
+    orphans = 0 on every edge, and the count being part of the hash
+    means any FK breakage fails the driver loudly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    def edge(name, child, ckey, parent, pkey, broadcast_parent=True):
+        keys = parent.select(F.col(pkey).alias(ckey)).distinct()
+        if broadcast_parent:
+            keys = F.broadcast(keys)
+        orphans = child.join(keys, ckey, "left_anti")
+        return child.agg(
+            F.lit(name).alias("fk_edge"),
+            bigint(F.count("*")).alias("n_child"),
+        ).crossJoin(orphans.agg(bigint(F.count("*")).alias("n_orphans")))
+
+    frames = [
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey", False),
+        edge("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        edge("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        edge("supplier->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        edge("nation->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("fk_edge")
+
+
+DQ_PROFILE_COLS = (  # (column, table) pairs profiled — events + documents.
+    # Int/string columns only: integers and strings render identically
+    # in both engines, while double→VARCHAR differs in exponent style
+    # (Java "1.0E-7" vs DuckDB "1e-07"), which would poison range_md5.
+    ("event_type", "events"),
+    ("user_id", "events"),
+    ("props", "events"),
+    ("lang", "documents"),
+    ("source", "documents"),
+    ("n_chars", "documents"),
+)
+
+
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile (the dbt-test / Deequ shape):
+    per profiled column — row count, nulls, distinct values, and an
+    md5 of the min/max rendered as strings (a content fingerprint that
+    catches silent type or range drift without shipping values). One
+    ``stack`` unpivot per table keeps it a single scan per source; all
+    aggregates are map-combinable (distinct via two-phase groupBy)."""
+    outs = []
+    for tbl in ("events", "documents"):
+        cols = [c for c, t in DQ_PROFILE_COLS if t == tbl]
+        df = load_table(spark, sf_dir, tbl)
+        stacked = df.select(
+            F.expr(
+                "stack({n}, {args}) AS (col_name, v)".format(
+                    n=len(cols),
+                    args=", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols),
+                )
+            )
+        )
+        outs.append(
+            stacked.groupBy("col_name").agg(
+                F.lit(tbl).alias("tbl"),
+                bigint(F.count(F.lit(1))).alias("n_rows"),
+                bigint(F.sum(F.isnull("v").cast("long"))).alias("n_nulls"),
+                bigint(F.countDistinct("v")).alias("n_distinct"),
+                F.md5(F.concat_ws("|", F.min("v"), F.max("v"))).alias("range_md5"),
+            )
+        )
+    out = outs[0]
+    for f in outs[1:]:
+        out = out.unionAll(f)
+    return out.select("tbl", "col_name", "n_rows", "n_nulls", "n_distinct", "range_md5").orderBy(
+        "tbl", "col_name"
+    )
+
+
 def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning — the RUNTIME sibling of
     ``write_partitioned_pruned``'s static pruning and the
@@ -2524,6 +2616,8 @@ QUERIES = {
     "join_dpp_partition_pruned": join_dpp_partition_pruned,
     "agg_mode_median": agg_mode_median,
     "join_lateral_topn": join_lateral_topn,
+    "audit_referential_integrity": audit_referential_integrity,
+    "dq_null_profile": dq_null_profile,
     "agg_stats_moments": agg_stats_moments,
     "agg_pivot": agg_pivot,
     "sql_tpch_q3": sql_tpch_q3,
@@ -2846,6 +2940,60 @@ ORACLES = {
     """,
     # identical lateral SQL text runs on both engines
     "join_lateral_topn": _LATERAL_TOPN_SQL,
+    # per-FK-edge child counts and NOT-IN orphan counts
+    "audit_referential_integrity": """
+        SELECT * FROM (
+            SELECT 'lineitem->orders' AS fk_edge,
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+                   CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+                        (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans
+            UNION ALL SELECT 'lineitem->part',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+                        (SELECT p_partkey FROM part))
+            UNION ALL SELECT 'orders->customer',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                        (SELECT c_custkey FROM customer))
+            UNION ALL SELECT 'customer->nation',
+                   (SELECT count(*) FROM customer),
+                   (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+                        (SELECT n_nationkey FROM nation))
+            UNION ALL SELECT 'supplier->nation',
+                   (SELECT count(*) FROM supplier),
+                   (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
+                        (SELECT n_nationkey FROM nation))
+            UNION ALL SELECT 'nation->region',
+                   (SELECT count(*) FROM nation),
+                   (SELECT count(*) FROM nation WHERE n_regionkey NOT IN
+                        (SELECT r_regionkey FROM region))
+        ) ORDER BY fk_edge
+    """,
+    # same unpivot; int/string casts render identically cross-engine
+    "dq_null_profile": """
+        WITH stacked AS (
+            SELECT 'events' AS tbl, 'event_type' AS col_name,
+                   CAST(event_type AS VARCHAR) AS v FROM events
+            UNION ALL SELECT 'events', 'user_id',
+                   CAST(user_id AS VARCHAR) FROM events
+            UNION ALL SELECT 'events', 'props',
+                   CAST(props AS VARCHAR) FROM events
+            UNION ALL SELECT 'documents', 'lang',
+                   CAST(lang AS VARCHAR) FROM documents
+            UNION ALL SELECT 'documents', 'source',
+                   CAST(source AS VARCHAR) FROM documents
+            UNION ALL SELECT 'documents', 'n_chars',
+                   CAST(n_chars AS VARCHAR) FROM documents
+        )
+        SELECT tbl, col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+               md5(concat_ws('|', min(v), max(v))) AS range_md5
+        FROM stacked GROUP BY tbl, col_name
+        ORDER BY tbl, col_name
+    """,
     # explicit-tiebreak order statistics: mode = (max n, min hour),
     # median = smallest hour with 2·cum ≥ n — pure integers, no
     # engine-native mode()/quantile_disc tie semantics involved
