@@ -91,6 +91,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "events_dispersion_index",  # new: Fano factor vs the Poisson law
     "audit_referential_integrity",  # new: FK orphan audit, anti joins
     "dq_null_profile",         # new: column null/distinct/range profile
+    "pattern_match_skip",      # new: skip-tolerant sequence match
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -1023,6 +1023,49 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKIP_MAX = 3  # max position gap between consecutive pattern steps
+
+
+def pattern_match_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-tolerant sequence matching — the MATCH_RECOGNIZE-style
+    relaxation of ``pattern_match_fixed``: view → click → purchase per
+    user where up to SKIP_MAX−1 unrelated events may sit between
+    consecutive steps (position gap 1..3 in the (ts, event_id) order).
+    The reference embeds its patterns contiguously
+    (eventstream.py:288-409); real clickstreams interleave noise, so
+    the skip-tolerant matcher is what consumers actually run.
+
+    Scale shape: instead of a variable-gap theta join, each bounded
+    position delta is EXPLODED (3 deltas per step) so every hop is a
+    pure equi-join on (user_id, rn) — the bucketed-range-join trick of
+    ``join_range_interval`` applied to sequence positions. One window
+    for rn, two equi-joins; counts per user, exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    deltas = F.explode(F.sequence(F.lit(1), F.lit(SKIP_MAX)))
+    v = seq.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("rn").alias("rn0"), deltas.alias("d1")
+    ).withColumn("rn1", F.col("rn0") + F.col("d1"))
+    c = seq.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("rn").alias("rn1"), deltas.alias("d2")
+    ).withColumn("rn2", F.col("rn1") + F.col("d2"))
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("rn").alias("rn2")
+    )
+    matches = v.join(c, ["user_id", "rn1"]).join(p, ["user_id", "rn2"])
+    return (
+        matches.groupBy("user_id")
+        .agg(
+            bigint(F.count("*")).alias("n_matches"),
+            bigint(F.min("rn0")).alias("first_start_rn"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion (Fano factor) of the per-type hourly count
     series — the over/under-dispersion test against the Poisson
@@ -1071,6 +1114,7 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_acf_lags": events_acf_lags,
     "events_dispersion_index": events_dispersion_index,
+    "pattern_match_skip": pattern_match_skip,
     "events_forecast_backtest": events_forecast_backtest,
     "events_holt_trend": events_holt_trend,
 
@@ -1095,6 +1139,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same rn sequencing, same exploded-delta equi joins
+    "pattern_match_skip": f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        d AS (SELECT unnest(range(1, {SKIP_MAX} + 1)) AS delta),
+        v AS (SELECT user_id, rn AS rn0, rn + d.delta AS rn1
+              FROM seq CROSS JOIN d WHERE event_type = 'view'),
+        c AS (SELECT user_id, rn AS rn1, rn + d.delta AS rn2
+              FROM seq CROSS JOIN d WHERE event_type = 'click'),
+        p AS (SELECT user_id, rn AS rn2 FROM seq
+              WHERE event_type = 'purchase')
+        SELECT v.user_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(v.rn0) AS BIGINT) AS first_start_rn
+        FROM v JOIN c USING (user_id, rn1) JOIN p USING (user_id, rn2)
+        GROUP BY v.user_id ORDER BY v.user_id
+    """,
     # exact BIGINT moment sums; integer-comparison verdict; floor-micro
     # quotients of correctly-rounded double divisions
     "events_dispersion_index": """
