@@ -92,6 +92,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "audit_referential_integrity",  # new: FK orphan audit, anti joins
     "dq_null_profile",         # new: column null/distinct/range profile
     "pattern_match_skip",      # new: skip-tolerant sequence match
+    "set_ops_by_name",         # new: unionByName w/ missing columns
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

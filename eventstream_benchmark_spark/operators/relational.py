@@ -2384,6 +2384,35 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def set_ops_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-flexible union — ``unionByName(allowMissingColumns)``,
+    the API every multi-source ingestion layer leans on when feeds
+    share a logical schema but not column order or completeness. Two
+    event projections (one missing ``value``, one missing ``props``
+    and with reordered columns) union BY NAME: positions don't matter,
+    absent columns fill with NULL. The aggregate fingerprints both the
+    null-fill (value nulls == feed-B rows) and that no column ever
+    landed positionally."""
+    ev = load_table(spark, sf_dir, "events")
+    feed_a = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "event_type", "user_id", "props"
+    )
+    feed_b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("value"), "event_id", "event_type"
+    )
+    merged = feed_a.unionByName(feed_b, allowMissingColumns=True)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            bigint(F.count("*")).alias("n"),
+            bigint(F.sum(F.isnull("value").cast("long"))).alias("null_values"),
+            bigint(F.sum(F.isnull("props").cast("long"))).alias("null_props"),
+            bigint(F.countDistinct("user_id")).alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # B20 — deterministic exact dedup (first event per key)
 # --------------------------------------------------------------------------
@@ -2659,6 +2688,7 @@ QUERIES = {
     "topk_per_group": topk_per_group,
     "sort_limit_topk": sort_limit_topk,
     "set_ops": set_ops,
+    "set_ops_by_name": set_ops_by_name,
     "dedup_exact": dedup_exact,
     "scalar_string": scalar_string,
     "scalar_datetime": scalar_datetime,
@@ -3453,6 +3483,28 @@ ORACLES = {
     "sort_limit_topk": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    # UNION ALL BY NAME fills absent columns with NULL, like
+    # unionByName(allowMissingColumns=True)
+    "set_ops_by_name": """
+        WITH feed_a AS (
+            SELECT event_id, event_type, user_id, props
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        feed_b AS (
+            SELECT user_id, value, event_id, event_type
+            FROM events WHERE event_type = 'purchase'
+        ),
+        merged AS (SELECT * FROM feed_a UNION ALL BY NAME
+                   SELECT * FROM feed_b)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_values,
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_props,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM merged GROUP BY event_type ORDER BY event_type
     """,
     "set_ops": """
         SELECT 'union' AS op, user_id FROM (
