@@ -238,8 +238,33 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def growth_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-growth timeline: per day, how many users appeared for the
+    FIRST time, and the cumulative registered-user curve — the
+    new-vs-returning split every product dashboard leads with, and the
+    temporal inverse of ``retention_cohort`` (which fixes the cohort
+    and walks forward; this fixes the day and asks who is new).
+
+    Scale shape: first-seen is one map-combinable min-aggregate per
+    user; everything after (daily counts, the running cumulative sum)
+    runs on the day-grid-sized aggregate, so the only fact-table
+    shuffle is the per-user min. Exact integers throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        fmt_date("day").alias("day"),
+        bigint(F.col("new_users")).alias("new_users"),
+        bigint(F.sum("new_users").over(w_cum)).alias("cum_users"),
+    ).orderBy("day")
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
+    "growth_new_users_daily": growth_new_users_daily,
     "retention_cohort": retention_cohort,
     "attribution_last_touch": attribution_last_touch,
     "attribution_linear": attribution_linear,
@@ -275,6 +300,18 @@ _FUNNEL_ORACLE = f"""
 
 ORACLES = {
     "funnel_conversion": _FUNNEL_ORACLE,
+    "growth_new_users_daily": """
+        WITH first_seen AS (
+            SELECT user_id, date_trunc('day', min(ts)) AS day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+                  FROM first_seen GROUP BY day)
+        SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                   AS cum_users
+        FROM daily ORDER BY day
+    """,
     "retention_cohort": f"""
         WITH act AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
