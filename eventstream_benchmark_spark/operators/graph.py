@@ -213,6 +213,69 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RULES_MIN_SUPPORT = 2  # min co-occurrence count for a rule
+RULES_TOPK = 25
+
+
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the basket graph — the metric layer
+    on top of ``copurchase_part_pairs``'s support counting: for each
+    part pair with support ≥ 2, confidence(p1→p2) and lift, ranked by
+    lift. Singleton counts come from one (part) groupBy; the pair
+    table joins them twice (broadcast — the distinct-part set is
+    dimension-sized even at 100 TB because parts are a dimension).
+
+    Determinism: lift = N·c(ab)/(c(a)·c(b)) is a ratio, so the ORDER
+    is pinned on the floor-micro integer (computed from exact BIGINTs
+    with one correctly-rounded double division) with a (p1, p2)
+    tiebreak — both engines cut the identical top-25. Confidence is
+    emitted the same way."""
+    release_scoped_persists()
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = F.broadcast(
+        d.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    )
+    singles = d.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("c_single")
+    )
+    pairs = _copurchase_edges(li).filter(F.col("n_orders") >= RULES_MIN_SUPPORT)
+    joined = (
+        pairs.withColumnRenamed("n_orders", "c_pair")
+        .join(F.broadcast(singles.select(F.col("p").alias("p1"),
+                                         F.col("c_single").alias("c1"))), "p1")
+        .join(F.broadcast(singles.select(F.col("p").alias("p2"),
+                                         F.col("c_single").alias("c2"))), "p2")
+        .crossJoin(n_orders)
+    )
+    lift_micro = bigint(
+        F.floor(
+            F.lit(1_000_000.0)
+            * (
+                (F.col("n_orders") * F.col("c_pair")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            )
+        )
+    )
+    conf_micro = bigint(
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.col("c_pair").cast("double") / F.col("c1").cast("double"))
+        )
+    )
+    return (
+        joined.select(
+            "p1",
+            "p2",
+            bigint(F.col("c_pair")).alias("support"),
+            conf_micro.alias("confidence_micro"),
+            lift_micro.alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "p1", "p2")
+        .limit(RULES_TOPK)
+    )
+
+
 BFS_MAX_HOPS = 4
 BFS_SEEDS = 3
 
@@ -279,6 +342,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
     "graph_bfs_hops": graph_bfs_hops,
+    "basket_association_rules": basket_association_rules,
 }
 
 _EDGES_CTE = """
@@ -331,6 +395,29 @@ ORACLES = {
         WITH {_EDGES_CTE}
         SELECT p1, p2, n_orders FROM edges
         ORDER BY n_orders DESC, p1, p2 LIMIT {COPURCHASE_TOPK}
+    """,
+    # identical exact-integer support/confidence/lift algebra; the
+    # floor-micro lift is the sort key in both engines
+    "basket_association_rules": f"""
+        WITH {_EDGES_CTE},
+        no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM d),
+        singles AS (SELECT l_partkey AS p, count(*) AS c_single
+                    FROM d GROUP BY 1),
+        pairs AS (SELECT p1, p2, n_orders AS c_pair FROM edges
+                  WHERE n_orders >= {RULES_MIN_SUPPORT})
+        SELECT p1, p2,
+               CAST(c_pair AS BIGINT) AS support,
+               CAST(floor(1000000.0 * (CAST(c_pair AS DOUBLE)
+                    / CAST(s1.c_single AS DOUBLE))) AS BIGINT)
+                   AS confidence_micro,
+               CAST(floor(1000000.0 * (CAST(no.n_orders * c_pair AS DOUBLE)
+                    / CAST(s1.c_single * s2.c_single AS DOUBLE))) AS BIGINT)
+                   AS lift_micro
+        FROM pairs
+        JOIN singles s1 ON s1.p = pairs.p1
+        JOIN singles s2 ON s2.p = pairs.p2
+        CROSS JOIN no
+        ORDER BY lift_micro DESC, p1, p2 LIMIT {RULES_TOPK}
     """,
     # min-hop BFS as a recursive CTE: the UNION (not UNION ALL)
     # dedupes accumulated (v, hops) pairs each iteration, so cycles
