@@ -95,6 +95,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "set_ops_by_name",         # new: unionByName w/ missing columns
     "growth_new_users_daily",  # new: new-vs-cumulative user curve
     "basket_association_rules",  # new: confidence/lift rule mining
+    "dq_benford_audit",        # new: first-digit law screen, exact ints
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

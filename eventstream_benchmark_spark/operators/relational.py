@@ -1873,6 +1873,62 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import math as _math
+
+# floor(1e6 · log10(1 + 1/d)) for d = 1..9, precomputed once in Python
+# and embedded as literals in BOTH engines — no transcendental runs in
+# either plan
+BENFORD_MICRO = {
+    d: int(_math.floor(1_000_000 * _math.log10(1 + 1 / d))) for d in range(1, 10)
+}
+
+
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order prices — the classic
+    fabricated-data screen (organically-grown magnitudes follow
+    P(d) = log10(1+1/d); synthetic or tampered values usually don't).
+    The leading digit is extracted from the EXACT integer cents
+    (round(price·100) — same first digit as the price, and a pure-int
+    cast renders identically cross-engine, avoiding double→string
+    exponent drift). Expected shares are precomputed micro-int
+    literals; observed shares are floor-micro quotients of exact
+    counts. Single scan, 9-row aggregate, map-side combine.
+
+    (The fixture's uniform-ish prices are NOT Benford — the audit is
+    expected to flag them; the per-digit deviation column is the
+    value under test, not a pass/fail constant.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.create_map(
+        *[F.lit(x) for d, m in BENFORD_MICRO.items() for x in (d, m)]
+    )
+    obs = bigint(
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.col("n").cast("double") / F.col("total").cast("double"))
+        )
+    )
+    return (
+        counts.crossJoin(tot)
+        .select(
+            bigint(F.col("digit")).alias("digit"),
+            bigint(F.col("n")).alias("n"),
+            obs.alias("obs_micro"),
+            bigint(expected[F.col("digit")]).alias("benford_micro"),
+        )
+        .withColumn(
+            "abs_dev_micro",
+            bigint(F.abs(F.col("obs_micro") - F.col("benford_micro"))),
+        )
+        .orderBy("digit")
+    )
+
+
 def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning — the RUNTIME sibling of
     ``write_partitioned_pruned``'s static pruning and the
@@ -2647,6 +2703,7 @@ QUERIES = {
     "join_lateral_topn": join_lateral_topn,
     "audit_referential_integrity": audit_referential_integrity,
     "dq_null_profile": dq_null_profile,
+    "dq_benford_audit": dq_benford_audit,
     "agg_stats_moments": agg_stats_moments,
     "agg_pivot": agg_pivot,
     "sql_tpch_q3": sql_tpch_q3,
@@ -2970,6 +3027,29 @@ ORACLES = {
     """,
     # identical lateral SQL text runs on both engines
     "join_lateral_topn": _LATERAL_TOPN_SQL,
+    # same integer-cents leading digit; expected shares are the same
+    # Python-precomputed micro literals
+    "dq_benford_audit": f"""
+        WITH counts AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        ),
+        t AS (SELECT sum(n) AS total FROM counts),
+        exp AS (SELECT unnest([{",".join(str(d) for d in BENFORD_MICRO)}]) AS digit,
+                       unnest([{",".join(str(m) for m in BENFORD_MICRO.values())}])
+                           AS benford_micro)
+        SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+               CAST(floor(1000000.0 * (CAST(c.n AS DOUBLE)
+                    / CAST(t.total AS DOUBLE))) AS BIGINT) AS obs_micro,
+               CAST(e.benford_micro AS BIGINT) AS benford_micro,
+               CAST(abs(floor(1000000.0 * (CAST(c.n AS DOUBLE)
+                    / CAST(t.total AS DOUBLE))) - e.benford_micro) AS BIGINT)
+                   AS abs_dev_micro
+        FROM counts c CROSS JOIN t JOIN exp e ON e.digit = c.digit
+        ORDER BY c.digit
+    """,
     # per-FK-edge child counts and NOT-IN orphan counts
     "audit_referential_integrity": """
         SELECT * FROM (
