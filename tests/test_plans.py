@@ -637,3 +637,49 @@ def test_inverted_index_assembles_only_topk(spark, sf_small):
     plan = _plan(spark, sf_small, "index_inverted_postings")
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
+
+
+def test_association_rules_broadcast_singletons(spark, sf_small):
+    """Pair support joins its two singleton-count sides by broadcast
+    (parts are dimension-sized); the only shuffles are the distinct
+    and the pair groupBy."""
+    plan = _plan(spark, sf_small, "basket_association_rules")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_growth_single_fact_shuffle(spark, sf_small):
+    """First-seen is the only fact-table shuffle; the cumulative
+    window rides the day-grid aggregate (single-partition window over
+    ~30 rows is intentional and bounded)."""
+    plan = _plan(spark, sf_small, "growth_new_users_daily")
+    assert "partial_min" in plan  # map-side combine on the user min
+    for node in ("SortMergeJoin", "CartesianProduct", "BatchEvalPython"):
+        assert node not in plan, f"unexpected {node}"
+
+
+def test_benford_single_scan_map_combine(spark, sf_small):
+    """Digit counting is one scan with partial aggregation; the
+    9-row expected-share map is a literal, not a join against data."""
+    plan = _plan(spark, sf_small, "dq_benford_audit")
+    assert "partial_count" in plan
+    for node in ("SortMergeJoin", "CartesianProduct", "BatchEvalPython"):
+        assert node not in plan, f"unexpected {node}"
+
+
+def test_skip_match_stays_equi(spark, sf_small):
+    """Every hop of the skip-tolerant matcher is an equi-join on
+    (user_id, rn) — the exploded deltas never degrade to a theta
+    join."""
+    plan = _plan(spark, sf_small, "pattern_match_skip")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_bounded_windows(spark, sf_small):
+    """Both bottom-k stages are window filters (rank over salted then
+    unsalted keys) — no collect_list/sort_array materializing a full
+    distinct set in one task."""
+    plan = _plan(spark, sf_small, "agg_kmv_distinct")
+    assert "collect_list" not in plan and "sort_array" not in plan
+    assert plan.count("Window") >= 2
