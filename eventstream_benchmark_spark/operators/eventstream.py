@@ -832,6 +832,33 @@ def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hour_spine_counts(ev: DataFrame, by_type: bool = False) -> DataFrame:
+    """Per-hour event counts on the complete min..max hour spine
+    (missing hours = 0) — the shared series builder of the hour-spine
+    family (`events_acf_lags`, `events_forecast_backtest`,
+    `events_dispersion_index`, `events_holt_trend`). One
+    map-combinable groupBy over the fact table; the spine and the
+    zero-fill join ride the hour-grid-sized aggregate. Returns
+    (h, x) or, with ``by_type``, (event_type, h, x) over the
+    types × spine grid."""
+    keys = (["event_type"] if by_type else []) + ["h"]
+    counts = (
+        ev.select(
+            *([F.col("event_type")] if by_type else []),
+            F.expr("unix_seconds(ts) div 3600").alias("h"),
+        )
+        .groupBy(*keys)
+        .agg(F.count("*").alias("x"))
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
+    if by_type:
+        spine = counts.select("event_type").distinct().crossJoin(spine)
+    return spine.join(counts, keys, "left").select(
+        *keys, F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+
+
 ACF_MAX_LAG = 6
 
 
@@ -856,19 +883,7 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     — runs on the hour-grid-sized aggregate (≤ thousands of rows at
     any corpus size), the \"windows only over the matrix-sized
     aggregate\" pattern of ``events_markov_transitions``."""
-    ev = load_table(spark, sf_dir, "events")
-    counts = (
-        ev.select(F.expr("unix_seconds(ts) div 3600").alias("h"))
-        .groupBy("h")
-        .agg(F.count("*").alias("x"))
-    )
-    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = bounds.select(
-        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
-    )
-    series = spine.join(counts, "h", "left").select(
-        "h", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
-    )
+    series = _hour_spine_counts(load_table(spark, sf_dir, "events"))
     tot = F.broadcast(
         series.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
     )
@@ -920,17 +935,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly rounded, floor is engine-exact (SCALE.md). Forecast
     lookback is an equi self-join on the hour-grid-sized aggregate
     keyed h−lag (no global-order window), the ACF pair shape."""
-    ev = load_table(spark, sf_dir, "events")
-    counts = (
-        ev.select(F.expr("unix_seconds(ts) div 3600").alias("h"))
-        .groupBy("h")
-        .agg(F.count("*").alias("x"))
-    )
-    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
-    series = spine.join(counts, "h", "left").select(
-        "h", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
-    )
+    series = _hour_spine_counts(load_table(spark, sf_dir, "events"))
     lags = series.select(
         "h",
         F.col("x").alias("actual"),
@@ -976,21 +981,8 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour-grid-sized series via ``applyInPandas`` — one tiny task per
     series, the §4.2 recipe (distribute the aggregation, sequentialize
     only the recurrence)."""
-    ev = load_table(spark, sf_dir, "events")
-    counts = (
-        ev.select("event_type", F.expr("unix_seconds(ts) div 3600").alias("h"))
-        .groupBy("event_type", "h")
-        .agg(F.count("*").alias("x"))
-    )
-    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
-    types = counts.select("event_type").distinct()
-    series = (
-        types.crossJoin(spine)
-        .join(counts, ["event_type", "h"], "left")
-        .select(
-            "event_type", "h", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
-        )
+    series = _hour_spine_counts(
+        load_table(spark, sf_dir, "events"), by_type=True
     )
 
     def fold(pdf):
@@ -1079,22 +1071,9 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator are exact BIGINTs from one map-combinable aggregate,
     the verdict flag is the integer comparison num > den, and the
     displayed index is the floor-micro quotient (SCALE.md rule)."""
-    ev = load_table(spark, sf_dir, "events")
-    counts = (
-        ev.select("event_type", F.expr("unix_seconds(ts) div 3600").alias("h"))
-        .groupBy("event_type", "h")
-        .agg(F.count("*").alias("x"))
-    )
-    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
-    types = counts.select("event_type").distinct()
-    series = (
-        types.crossJoin(spine)
-        .join(counts, ["event_type", "h"], "left")
-        .select(
-            "event_type", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
-        )
-    )
+    series = _hour_spine_counts(
+        load_table(spark, sf_dir, "events"), by_type=True
+    ).drop("h")
     agg = series.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),
