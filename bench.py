@@ -91,6 +91,12 @@ SF1_QUERIES = (
     # the composed gate->span-dedup->PII->manifest pipeline: the 10x
     # duplicate-flooded corpus stresses its span-dedup stage end to end
     "pipeline_pretrain_corpus",
+    # late round-5 additions: posting assembly sits behind the top-k
+    # cut, so the index build should track the stats aggregate (near-
+    # linear), and the skip matcher's exploded-delta equi-joins should
+    # scale with the per-type event counts
+    "index_inverted_postings",
+    "pattern_match_skip",
 )
 
 
@@ -138,10 +144,11 @@ def main() -> None:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
-        if name in HEAVY:
+        if name in HEAVY and len(samples) > 1:
             # the heavies' first run absorbs cold persist/checkpoint
             # builds (r4: spreads up to 11 s from run 1 alone) — drop
             # it so min AND spread describe the warm steady state
+            # (kept when HEAVY_RUNS=1: a single cold sample beats none)
             samples = samples[1:]
         timings[name] = round(min(samples), 3)
         extras[f"{name}_rows"] = n
