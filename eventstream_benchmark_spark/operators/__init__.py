@@ -96,6 +96,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "growth_new_users_daily",  # new: new-vs-cumulative user curve
     "basket_association_rules",  # new: confidence/lift rule mining
     "dq_benford_audit",        # new: first-digit law screen, exact ints
+    "multimodal_image_phash",  # new: perceptual-hash image near-dup
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -369,8 +369,91 @@ def multimodal_image_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BITS = 64
+PHASH_BANDS = 4  # 4 × 16-bit bands: pigeonhole-complete for hamming ≤ 3
+PHASH_HAM_T = 3
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "hash_hi": [], "hash_lo": [],
+               "k": [], "bv": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, _, grid = _decode_bmp(bytes(payload))
+            flat = np.asarray(grid).ravel().astype(np.int64)
+            n = flat.size
+            total = int(flat.sum())
+            probes = flat[(np.arange(PHASH_BITS) * n) // PHASH_BITS]
+            # bit j = probe_j >= mean, cross-multiplied to stay integer
+            bits = (probes * n >= total).astype(np.int64)
+            val = 0
+            for j in range(PHASH_BITS):
+                val |= int(bits[j]) << j
+            for k in range(PHASH_BANDS):
+                out["doc_id"].append(int(doc_id))
+                out["hash_hi"].append(val >> 32)
+                out["hash_lo"].append(val & 0xFFFFFFFF)
+                out["k"].append(k)
+                out["bv"].append((val >> (16 * k)) & 0xFFFF)
+        yield pd.DataFrame(out)
+
+
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplication — the multimodal twin of
+    ``dedup_minhash_lsh``: decode each BMP, compute a 64-bit
+    average-hash (bit j = probe pixel ≥ image mean, the mean test
+    cross-multiplied so the hash is exact integer arithmetic), then
+    find image pairs within Hamming distance 3. Candidate generation
+    is banded LSH — 4 × 16-bit bands, an equi-join per band value;
+    by pigeonhole a pair at Hamming ≤ 3 shares at least one intact
+    band, so banding loses NOTHING at this threshold (exact recall,
+    unlike probabilistic MinHash banding) — followed by the exact
+    ``bit_count(xor)`` verify on candidates only. No all-pairs
+    anywhere; at 100 TB the band join is the only shuffle wider than
+    the hash table itself.
+
+    The closed-form oracle regenerates hashes from the pixel law and
+    replays the identical band join + Hamming verify."""
+    images = media_table(spark, sf_dir).filter(F.col("media_type") == "image/bmp")
+    hashes = images.select("doc_id", "payload").mapInPandas(
+        _phash_batches,
+        "doc_id bigint, hash_hi bigint, hash_lo bigint, k int, bv int",
+    )
+    a, b = hashes.alias("a"), hashes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.hash_hi").alias("hi_a"),
+            F.col("a.hash_lo").alias("lo_a"),
+            F.col("b.hash_hi").alias("hi_b"),
+            F.col("b.hash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    ham = bigint(
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "multimodal_extract": multimodal_extract,
+    "multimodal_image_phash": multimodal_image_phash,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_features": multimodal_audio_features,
@@ -382,6 +465,59 @@ QUERIES = {
 # independently check that the Spark side both GENERATED and DECODED
 # the real byte formats correctly.
 ORACLES: dict[str, str] = {
+    # hashes regenerated from the pixel law; identical band join +
+    # bit_count(xor) verify — exact integers end to end
+    "multimodal_image_phash": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   (n_chars % 56 + 8) * (n_chars * 3 % 40 + 8) AS n
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        tot AS (
+            SELECT doc_id, n,
+                   sum((doc_id * 31 + 7 * i) % 256) AS total
+            FROM (SELECT doc_id, n,
+                         unnest(generate_series(0, n - 1)) AS i FROM d)
+            GROUP BY doc_id, n
+        ),
+        bits AS (
+            SELECT doc_id, u.j,
+                   CASE WHEN ((doc_id * 31 + 7 * ((u.j * n) // {PHASH_BITS}))
+                              % 256) * n >= total
+                        THEN 1 ELSE 0 END AS bit
+            FROM tot, LATERAL unnest(range(0, {PHASH_BITS})) AS u(j)
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   sum(CASE WHEN j >= 32
+                            THEN bit * (CAST(1 AS BIGINT) << (j - 32))
+                            ELSE 0 END) AS hash_hi,
+                   sum(CASE WHEN j < 32
+                            THEN bit * (CAST(1 AS BIGINT) << j)
+                            ELSE 0 END) AS hash_lo
+            FROM bits GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, j // 16 AS k,
+                   sum(bit * (CAST(1 AS BIGINT) << (j % 16))) AS bv
+            FROM bits GROUP BY doc_id, j // 16
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha.hash_lo, hb.hash_lo))
+                    + bit_count(xor(ha.hash_hi, hb.hash_hi)) AS BIGINT)
+                   AS hamming
+        FROM cand
+        JOIN hashes ha ON ha.doc_id = cand.doc_a
+        JOIN hashes hb ON hb.doc_id = cand.doc_b
+        WHERE bit_count(xor(ha.hash_lo, hb.hash_lo))
+              + bit_count(xor(ha.hash_hi, hb.hash_hi)) <= {PHASH_HAM_T}
+        ORDER BY doc_a, doc_b
+    """,
     "multimodal_image_hist": f"""
         WITH d AS (
             SELECT doc_id,
