@@ -97,6 +97,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "basket_association_rules",  # new: confidence/lift rule mining
     "dq_benford_audit",        # new: first-digit law screen, exact ints
     "multimodal_image_phash",  # new: perceptual-hash image near-dup
+    "embed_matryoshka_energy",  # new: prefix-energy truncation eval
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

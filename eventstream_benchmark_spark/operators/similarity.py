@@ -486,8 +486,70 @@ def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_PREFIXES = (8, 16, 32)  # Matryoshka truncation lengths evaluated
+MRL_KEEP_MICRO = 900_000  # "safe to truncate" bar: ≥ 0.9 energy kept
+
+
+def embed_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation: how much of each vector's L2
+    energy the first p dimensions carry, for p ∈ {8, 16, 32} — the
+    go/no-go metric before swapping full embeddings for cheap prefixes
+    in retrieval (MRL-trained models front-load information; this
+    measures whether a corpus's embeddings actually do). Per vector
+    the ratio Σ_{i<p}x²/Σ_{i<64}x² is computed with both folds in
+    array order (bit-identical across engines, the
+    ``embed_quantize_int8`` rule) and floored to a micro-int; corpus
+    aggregates are then exact BIGINT sums — avg energy, worst vector,
+    and how many clear the 0.9 keep bar. Single scan, one stack
+    unpivot, map-combinable aggregate; no shuffle wider than the
+    3-row output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = lambda col: F.aggregate(  # noqa: E731
+        col,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    full = sq_sum(F.col("embedding"))
+    pref = {p: sq_sum(F.slice("embedding", 1, p)) for p in MRL_PREFIXES}
+    micro = {
+        p: F.floor(F.lit(1_000_000.0) * (pref[p] / full)).cast("long")
+        for p in MRL_PREFIXES
+    }
+    stacked = emb.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("prefix_len"),
+                        micro[p].alias("energy_micro"),
+                    )
+                    for p in MRL_PREFIXES
+                ]
+            )
+        ).alias("s")
+    ).select("s.prefix_len", "s.energy_micro")
+    return (
+        stacked.groupBy("prefix_len")
+        .agg(
+            bigint(F.count("*")).alias("n_vecs"),
+            bigint(
+                F.floor(
+                    F.sum("energy_micro").cast("double")
+                    / F.count("*").cast("double")
+                )
+            ).alias("avg_energy_micro"),
+            bigint(F.min("energy_micro")).alias("min_energy_micro"),
+            bigint(
+                F.sum((F.col("energy_micro") >= MRL_KEEP_MICRO).cast("long"))
+            ).alias("n_above_90pct"),
+        )
+        .orderBy("prefix_len")
+    )
+
+
 QUERIES = {
     "embed_cosine_topk": embed_cosine_topk,
+    "embed_matryoshka_energy": embed_matryoshka_energy,
     "embed_pq_encode": embed_pq_encode,
     "embed_dim_stats": embed_dim_stats,
     "embed_quantize_int8": embed_quantize_int8,
@@ -531,7 +593,36 @@ def _lsh_bucket_sql(v: str = "v", n_bits: int = LSH_PLANES) -> str:
         terms.append(f"(CASE WHEN {_fold_dot(v, h)} > 0 THEN {1 << p} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
+_MRL_UNION = " UNION ALL ".join(
+    f"""
+    SELECT {p} AS prefix_len,
+           CAST(floor(1000000.0 * (
+               list_reduce(list_transform(embedding[1:{p}],
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b)
+               / list_reduce(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b))) AS BIGINT) AS energy_micro
+    FROM embeddings
+    """
+    for p in MRL_PREFIXES
+)
+
 ORACLES = {
+    # both engines fold squares in array order (bit-identical), floor
+    # per vector, then aggregate exact BIGINTs
+    "embed_matryoshka_energy": f"""
+        WITH stacked AS ({_MRL_UNION})
+        SELECT CAST(prefix_len AS BIGINT) AS prefix_len,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(floor(CAST(sum(energy_micro) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                   AS avg_energy_micro,
+               CAST(min(energy_micro) AS BIGINT) AS min_energy_micro,
+               CAST(sum(CASE WHEN energy_micro >= {MRL_KEEP_MICRO}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above_90pct
+        FROM stacked GROUP BY prefix_len ORDER BY prefix_len
+    """,
     "embed_pq_encode": f"""
         WITH e AS (
             SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
