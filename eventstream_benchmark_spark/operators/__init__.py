@@ -98,6 +98,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "dq_benford_audit",        # new: first-digit law screen, exact ints
     "multimodal_image_phash",  # new: perceptual-hash image near-dup
     "embed_matryoshka_energy",  # new: prefix-energy truncation eval
+    "orders_rfm_segmentation",  # new: RFM quartile grid, exact cents
+    "funnel_time_to_convert",  # new: conversion-latency histogram
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

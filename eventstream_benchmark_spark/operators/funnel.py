@@ -262,9 +262,109 @@ def growth_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+TTC_BUCKET_CAP = 48  # latency histogram: hourly buckets, capped
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution — the "how long from first view
+    to first purchase" histogram that prices a funnel's friction:
+    per user, the first view and the first purchase AT OR AFTER it,
+    the latency in exact µs, bucketed into capped hourly bins with
+    per-bin user counts and summed latency. Two per-user min
+    aggregates (map-combinable) + one broadcast-sized join; the
+    histogram rides the bucket grid. Everything integer µs — no float
+    touches the latency."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("fv_us")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    conv = (
+        buys.join(views, "user_id")
+        .filter(F.col("p_us") >= F.col("fv_us"))
+        .groupBy("user_id", "fv_us")
+        .agg(F.min("p_us").alias("fp_us"))
+        .withColumn("latency_us", F.col("fp_us") - F.col("fv_us"))
+    )
+    bucket = F.least(
+        F.lit(TTC_BUCKET_CAP),
+        F.expr("latency_us div 3600000000"),
+    )
+    return (
+        conv.groupBy(bucket.alias("bucket_h"))
+        .agg(
+            bigint(F.count("*")).alias("n_users"),
+            bigint(F.sum("latency_us")).alias("sum_latency_us"),
+        )
+        .select(bigint(F.col("bucket_h")).alias("bucket_h"),
+                "n_users", "sum_latency_us")
+        .orderBy("bucket_h")
+    )
+
+
+RFM_BUCKETS = 4
+
+
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since the customer's
+    last order, against the corpus max date), frequency (order count),
+    monetary (lifetime spend in exact cents) — each scored into
+    quartiles by ``ntile``, then the segment grid with customer counts
+    and per-segment spend. The classic CRM rollup, all exact integers.
+
+    Determinism: ntile's output depends only on the ORDER, so every
+    ranking orders by (metric, custkey) — a total order both engines
+    share; spend is integer cents. One fact shuffle (per-customer
+    aggregate); the three ntile windows and the final grid ride the
+    customer-sized aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "spend_cents"
+        ),
+    )
+    max_date = F.broadcast(per_cust.agg(F.max("last_order").alias("maxd")))
+    scored = per_cust.crossJoin(max_date).withColumn(
+        "recency_days",
+        F.datediff(F.to_date("maxd"), F.to_date("last_order")),
+    )
+    # lower recency = better → rank ascending; higher freq/spend = better
+    w_r = W.orderBy("recency_days", "custkey")
+    w_f = W.orderBy(F.desc("frequency"), "custkey")
+    w_m = W.orderBy(F.desc("spend_cents"), "custkey")
+    tiles = scored.select(
+        "custkey",
+        "spend_cents",
+        F.ntile(RFM_BUCKETS).over(w_r).alias("r_score"),
+        F.ntile(RFM_BUCKETS).over(w_f).alias("f_score"),
+        F.ntile(RFM_BUCKETS).over(w_m).alias("m_score"),
+    )
+    return (
+        tiles.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            bigint(F.count("*")).alias("n_customers"),
+            bigint(F.sum("spend_cents")).alias("segment_spend_cents"),
+        )
+        .select(
+            bigint(F.col("r_score")).alias("r_score"),
+            bigint(F.col("f_score")).alias("f_score"),
+            bigint(F.col("m_score")).alias("m_score"),
+            "n_customers",
+            "segment_spend_cents",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "growth_new_users_daily": growth_new_users_daily,
+    "orders_rfm_segmentation": orders_rfm_segmentation,
+    "funnel_time_to_convert": funnel_time_to_convert,
     "retention_cohort": retention_cohort,
     "attribution_last_touch": attribution_last_touch,
     "attribution_linear": attribution_linear,
@@ -300,6 +400,58 @@ _FUNNEL_ORACLE = f"""
 
 ORACLES = {
     "funnel_conversion": _FUNNEL_ORACLE,
+    "funnel_time_to_convert": f"""
+        WITH v AS (
+            SELECT user_id, min(epoch_us(ts)) AS fv_us FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+              WHERE event_type = 'purchase'),
+        conv AS (
+            SELECT p.user_id, min(p.p_us) - v.fv_us AS latency_us
+            FROM p JOIN v USING (user_id)
+            WHERE p.p_us >= v.fv_us
+            GROUP BY p.user_id, v.fv_us
+        )
+        SELECT CAST(least({TTC_BUCKET_CAP}, latency_us // 3600000000)
+                    AS BIGINT) AS bucket_h,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(latency_us) AS BIGINT) AS sum_latency_us
+        FROM conv GROUP BY 1 ORDER BY 1
+    """,
+    "orders_rfm_segmentation": f"""
+        WITH per_cust AS (
+            SELECT o_custkey AS custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS spend_cents
+            FROM orders GROUP BY 1
+        ),
+        m AS (SELECT max(last_order) AS maxd FROM per_cust),
+        scored AS (
+            SELECT custkey, spend_cents, frequency,
+                   date_diff('day', CAST(last_order AS DATE),
+                             CAST(maxd AS DATE)) AS recency_days
+            FROM per_cust CROSS JOIN m
+        ),
+        tiles AS (
+            SELECT custkey, spend_cents,
+                   ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days, custkey)
+                       AS r_score,
+                   ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, custkey)
+                       AS f_score,
+                   ntile({RFM_BUCKETS}) OVER (ORDER BY spend_cents DESC, custkey)
+                       AS m_score
+            FROM scored
+        )
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(spend_cents) AS BIGINT) AS segment_spend_cents
+        FROM tiles GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
     "growth_new_users_daily": """
         WITH first_seen AS (
             SELECT user_id, date_trunc('day', min(ts)) AS day
