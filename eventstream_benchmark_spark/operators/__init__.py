@@ -100,6 +100,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "embed_matryoshka_energy",  # new: prefix-energy truncation eval
     "orders_rfm_segmentation",  # new: RFM quartile grid, exact cents
     "funnel_time_to_convert",  # new: conversion-latency histogram
+    "streaming_growth_users",  # new: incremental first-seen state curve
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

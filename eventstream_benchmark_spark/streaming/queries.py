@@ -605,6 +605,36 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("event_type")
 
 
+def streaming_growth_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-growth curve maintained incrementally: a streaming
+    per-user ``min(ts)`` (first-seen) aggregate — state is one
+    timestamp per user, updated as the replay advances — whose final
+    complete-mode snapshot is rolled up batch-side into the daily
+    new-user + cumulative curve. min() is order-independent, so the
+    result is identical however the micro-batches split, and the
+    oracle is exactly the batch ``growth_new_users_daily`` SQL. (No
+    watermark on purpose: the registered-user set IS unbounded state —
+    one row per user, the smallest state that answers the question.)"""
+    with _state_shuffle(spark):
+        src = _replay_dir(spark, sf_dir)
+        events = spark.readStream.schema(
+            load_table(spark, sf_dir, "events").schema
+        ).parquet(src)
+        firsts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+        result = _run_to_memory(firsts, "complete")
+    daily = result.groupBy(
+        F.date_trunc("day", "first_ts").alias("day")
+    ).agg(F.count("*").alias("new_users"))
+    from pyspark.sql import Window as W
+
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        bigint(F.col("new_users")).alias("new_users"),
+        bigint(F.sum("new_users").over(w_cum)).alias("cum_users"),
+    ).orderBy("day")
+
+
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment — the one join shape the
     streaming pack was missing: a micro-batched stream joined against
@@ -643,6 +673,7 @@ QUERIES = {
     "streaming_replay_tumbling": streaming_replay_tumbling,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_dedup_watermark": streaming_dedup_watermark,
+    "streaming_growth_users": streaming_growth_users,
     "streaming_pattern_state": streaming_pattern_state,
     "streaming_ewma_state": streaming_ewma_state,
     "streaming_incremental_rollup": streaming_incremental_rollup,
@@ -655,6 +686,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the complete-mode first-seen snapshot rolled up by day equals
+    # the batch growth curve (min is micro-batch-order independent)
+    "streaming_growth_users": """
+        WITH first_seen AS (
+            SELECT user_id, date_trunc('day', min(ts)) AS day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+                  FROM first_seen GROUP BY day)
+        SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                   AS cum_users
+        FROM daily ORDER BY day
+    """,
     # the maintained rollup's end state equals the one-shot batch
     # rollup; micro-int average per the determinism rule
     "streaming_incremental_rollup": """
