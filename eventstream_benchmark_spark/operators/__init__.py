@@ -101,6 +101,8 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "orders_rfm_segmentation",  # new: RFM quartile grid, exact cents
     "funnel_time_to_convert",  # new: conversion-latency histogram
     "streaming_growth_users",  # new: incremental first-seen state curve
+    "trend_wow_revenue",       # new: week-over-week delta reporting
+    "graph_edge_churn",        # new: temporal-graph YoY reconciliation
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -262,6 +262,48 @@ def growth_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def trend_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue reporting — the period-over-period delta
+    every business dashboard ships: weekly revenue in exact cents,
+    joined to the previous week by integer week index (epoch seconds
+    div 604800 — engine-identical arithmetic, no date_trunc('week')
+    start-of-week semantics to reconcile), with the absolute delta in
+    cents and the relative change as a floor-micro ratio. One fact
+    shuffle (week groupBy); the lag join rides the week-grid
+    aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.expr("unix_seconds(o_orderdate) div 604800").alias("week_idx")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "revenue_cents"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+    prev = weekly.select(
+        (F.col("week_idx") + 1).alias("week_idx"),
+        F.col("revenue_cents").alias("prev_cents"),
+    )
+    joined = weekly.join(prev, "week_idx", "left")
+    pct_micro = F.when(
+        F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0),
+        F.floor(
+            F.lit(1_000_000.0)
+            * (
+                (F.col("revenue_cents") - F.col("prev_cents")).cast("double")
+                / F.col("prev_cents").cast("double")
+            )
+        ),
+    )
+    return joined.select(
+        bigint(F.col("week_idx")).alias("week_idx"),
+        bigint(F.col("n_orders")).alias("n_orders"),
+        bigint(F.col("revenue_cents")).alias("revenue_cents"),
+        bigint(F.col("revenue_cents") - F.col("prev_cents")).alias("delta_cents"),
+        bigint(pct_micro).alias("pct_change_micro"),
+    ).orderBy("week_idx")
+
+
 TTC_BUCKET_CAP = 48  # latency histogram: hourly buckets, capped
 
 
@@ -365,6 +407,7 @@ QUERIES = {
     "growth_new_users_daily": growth_new_users_daily,
     "orders_rfm_segmentation": orders_rfm_segmentation,
     "funnel_time_to_convert": funnel_time_to_convert,
+    "trend_wow_revenue": trend_wow_revenue,
     "retention_cohort": retention_cohort,
     "attribution_last_touch": attribution_last_touch,
     "attribution_linear": attribution_linear,
@@ -400,6 +443,29 @@ _FUNNEL_ORACLE = f"""
 
 ORACLES = {
     "funnel_conversion": _FUNNEL_ORACLE,
+    "trend_wow_revenue": """
+        WITH weekly AS (
+            SELECT epoch_us(o_orderdate) // 1000000 // 604800 AS week_idx,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                       AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(w.week_idx AS BIGINT) AS week_idx,
+               CAST(w.n_orders AS BIGINT) AS n_orders,
+               CAST(w.revenue_cents AS BIGINT) AS revenue_cents,
+               CAST(w.revenue_cents - p.revenue_cents AS BIGINT)
+                   AS delta_cents,
+               CAST(CASE WHEN p.revenue_cents IS NOT NULL
+                          AND p.revenue_cents <> 0
+                         THEN floor(1000000.0 *
+                              (CAST(w.revenue_cents - p.revenue_cents
+                                    AS DOUBLE)
+                               / CAST(p.revenue_cents AS DOUBLE)))
+                    END AS BIGINT) AS pct_change_micro
+        FROM weekly w LEFT JOIN weekly p ON p.week_idx = w.week_idx - 1
+        ORDER BY w.week_idx
+    """,
     "funnel_time_to_convert": f"""
         WITH v AS (
             SELECT user_id, min(epoch_us(ts)) AS fv_us FROM events

@@ -337,8 +337,80 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-graph edge churn: the co-purchase graph rebuilt per
+    order YEAR, then year-over-year reconciliation — how many edges
+    each year retains from, adds over, and loses versus the previous
+    year (the graph-evolution profile behind recommender freshness
+    decisions). Yearly edge sets are distinct (year, p1<p2) pairs; the
+    churn counts are one equi self-join (retained) and two anti joins
+    (new, lost), all keyed on (year, p1, p2) — never anything wider
+    than the edge table, exact integers throughout."""
+    release_scoped_persists()
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            "l_orderkey",
+            "l_partkey",
+        )
+        .distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    edges = scoped_persist(
+        a.join(
+            b,
+            (F.col("a.yr") == F.col("b.yr"))
+            & (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.yr").alias("yr"),
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .distinct()
+    )
+    shifted = edges.select((F.col("yr") + 1).alias("yr"), "p1", "p2")
+    per_year = edges.groupBy("yr").agg(bigint(F.count("*")).alias("n_edges"))
+    retained = (
+        edges.join(shifted, ["yr", "p1", "p2"])
+        .groupBy("yr")
+        .agg(bigint(F.count("*")).alias("retained"))
+    )
+    new_e = (
+        edges.join(shifted, ["yr", "p1", "p2"], "left_anti")
+        .groupBy("yr")
+        .agg(bigint(F.count("*")).alias("new_edges"))
+    )
+    lost = (
+        shifted.join(edges, ["yr", "p1", "p2"], "left_anti")
+        .groupBy("yr")
+        .agg(bigint(F.count("*")).alias("lost_edges"))
+    )
+    first_year = F.broadcast(edges.agg(F.min("yr").alias("y0")))
+    return (
+        per_year.join(retained, "yr", "left")
+        .join(new_e, "yr", "left")
+        .join(lost, "yr", "left")
+        .crossJoin(first_year)
+        .filter(F.col("yr") > F.col("y0"))  # first year has no predecessor
+        .select(
+            bigint(F.col("yr")).alias("yr"),
+            "n_edges",
+            F.coalesce("retained", F.lit(0)).alias("retained"),
+            F.coalesce("new_edges", F.lit(0)).alias("new_edges"),
+            F.coalesce("lost_edges", F.lit(0)).alias("lost_edges"),
+        )
+        .orderBy("yr")
+    )
+
+
 QUERIES = {
     "copurchase_part_pairs": copurchase_part_pairs,
+    "graph_edge_churn": graph_edge_churn,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
     "graph_bfs_hops": graph_bfs_hops,
@@ -395,6 +467,46 @@ ORACLES = {
         WITH {_EDGES_CTE}
         SELECT p1, p2, n_orders FROM edges
         ORDER BY n_orders DESC, p1, p2 LIMIT {COPURCHASE_TOPK}
+    """,
+    # same yearly edge sets, same semi/anti reconciliation
+    "graph_edge_churn": """
+        WITH dd AS (
+            SELECT DISTINCT year(o_orderdate) AS yr, l_orderkey, l_partkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT DISTINCT a.yr, a.l_partkey AS p1, b.l_partkey AS p2
+            FROM dd a JOIN dd b
+              ON a.yr = b.yr AND a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        sh AS (SELECT yr + 1 AS yr, p1, p2 FROM e),
+        py AS (SELECT yr, CAST(count(*) AS BIGINT) AS n_edges
+               FROM e GROUP BY yr),
+        ret AS (SELECT e.yr, CAST(count(*) AS BIGINT) AS retained
+                FROM e JOIN sh USING (yr, p1, p2) GROUP BY e.yr),
+        ne AS (SELECT yr, CAST(count(*) AS BIGINT) AS new_edges FROM e
+               WHERE NOT EXISTS (SELECT 1 FROM sh
+                                 WHERE sh.yr = e.yr AND sh.p1 = e.p1
+                                   AND sh.p2 = e.p2)
+               GROUP BY yr),
+        lo AS (SELECT yr, CAST(count(*) AS BIGINT) AS lost_edges FROM sh
+               WHERE NOT EXISTS (SELECT 1 FROM e
+                                 WHERE e.yr = sh.yr AND e.p1 = sh.p1
+                                   AND e.p2 = sh.p2)
+               GROUP BY yr),
+        y0 AS (SELECT min(yr) AS y0 FROM e)
+        SELECT CAST(py.yr AS BIGINT) AS yr, py.n_edges,
+               coalesce(ret.retained, 0) AS retained,
+               coalesce(ne.new_edges, 0) AS new_edges,
+               coalesce(lo.lost_edges, 0) AS lost_edges
+        FROM py
+        LEFT JOIN ret ON ret.yr = py.yr
+        LEFT JOIN ne ON ne.yr = py.yr
+        LEFT JOIN lo ON lo.yr = py.yr
+        CROSS JOIN y0
+        WHERE py.yr > y0.y0
+        ORDER BY py.yr
     """,
     # identical exact-integer support/confidence/lift algebra; the
     # floor-micro lift is the sort key in both engines
