@@ -103,6 +103,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "streaming_growth_users",  # new: incremental first-seen state curve
     "trend_wow_revenue",       # new: week-over-week delta reporting
     "graph_edge_churn",        # new: temporal-graph YoY reconciliation
+    "agg_approx_topk_contract",  # new: heavy-hitters sketch contract
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -937,6 +937,57 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_EXACT = 5  # contract-checked heavy hitters
+TOPK_SKETCH = 10  # sketch width (slack over the checked set)
+TOPK_TRACKED = 100_000  # tracked-item budget ≥ fixture key cardinality
+
+
+def agg_approx_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch with a checkable contract — Spark 4's
+    ``approx_top_k`` run at width 10 against the exact top-5 parts by
+    lineitem rows: every checked heavy hitter must appear in the
+    sketch, with its estimated count within 1%% of truth. The sketch
+    itself is engine-specific (like HLL/KLL), so the CONTRACT is the
+    hash-checked value — the ``agg_distinct_approx`` pattern applied
+    to frequent items. At 100 TB the sketch is the survivor: exact
+    heavy hitters need a full groupBy, the sketch merges map-side in
+    O(maxItemsTracked) state.
+
+    The fixture's part distribution is near-uniform (no real heavy
+    hitters), so the tracked-item budget is sized past the fixture key
+    cardinality — the sketch is then exact and the contract booleans
+    deterministic; at production skew the same plan holds and the
+    booleans carry the sketch's probabilistic guarantee instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = (
+        li.agg(F.expr(f"approx_top_k(l_partkey, {TOPK_SKETCH}, {TOPK_TRACKED})").alias("sk"))
+        .select(F.explode("sk").alias("e"))
+        .select(
+            F.col("e.item").alias("l_partkey"),
+            F.col("e.count").alias("n_est"),
+        )
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "l_partkey")
+        .limit(TOPK_EXACT)
+    )
+    wnd = W.orderBy(F.desc("n_exact"), "l_partkey")
+    joined = exact.join(F.broadcast(sketch), "l_partkey", "left")
+    within = (
+        F.col("n_est").isNotNull()
+        & (F.abs(F.col("n_est") - F.col("n_exact")) * 100 <= F.col("n_exact"))
+    )
+    return joined.select(
+        bigint(F.row_number().over(wnd)).alias("rk"),
+        "l_partkey",
+        bigint(F.col("n_exact")).alias("n_exact"),
+        F.col("n_est").isNotNull().alias("in_sketch"),
+        within.alias("est_within_1pct"),
+    ).orderBy("rk")
+
+
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregates: sample stddev/variance, correlation,
     covariance — single pass, mergeable power sums, no extra shuffle
@@ -2700,6 +2751,7 @@ QUERIES = {
     "layout_zorder_skipping": layout_zorder_skipping,
     "join_dpp_partition_pruned": join_dpp_partition_pruned,
     "agg_mode_median": agg_mode_median,
+    "agg_approx_topk_contract": agg_approx_topk_contract,
     "join_lateral_topn": join_lateral_topn,
     "audit_referential_integrity": audit_referential_integrity,
     "dq_null_profile": dq_null_profile,
@@ -3103,6 +3155,21 @@ ORACLES = {
                md5(concat_ws('|', min(v), max(v))) AS range_md5
         FROM stacked GROUP BY tbl, col_name
         ORDER BY tbl, col_name
+    """,
+    # frequent-items contract: the exact top-5 with TRUE membership
+    # and accuracy booleans the Spark sketch must reproduce
+    "agg_approx_topk_contract": f"""
+        SELECT CAST(row_number() OVER (ORDER BY n_exact DESC, l_partkey)
+                    AS BIGINT) AS rk,
+               l_partkey,
+               n_exact,
+               TRUE AS in_sketch,
+               TRUE AS est_within_1pct
+        FROM (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_exact
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY n_exact DESC, l_partkey LIMIT {TOPK_EXACT}
+        ) ORDER BY rk
     """,
     # explicit-tiebreak order statistics: mode = (max n, min hour),
     # median = smallest hour with 2·cum ≥ n — pure integers, no
