@@ -104,6 +104,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "trend_wow_revenue",       # new: week-over-week delta reporting
     "graph_edge_churn",        # new: temporal-graph YoY reconciliation
     "agg_approx_topk_contract",  # new: heavy-hitters sketch contract
+    "dedup_method_comparison",  # new: 4 pair-finders, one lazy report
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

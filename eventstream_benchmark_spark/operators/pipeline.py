@@ -390,7 +390,39 @@ def corpus_source_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rk")
 
 
+def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side near-duplicate method report — the evaluation a
+    curation team runs before picking a dedup stack: four registered
+    pair-finders (word-shingle Jaccard, MinHash-LSH, embedding-cosine
+    LSH, and perceptual-hash image near-dup) composed in ONE lazy plan,
+    each reduced to its candidate-pair count. Reuses the standalone
+    queries' builders verbatim (the ``pipeline_corpus_prep``
+    composition rule), so this report can never drift from the
+    operators it summarizes; the oracle is assembled the same way,
+    embedding each method's own oracle SQL as a counted subquery."""
+    from eventstream_benchmark_spark.operators import multimodal
+
+    methods = (
+        ("jaccard_word_shingle", dedup.dedup_ngram_jaccard),
+        ("minhash_lsh", dedup.dedup_minhash_lsh),
+        ("embedding_cosine_lsh", dedup.dedup_embedding_cosine),
+        ("image_phash", multimodal.multimodal_image_phash),
+    )
+    frames = [
+        fn(spark, sf_dir).agg(
+            F.lit(name).alias("method"),
+            bigint(F.count("*")).alias("n_dup_pairs"),
+        )
+        for name, fn in methods
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("method")
+
+
 QUERIES = {
+    "dedup_method_comparison": dedup_method_comparison,
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "pipeline_pretrain_corpus": pipeline_pretrain_corpus,
     "corpus_source_topp": corpus_source_topp,
@@ -400,7 +432,28 @@ QUERIES = {
     "pipeline_dedup_ordered": pipeline_dedup_ordered,
 }
 
+def _dedup_comparison_sql() -> str:
+    """Assemble the comparison oracle from the component methods' own
+    oracle SQL — each embedded as a counted subquery, so the report's
+    oracle moves in lockstep with the operators'."""
+    from eventstream_benchmark_spark.operators import multimodal
+
+    parts = (
+        ("jaccard_word_shingle", dedup.ORACLES["dedup_ngram_jaccard"]),
+        ("minhash_lsh", dedup.ORACLES["dedup_minhash_lsh"]),
+        ("embedding_cosine_lsh", dedup.ORACLES["dedup_embedding_cosine"]),
+        ("image_phash", multimodal.ORACLES["multimodal_image_phash"]),
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT '{name}' AS method, "
+        f"CAST((SELECT count(*) FROM ({sql})) AS BIGINT) AS n_dup_pairs"
+        for name, sql in parts
+    )
+    return f"SELECT * FROM ({selects}) ORDER BY method"
+
+
 ORACLES = {
+    "dedup_method_comparison": _dedup_comparison_sql(),
     "corpus_source_topp": f"""
         WITH per_source AS (
             SELECT source,
