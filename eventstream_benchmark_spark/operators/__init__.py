@@ -16,14 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 # (~50 of 200 per round), so registry order decides which queries earn a
 # CORRECTNESS row this round.  Round-5 rotation, strictly by
 # verification staleness (merged CORRECTNESS_r1-r4): (1) never-sampled /
-# round-1-stale queries, (2) the ~52 queries whose oracle or
+# round-1-stale queries, (2) the ~79 queries whose oracle or
 # implementation changed or were ADDED in round 5 (a fresh driver row
 # beats any re-check), (3) round-2-green re-checks, (4) round-3-green
-# entries fill whatever window remains.  Section (2) alone slightly
-# overflows a 50-query window, so its LAST few entries (the latest
-# round-5 additions — each parity-certified locally at all three SFs)
-# plus ALL r2/r3 re-checks slip to round 6 and must rotate to the very
-# front then.
+# entries fill whatever window remains.  Section (2) far overflows a
+# 50-query window: roughly everything from `multimodal_image_hist`
+# (position ~51) onward — including all late-session additions, each
+# parity-certified locally at all three SFs — plus ALL r2/r3 re-checks
+# slips to round 6 and must rotate to the very front then.
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
     # (1) never sampled / stalest
     "events_ohlc_candles",     # added post-window in round 4 — first driver row
