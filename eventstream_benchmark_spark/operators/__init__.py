@@ -105,6 +105,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "graph_edge_churn",        # new: temporal-graph YoY reconciliation
     "agg_approx_topk_contract",  # new: heavy-hitters sketch contract
     "dedup_method_comparison",  # new: 4 pair-finders, one lazy report
+    "snapshot_diff_report",    # new: CDC-style fingerprint table diff
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

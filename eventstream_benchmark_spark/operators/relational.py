@@ -1832,6 +1832,57 @@ def write_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNAP_CUTOFF = "1997-06-01"  # snapshot A = orders before; B = all orders
+SNAP_PRIO_FLIP = 7  # orders with key % 7 == 0 change priority in B
+
+
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot table diff — the Delta/Iceberg-style
+    "what changed between version A and B" report, over two
+    deterministically derived order snapshots: A = orders before the
+    cutoff date; B = all orders, with every 7th order's priority
+    rewritten (the update case). The diff classifies keys into
+    added / removed / changed / unchanged with one full outer join on
+    the key and a row-fingerprint comparison (md5 over the rendered
+    row — ints and strings only, the ``dq_null_profile`` rendering
+    rule). One shuffle per snapshot + the key-keyed outer join; at
+    100 TB this is the CDC-validation shape (fingerprint compare,
+    never column-by-column SQL)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fingerprint(prio):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey"),
+                F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+                prio,
+            )
+        )
+
+    snap_a = orders.filter(
+        F.col("o_orderdate") < F.lit(SNAP_CUTOFF).cast("timestamp")
+    ).select("o_orderkey", fingerprint(F.col("o_orderpriority")).alias("fp_a"))
+    prio_b = F.when(
+        F.col("o_orderkey") % SNAP_PRIO_FLIP == 0, F.lit("9-REPRIORITIZED")
+    ).otherwise(F.col("o_orderpriority"))
+    snap_b = orders.select(
+        "o_orderkey", fingerprint(prio_b).alias("fp_b")
+    )
+    joined = snap_a.join(snap_b, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), "added")
+        .when(F.col("fp_b").isNull(), "removed")
+        .when(F.col("fp_a") == F.col("fp_b"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        joined.groupBy(status.alias("status"))
+        .agg(bigint(F.count("*")).alias("n_keys"))
+        .orderBy("status")
+    )
+
+
 def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema — the
     data-quality gate a pipeline runs before publishing a snapshot:
@@ -2756,6 +2807,7 @@ QUERIES = {
     "audit_referential_integrity": audit_referential_integrity,
     "dq_null_profile": dq_null_profile,
     "dq_benford_audit": dq_benford_audit,
+    "snapshot_diff_report": snapshot_diff_report,
     "agg_stats_moments": agg_stats_moments,
     "agg_pivot": agg_pivot,
     "sql_tpch_q3": sql_tpch_q3,
@@ -3079,6 +3131,35 @@ ORACLES = {
     """,
     # identical lateral SQL text runs on both engines
     "join_lateral_topn": _LATERAL_TOPN_SQL,
+    # same snapshot derivations, same row fingerprints, same
+    # full-outer classification
+    "snapshot_diff_report": f"""
+        WITH a AS (
+            SELECT o_orderkey,
+                   md5(concat_ws('|', o_custkey,
+                       CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                       o_orderpriority)) AS fp_a
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '{SNAP_CUTOFF}'
+        ),
+        b AS (
+            SELECT o_orderkey,
+                   md5(concat_ws('|', o_custkey,
+                       CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                       CASE WHEN o_orderkey % {SNAP_PRIO_FLIP} = 0
+                            THEN '9-REPRIORITIZED'
+                            ELSE o_orderpriority END)) AS fp_b
+            FROM orders
+        ),
+        j AS (SELECT a.fp_a, b.fp_b
+              FROM a FULL OUTER JOIN b USING (o_orderkey))
+        SELECT CASE WHEN fp_a IS NULL THEN 'added'
+                    WHEN fp_b IS NULL THEN 'removed'
+                    WHEN fp_a = fp_b THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM j GROUP BY 1 ORDER BY 1
+    """,
     # same integer-cents leading digit; expected shares are the same
     # Python-precomputed micro literals
     "dq_benford_audit": f"""
