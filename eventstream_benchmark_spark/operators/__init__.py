@@ -106,6 +106,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "agg_approx_topk_contract",  # new: heavy-hitters sketch contract
     "dedup_method_comparison",  # new: 4 pair-finders, one lazy report
     "snapshot_diff_report",    # new: CDC-style fingerprint table diff
+    "pattern_online_prequential",  # new: test-then-train scoring loop
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -1058,6 +1058,85 @@ def pattern_match_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pattern_online_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prequential (test-then-train) evaluation — the reference's
+    entire consumption story (``main.py:44-46``: ``for t, e in
+    stream(): model.predict(e); model.update(e)``) expressed as a
+    relational scoring query: every event is first PREDICTED from the
+    model state built on the events before it, then folded in. Two
+    online baselines are scored per user stream under the (ts,
+    event_id) total order: persistence (predict the previous event's
+    type — one lag) and a 5-gram frequency model (predict the
+    majority type over the trailing 5 events, ties to the most recent
+    — a frame window plus an argmax over the 5-type count vector,
+    no state beyond the frame). Output: per true event type, events
+    scored and each baseline's hit count + floor-micro accuracy —
+    exact integers, one user-keyed shuffle, windows only."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-5, -1)
+    types = ("click", "error", "purchase", "signup", "view")
+    counts = [
+        F.sum((F.col("event_type") == t).cast("int")).over(frame).alias(f"c_{t}")
+        for t in types
+    ]
+    lags = [
+        F.lag("event_type", k).over(w).alias(f"prev_{k}") for k in (1, 2, 3, 4, 5)
+    ]
+    scored = ev.select("user_id", "event_type", *counts, *lags)
+    # majority of the trailing 5, ties broken by recency: walk the
+    # window newest-first and take the first type achieving the max
+    max_c = F.greatest(*[F.col(f"c_{t}") for t in types])
+    recency_pick = F.coalesce(
+        *[
+            F.when(
+                max_c
+                == F.coalesce(
+                    *[
+                        F.when(F.col(f"prev_{k}") == t, F.col(f"c_{t}"))
+                        for t in types
+                    ]
+                ),
+                F.col(f"prev_{k}"),
+            )
+            for k in (1, 2, 3, 4, 5)
+        ]
+    )
+    pred = scored.select(
+        "event_type",
+        F.col("prev_1").alias("pred_persist"),
+        recency_pick.alias("pred_freq5"),
+    ).filter(F.col("pred_persist").isNotNull())
+    agg = pred.groupBy("event_type").agg(
+        bigint(F.count("*")).alias("n_scored"),
+        bigint(
+            F.sum((F.col("pred_persist") == F.col("event_type")).cast("long"))
+        ).alias("hits_persist"),
+        bigint(
+            F.sum(
+                (
+                    F.col("pred_freq5").isNotNull()
+                    & (F.col("pred_freq5") == F.col("event_type"))
+                ).cast("long")
+            )
+        ).alias("hits_freq5"),
+    )
+    acc = lambda h: bigint(  # noqa: E731
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.col(h).cast("double") / F.col("n_scored").cast("double"))
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_scored",
+        "hits_persist",
+        acc("hits_persist").alias("acc_persist_micro"),
+        "hits_freq5",
+        acc("hits_freq5").alias("acc_freq5_micro"),
+    ).orderBy("event_type")
+
+
 def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion (Fano factor) of the per-type hourly count
     series — the over/under-dispersion test against the Poisson
@@ -1094,6 +1173,7 @@ QUERIES = {
     "events_acf_lags": events_acf_lags,
     "events_dispersion_index": events_dispersion_index,
     "pattern_match_skip": pattern_match_skip,
+    "pattern_online_prequential": pattern_online_prequential,
     "events_forecast_backtest": events_forecast_backtest,
     "events_holt_trend": events_holt_trend,
 
@@ -1118,6 +1198,45 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same lag/frame-count predictors, same recency-tiebroken argmax
+    "pattern_online_prequential": (lambda types=("click", "error", "purchase", "signup", "view"): f"""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   {", ".join(f"lag(event_type, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p{k}" for k in (1, 2, 3, 4, 5))},
+                   {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS c_{t}" for t in types)}
+            FROM events
+        ),
+        pred AS (
+            SELECT event_type, p1 AS pred_persist,
+                   coalesce({", ".join(
+                       "CASE WHEN (CASE p%d %s END) = greatest(%s) THEN p%d END"
+                       % (k,
+                          " ".join(f"WHEN '{t}' THEN c_{t}" for t in types),
+                          ", ".join(f"c_{t}" for t in types),
+                          k)
+                       for k in (1, 2, 3, 4, 5))}) AS pred_freq5
+            FROM s WHERE p1 IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_scored,
+               CAST(sum(CASE WHEN pred_persist = event_type THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits_persist,
+               CAST(floor(1000000.0 *
+                    (CAST(sum(CASE WHEN pred_persist = event_type
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE))) AS BIGINT)
+                   AS acc_persist_micro,
+               CAST(sum(CASE WHEN pred_freq5 IS NOT NULL
+                              AND pred_freq5 = event_type
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits_freq5,
+               CAST(floor(1000000.0 *
+                    (CAST(sum(CASE WHEN pred_freq5 IS NOT NULL
+                               AND pred_freq5 = event_type
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE))) AS BIGINT)
+                   AS acc_freq5_micro
+        FROM pred GROUP BY event_type ORDER BY event_type
+    """)(),
     # same rn sequencing, same exploded-delta equi joins
     "pattern_match_skip": f"""
         WITH seq AS (
