@@ -107,6 +107,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "dedup_method_comparison",  # new: 4 pair-finders, one lazy report
     "snapshot_diff_report",    # new: CDC-style fingerprint table diff
     "pattern_online_prequential",  # new: test-then-train scoring loop
+    "embed_centroid_drift",    # new: embedding shift monitor, exact ints
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

@@ -547,9 +547,60 @@ def embed_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_THRESH_MICRO = 50_000  # per-dimension |Δmean| alarm bar (0.05)
+
+
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution-shift monitor: the corpus split into two
+    deterministic halves (vec_id parity — the stand-in for
+    "yesterday's batch vs today's"), per-dimension centroid of each
+    half, and the dimensions whose means moved past a threshold — the
+    drift check an embedding pipeline runs before trusting a new
+    encoder batch.
+
+    Exactness: summing raw floats across the corpus is
+    accumulation-order dependent, so each element is first quantized
+    to a micro-int (round(10⁶·x) — a 0-dp round both engines agree
+    on); the per-dimension sums are then exact BIGINTs and the drift
+    comparison is cross-multiplied integers (|S_a·n_b − S_b·n_a| vs
+    threshold·n_a·n_b — no division anywhere). posexplode keys the
+    shuffle on (dimension, half): output is 2·64 partial rows however
+    large the corpus, all map-side combined."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = (F.col("vec_id") % 2).alias("half")
+    exploded = emb.select(half, F.posexplode("embedding").alias("pos", "x")).select(
+        "half",
+        "pos",
+        F.round(F.col("x").cast("double") * 1_000_000, 0).cast("long").alias("xm"),
+    )
+    agg = exploded.groupBy("pos", "half").agg(
+        F.count("*").alias("n"), F.sum("xm").alias("s")
+    )
+    a = agg.filter(F.col("half") == 0).select(
+        "pos", F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    b = agg.filter(F.col("half") == 1).select(
+        "pos", F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    j = a.join(b, "pos")
+    num = F.abs(F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a"))
+    bar = F.lit(DRIFT_THRESH_MICRO) * F.col("n_a") * F.col("n_b")
+    return j.select(
+        bigint(F.col("pos")).alias("pos"),
+        bigint(
+            F.floor(F.col("s_a").cast("double") / F.col("n_a").cast("double"))
+        ).alias("mean_a_micro"),
+        bigint(
+            F.floor(F.col("s_b").cast("double") / F.col("n_b").cast("double"))
+        ).alias("mean_b_micro"),
+        (num > bar).alias("drifted"),
+    ).orderBy("pos")
+
+
 QUERIES = {
     "embed_cosine_topk": embed_cosine_topk,
     "embed_matryoshka_energy": embed_matryoshka_energy,
+    "embed_centroid_drift": embed_centroid_drift,
     "embed_pq_encode": embed_pq_encode,
     "embed_dim_stats": embed_dim_stats,
     "embed_quantize_int8": embed_quantize_int8,
@@ -609,6 +660,29 @@ _MRL_UNION = " UNION ALL ".join(
 )
 
 ORACLES = {
+    # same micro-int element quantization, same cross-multiplied drift
+    "embed_centroid_drift": f"""
+        WITH e AS (
+            SELECT vec_id % 2 AS half, u.pos - 1 AS pos,
+                   CAST(round(CAST(u.x AS DOUBLE) * 1000000, 0) AS BIGINT)
+                       AS xm
+            FROM embeddings,
+            LATERAL (SELECT unnest(embedding) AS x,
+                            generate_subscripts(embedding, 1) AS pos) u
+        ),
+        agg AS (SELECT pos, half, count(*) AS n, sum(xm) AS s
+                FROM e GROUP BY pos, half),
+        a AS (SELECT pos, n AS n_a, s AS s_a FROM agg WHERE half = 0),
+        b AS (SELECT pos, n AS n_b, s AS s_b FROM agg WHERE half = 1)
+        SELECT CAST(a.pos AS BIGINT) AS pos,
+               CAST(floor(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                    AS BIGINT) AS mean_a_micro,
+               CAST(floor(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                    AS BIGINT) AS mean_b_micro,
+               abs(s_a * n_b - s_b * n_a)
+                   > {DRIFT_THRESH_MICRO} * n_a * n_b AS drifted
+        FROM a JOIN b USING (pos) ORDER BY pos
+    """,
     # both engines fold squares in array order (bit-identical), floor
     # per vector, then aggregate exact BIGINTs
     "embed_matryoshka_energy": f"""
