@@ -108,6 +108,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "snapshot_diff_report",    # new: CDC-style fingerprint table diff
     "pattern_online_prequential",  # new: test-then-train scoring loop
     "embed_centroid_drift",    # new: embedding shift monitor, exact ints
+    "events_weekday_contrast",  # new: weekly seasonality screen
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

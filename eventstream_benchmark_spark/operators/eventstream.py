@@ -1058,6 +1058,54 @@ def pattern_match_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_weekday_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-vs-weekend rate contrast per event type — the
+    day-of-week seasonality screen complementing the hour-spine lags
+    (``events_acf_lags`` finds the daily cycle; this one tests the
+    weekly one). Rates are events per distinct day of each regime;
+    with integer counts the comparison cross-multiplies
+    (n_wd·days_we vs n_we·days_wd — no division), and the displayed
+    ratio is the floor-micro quotient. One map-combinable aggregate
+    keyed (type, is_weekend); the distinct-day counts broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    is_we = F.dayofweek("ts").isin(1, 7)  # Sun=1, Sat=7
+    counts = ev.groupBy("event_type", is_we.alias("weekend")).agg(
+        F.count("*").alias("n")
+    )
+    days = F.broadcast(
+        ev.select(F.date_trunc("day", "ts").alias("d"), is_we.alias("weekend"))
+        .distinct()
+        .groupBy("weekend")
+        .agg(F.count("*").alias("n_days"))
+    )
+    wide = (
+        counts.join(days, "weekend")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(~F.col("weekend"), F.col("n"))).alias("n_wd"),
+            F.sum(F.when(F.col("weekend"), F.col("n"))).alias("n_we"),
+            F.max(F.when(~F.col("weekend"), F.col("n_days"))).alias("d_wd"),
+            F.max(F.when(F.col("weekend"), F.col("n_days"))).alias("d_we"),
+        )
+    )
+    ratio_micro = F.floor(
+        F.lit(1_000_000.0)
+        * (
+            (F.col("n_wd") * F.col("d_we")).cast("double")
+            / (F.col("n_we") * F.col("d_wd")).cast("double")
+        )
+    )
+    return wide.select(
+        "event_type",
+        bigint(F.col("n_wd")).alias("n_weekday"),
+        bigint(F.col("n_we")).alias("n_weekend"),
+        bigint(ratio_micro).alias("rate_ratio_micro"),
+        (F.col("n_wd") * F.col("d_we") > F.col("n_we") * F.col("d_wd")).alias(
+            "weekday_heavier"
+        ),
+    ).orderBy("event_type")
+
+
 def pattern_online_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prequential (test-then-train) evaluation — the reference's
     entire consumption story (``main.py:44-46``: ``for t, e in
@@ -1174,6 +1222,7 @@ QUERIES = {
     "events_dispersion_index": events_dispersion_index,
     "pattern_match_skip": pattern_match_skip,
     "pattern_online_prequential": pattern_online_prequential,
+    "events_weekday_contrast": events_weekday_contrast,
     "events_forecast_backtest": events_forecast_backtest,
     "events_holt_trend": events_holt_trend,
 
@@ -1198,6 +1247,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same weekend split (DuckDB dayofweek: Sun=0, Sat=6), same
+    # cross-multiplied rate comparison
+    "events_weekday_contrast": """
+        WITH c AS (
+            SELECT event_type,
+                   dayofweek(ts) IN (0, 6) AS weekend,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT weekend, count(*) AS n_days FROM (
+                SELECT DISTINCT date_trunc('day', ts) AS dd,
+                       dayofweek(ts) IN (0, 6) AS weekend
+                FROM events
+            ) GROUP BY weekend
+        ),
+        wide AS (
+            SELECT event_type,
+                   sum(CASE WHEN NOT c.weekend THEN n END) AS n_wd,
+                   sum(CASE WHEN c.weekend THEN n END) AS n_we,
+                   max(CASE WHEN NOT c.weekend THEN n_days END) AS d_wd,
+                   max(CASE WHEN c.weekend THEN n_days END) AS d_we
+            FROM c JOIN d USING (weekend)
+            GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_wd AS BIGINT) AS n_weekday,
+               CAST(n_we AS BIGINT) AS n_weekend,
+               CAST(floor(1000000.0 * (CAST(n_wd * d_we AS DOUBLE)
+                    / CAST(n_we * d_wd AS DOUBLE))) AS BIGINT)
+                   AS rate_ratio_micro,
+               n_wd * d_we > n_we * d_wd AS weekday_heavier
+        FROM wide ORDER BY event_type
+    """,
     # same lag/frame-count predictors, same recency-tiebroken argmax
     "pattern_online_prequential": (lambda types=("click", "error", "purchase", "signup", "view"): f"""
         WITH s AS (
