@@ -109,6 +109,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "pattern_online_prequential",  # new: test-then-train scoring loop
     "embed_centroid_drift",    # new: embedding shift monitor, exact ints
     "events_weekday_contrast",  # new: weekly seasonality screen
+    "orders_shipping_lag",     # new: order-to-ship latency histogram
     # (3) round-2-green re-checks
     "join_broadcast_dims",
     "join_range_interval",

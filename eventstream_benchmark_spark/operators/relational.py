@@ -1832,6 +1832,41 @@ def write_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LAG_BUCKET_CAP = 120  # shipping-lag histogram: daily buckets, capped
+
+
+def orders_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution — the supply-side twin of
+    ``funnel_time_to_convert``: per lineitem, days from order date to
+    ship date, histogrammed into capped daily buckets with counts and
+    exact revenue-cents mass per bucket (is slow shipping correlated
+    with value?). One orders⋈lineitem equi-join (the fact-to-fact SMJ
+    shape), day lag via date subtraction on DATE casts — exact
+    integers, both engines count day boundaries identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "lag_days"
+        ),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    bucket = F.least(F.lit(LAG_BUCKET_CAP), F.col("lag_days"))
+    return (
+        j.groupBy(bucket.alias("lag_bucket_days"))
+        .agg(
+            bigint(F.count("*")).alias("n_lineitems"),
+            bigint(F.sum("cents")).alias("revenue_cents"),
+        )
+        .select(
+            bigint(F.col("lag_bucket_days")).alias("lag_bucket_days"),
+            "n_lineitems",
+            "revenue_cents",
+        )
+        .orderBy("lag_bucket_days")
+    )
+
+
 SNAP_CUTOFF = "1997-06-01"  # snapshot A = orders before; B = all orders
 SNAP_PRIO_FLIP = 7  # orders with key % 7 == 0 change priority in B
 
@@ -2808,6 +2843,7 @@ QUERIES = {
     "dq_null_profile": dq_null_profile,
     "dq_benford_audit": dq_benford_audit,
     "snapshot_diff_report": snapshot_diff_report,
+    "orders_shipping_lag": orders_shipping_lag,
     "agg_stats_moments": agg_stats_moments,
     "agg_pivot": agg_pivot,
     "sql_tpch_q3": sql_tpch_q3,
@@ -3131,6 +3167,18 @@ ORACLES = {
     """,
     # identical lateral SQL text runs on both engines
     "join_lateral_topn": _LATERAL_TOPN_SQL,
+    # same DATE-cast day difference, same capped buckets, exact cents
+    "orders_shipping_lag": f"""
+        SELECT CAST(least({LAG_BUCKET_CAP},
+                    date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE))) AS BIGINT)
+                   AS lag_bucket_days,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1
+    """,
     # same snapshot derivations, same row fingerprints, same
     # full-outer classification
     "snapshot_diff_report": f"""
