@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (~50 of 204 per round), so registry order decides which queries earn a
+# (~50 of 205 per round), so registry order decides which queries earn a
 # CORRECTNESS row this round.  Round-5 rotation, strictly by
 # verification staleness (merged CORRECTNESS_r1-r4): (1) never-sampled /
 # round-1-stale queries, (2) the ~79 queries whose oracle or
