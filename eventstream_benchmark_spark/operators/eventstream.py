@@ -1088,12 +1088,21 @@ def events_weekday_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("weekend"), F.col("n_days"))).alias("d_we"),
         )
     )
-    ratio_micro = F.floor(
-        F.lit(1_000_000.0)
-        * (
-            (F.col("n_wd") * F.col("d_we")).cast("double")
-            / (F.col("n_we") * F.col("d_wd")).cast("double")
-        )
+    # Zero-regime guard: a type with no weekend events (possible at
+    # 100× on a weekday-only event type) leaves n_we NULL/0 — an
+    # unguarded division yields ±Infinity whose BIGINT cast is
+    # engine-dependent.  The verdict column below is cross-multiplied
+    # (division-free, always safe); the display ratio goes NULL unless
+    # the denominator is strictly positive, mirrored in the oracle.
+    ratio_micro = F.when(
+        F.col("n_we") * F.col("d_wd") > 0,
+        F.floor(
+            F.lit(1_000_000.0)
+            * (
+                (F.col("n_wd") * F.col("d_we")).cast("double")
+                / (F.col("n_we") * F.col("d_wd")).cast("double")
+            )
+        ),
     )
     return wide.select(
         "event_type",
@@ -1275,8 +1284,9 @@ ORACLES = {
         SELECT event_type,
                CAST(n_wd AS BIGINT) AS n_weekday,
                CAST(n_we AS BIGINT) AS n_weekend,
-               CAST(floor(1000000.0 * (CAST(n_wd * d_we AS DOUBLE)
-                    / CAST(n_we * d_wd AS DOUBLE))) AS BIGINT)
+               CAST(CASE WHEN n_we * d_wd > 0 THEN
+                    floor(1000000.0 * (CAST(n_wd * d_we AS DOUBLE)
+                    / CAST(n_we * d_wd AS DOUBLE))) END AS BIGINT)
                    AS rate_ratio_micro,
                n_wd * d_we > n_we * d_wd AS weekday_heavier
         FROM wide ORDER BY event_type

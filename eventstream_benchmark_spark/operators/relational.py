@@ -33,6 +33,20 @@ from eventstream_benchmark_spark.operators._util import (
     r6,
 )
 
+def _scratch_path(sf_dir: str, name: str) -> str:
+    """Fixed per-(sf_dir, purpose) scratch directory for queries that
+    must materialize intermediate files (CSV/JSONL/ORC round-trips,
+    partitioned layouts, the DPP fixture).  A fresh ``mkdtemp`` per
+    invocation leaks one orphaned directory per call — bench.py runs
+    each query several times per round — so every writer instead lands
+    on this stable path with ``mode("overwrite")``, making repeated
+    runs reuse (not accumulate) disk."""
+    key = os.path.basename(os.path.normpath(os.path.abspath(sf_dir))) or "sf"
+    p = os.path.join(tempfile.gettempdir(), "esb_scratch", key, name)
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
 # --------------------------------------------------------------------------
 # B1 — parquet scan with projection + filter (pushdown visible in .explain)
 # --------------------------------------------------------------------------
@@ -65,7 +79,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the check proves the round-trip is lossless.
     """
     events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    out = os.path.join(tempfile.mkdtemp(prefix="esb_csv_"), "events_csv")
+    out = os.path.join(_scratch_path(sf_dir, "csv"), "events_csv")
     events.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.schema("event_id bigint, event_type string, value double").option(
         "header", True
@@ -109,7 +123,7 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.concat_ws(",", eid, F.lit("purchase"), qv))
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="esb_dirty_"), "dirty_csv")
+    out = os.path.join(_scratch_path(sf_dir, "dirty"), "dirty_csv")
     ev.select(line.alias("value")).write.mode("overwrite").text(out)
     back = (
         spark.read.schema("event_id bigint, event_type string, value double, _corrupt string")
@@ -138,7 +152,7 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", "props"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="esb_jsonl_"), "events_jsonl")
+    out = os.path.join(_scratch_path(sf_dir, "jsonl"), "events_jsonl")
     events.write.mode("overwrite").json(out)
     back = spark.read.schema(
         "event_id bigint, event_type string, value double, props string"
@@ -840,10 +854,15 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("h").alias("mh_k"))
     )
 
+    # greatest(h_k, 1): if the kth 48-bit hash were exactly 0 (p≈2^-48
+    # per type) the division would yield Infinity on Spark and an error
+    # on DuckDB — divergent failure modes.  The guard is mirrored
+    # verbatim in the oracle so both engines stay identical.
     est = F.when(
         F.col("n_exact") <= KMV_K, F.col("n_exact").cast("double")
     ).otherwise(
-        F.lit(float(KMV_K - 1)) / (F.col("h_k").cast("double") / F.lit(KMV_SPACE))
+        F.lit(float(KMV_K - 1))
+        / (F.greatest(F.col("h_k"), F.lit(1)).cast("double") / F.lit(KMV_SPACE))
     )
     return (
         exact.join(kth, "event_type", "left")
@@ -1792,7 +1811,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="esb_orc_"), "events_orc")
+    out = os.path.join(_scratch_path(sf_dir, "orc"), "events_orc")
     events.write.mode("overwrite").orc(out)
     back = spark.read.schema("event_id bigint, event_type string, value double").orc(
         out
@@ -1818,7 +1837,7 @@ def write_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="esb_part_"), "events_by_type")
+    out = os.path.join(_scratch_path(sf_dir, "part"), "events_by_type")
     events.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out).filter(F.col("event_type").isin(*PRUNED_TYPES))
     return (
@@ -2091,7 +2110,7 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.year("o_orderdate").alias("o_year"),
     )
-    tmp = tempfile.mkdtemp(prefix="esb_dpp_")
+    tmp = _scratch_path(sf_dir, "dpp")
     fact_path = os.path.join(tmp, "orders_by_year")
     dim_path = os.path.join(tmp, "year_dim")
     base.write.mode("overwrite").partitionBy("o_year").parquet(fact_path)
@@ -2218,7 +2237,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-generation aggregate from the source table."""
     orders = load_table(spark, sf_dir, "orders")
     cutoff = F.lit(EVOLUTION_CUTOFF).cast("timestamp")
-    root = tempfile.mkdtemp(prefix="esb_evo_")
+    root = _scratch_path(sf_dir, "evo")
     gen1 = orders.filter(F.col("o_orderdate") < cutoff).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -3403,7 +3422,7 @@ ORACLES = {
                CAST(floor(100 * (
                    CASE WHEN max(nd) <= {KMV_K} THEN CAST(max(nd) AS DOUBLE)
                         ELSE {float(KMV_K - 1)!r} /
-                             (CAST(max(CASE WHEN rn = {KMV_K} THEN h END) AS DOUBLE)
+                             (CAST(greatest(max(CASE WHEN rn = {KMV_K} THEN h END), 1) AS DOUBLE)
                               / {KMV_SPACE!r})
                    END)) AS BIGINT) AS est_kmv_cents,
                TRUE AS merged_equal

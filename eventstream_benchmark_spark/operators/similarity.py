@@ -143,7 +143,15 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same doubles (Spark ``F.aggregate`` / DuckDB
     ``list_reduce``), so the sign bits — and hence buckets and pairs —
     are bit-reproducible cross-engine; the cap's row_number ranking is
-    by unique vec_id, so truncation picks identical survivors."""
+    by unique vec_id, so truncation picks identical survivors.
+
+    The cap is OBSERVABLE, not silent (round-5 verdict item 5): every
+    pair carries ``n_overflow`` — how many vectors its bucket dropped
+    past LSH_BUCKET_CAP — itself hash-checked against the oracle, so a
+    degenerate corpus shows up as a nonzero value in the verified
+    output rather than as invisible recall loss.  The count rides the
+    same per-bucket window partition as the cap's ranking (one
+    exchange, reused)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
     bit_cols = []
     for p in range(LSH_PLANES):
@@ -163,6 +171,14 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("bucket").orderBy("vec_id")
     capped = (
         bucketed.withColumn("bk_rank", F.row_number().over(w))
+        # pre-filter occupancy count: same partition key, same exchange
+        .withColumn(
+            "n_overflow",
+            F.greatest(
+                F.count("*").over(W.partitionBy("bucket")) - F.lit(LSH_BUCKET_CAP),
+                F.lit(0),
+            ),
+        )
         .filter(F.col("bk_rank") <= LSH_BUCKET_CAP)
         .drop("bk_rank")
     )
@@ -179,6 +195,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
             r6(_cosine(F.col("a.v"), F.col("b.v"))).alias("cosine"),
+            bigint(F.col("a.n_overflow")).alias("n_overflow"),
         )
     )
 
@@ -795,12 +812,19 @@ ORACLES = {
             FROM embeddings
         ),
         bk AS (
-            SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e
-            QUALIFY row_number() OVER (PARTITION BY {_lsh_bucket_sql('v')}
+            -- QUALIFY filters AFTER window evaluation, so n_overflow is
+            -- the pre-cap occupancy excess — identical to Spark's
+            -- count-then-filter ordering
+            SELECT vec_id, v, bucket,
+                   greatest(count(*) OVER (PARTITION BY bucket)
+                            - {LSH_BUCKET_CAP}, 0) AS n_overflow
+            FROM (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e)
+            QUALIFY row_number() OVER (PARTITION BY bucket
                                        ORDER BY vec_id) <= {LSH_BUCKET_CAP}
         )
         SELECT a.bucket AS bucket, a.vec_id AS v1, b.vec_id AS v2,
-               round({_fold_cos('a.v', 'b.v')}, 6) AS cosine
+               round({_fold_cos('a.v', 'b.v')}, 6) AS cosine,
+               CAST(a.n_overflow AS BIGINT) AS n_overflow
         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     """,
     # multiprobe replay: identical literal probe masks, identical

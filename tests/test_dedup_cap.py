@@ -107,6 +107,9 @@ def test_ann_lsh_bucket_cap_bounds_degenerate_cluster(spark, tmp_path):
     assert len(out) <= cap_pairs          # 2016, not 192*191/2 = 18336
     assert len(out) > 0                   # the cluster still yields candidates
     assert set(out.v1) | set(out.v2) <= set(range(sim.LSH_BUCKET_CAP))
+    # the truncation is observable, not silent: every pair from the hot
+    # bucket reports exactly how many vectors the cap dropped
+    assert (out.n_overflow == n_clone - sim.LSH_BUCKET_CAP).all()
 
     con = duckdb.connect()
     try:
