@@ -97,6 +97,11 @@ SF1_QUERIES = (
     # scale with the per-type event counts
     "index_inverted_postings",
     "pattern_match_skip",
+    # round-6 addition: the sf1 lane covered joins/LSH/iterative but no
+    # frame-window family — the prequential scorer (per-user lag +
+    # 5-row frame counts + argmax) probes per-user window state under
+    # the 10x user set
+    "pattern_online_prequential",
 )
 
 
@@ -182,18 +187,28 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extras": extras,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extras": extras,
+    }
+    print(json.dumps(payload))
+    # the driver's BENCH_rN capture truncates to ~2000 chars, which has
+    # cost two rounds their per-query dicts — persist the complete JSON
+    # in-repo so any round can be diffed without re-running: latest
+    # snapshot + an append-only history line (timestamped)
+    try:
+        stamped = dict(payload, ts=time.strftime("%Y-%m-%dT%H:%M:%S"))
+        with open(os.path.join(REPO, "bench_full.json"), "w") as f:
+            json.dump(stamped, f, indent=2, sort_keys=True)
+            f.write("\n")
+        with open(os.path.join(REPO, "bench_history.jsonl"), "a") as f:
+            f.write(json.dumps(stamped, sort_keys=True) + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
 
 

@@ -83,6 +83,22 @@ def _replay_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _fresh_sink(sf_dir: str, name: str) -> str:
+    """Fixed per-(fixture, query) sink root, WIPED on every invocation.
+    Streaming sinks must start empty — the rollup bootstraps on sink
+    existence and a stale checkpoint would no-op the replay — but a
+    uuid-suffixed dir per call leaks one sink + checkpoint pair per run
+    (bench.py invokes each query several times per round).  One stable
+    path, cleared up front, keeps every run fresh AND disk bounded."""
+    import shutil
+
+    key = os.path.basename(os.path.normpath(os.path.abspath(sf_dir))) or "sf"
+    root = os.path.join(tempfile.gettempdir(), "esb_scratch", key, name)
+    for p in (root, root + "_ckpt"):
+        shutil.rmtree(p, ignore_errors=True)
+    return root
+
+
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; return the sink table."""
@@ -425,9 +441,7 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated across the micro-batch boundary."""
     with _state_shuffle(spark):
         src = _replay_dir(spark, sf_dir)
-        out = os.path.join(
-            tempfile.gettempdir(), f"esb_fb_{uuid.uuid4().hex[:8]}"
-        )
+        out = _fresh_sink(sf_dir, "fb")
         events = spark.readStream.schema(
             load_table(spark, sf_dir, "events").schema
         ).parquet(src)
@@ -480,7 +494,7 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sums are exact integer micro-units per the determinism rule."""
     with _state_shuffle(spark):
         src = _replay_dir(spark, sf_dir)
-        out = os.path.join(tempfile.gettempdir(), f"esb_roll_{uuid.uuid4().hex[:8]}")
+        out = _fresh_sink(sf_dir, "roll")
         events = spark.readStream.schema(
             load_table(spark, sf_dir, "events").schema
         ).parquet(src)

@@ -379,16 +379,15 @@ def test_compat_facade_bit_equal(golden, tmp_path):
     assert out.read_text().splitlines() == ref_out.read_text().splitlines()
 
 
-def test_compat_sharded_df(spark):
+def test_compat_sharded_df(spark, tmp_path):
     """Sharded compat mode: DataFrame surface + parquet config cache."""
-    import tempfile
 
     from eventstream_benchmark_spark.generator import compat
 
     pats = compat.generate_patterns(
         n_patterns=4, pattern_length=5, n_types=4, seed=11
     )
-    cache = tempfile.mkdtemp(prefix="esb_compat_cache_")
+    cache = str(tmp_path / "compat_cache")  # pytest-managed, no leak
     es = compat.EventStream(
         patterns=pats, n_types=4, total_events=8_000, random_ratio=0.5,
         seed=7, spark=spark, mode="sharded", n_shards=8, cache_dir=cache,

@@ -3,6 +3,7 @@ referential integrity and semantics of the key-shifted replication."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -12,7 +13,9 @@ from eventstream_benchmark_spark.io import load_table
 
 
 def test_scaled_dir_integrity(spark, sf_small):
-    out_root = tempfile.mkdtemp(prefix="esb_scale_test_")
+    # fixed path, not mkdtemp: repeated suite runs reuse the marker'd
+    # build instead of leaking one ~3x fixture tree per run
+    out_root = os.path.join(tempfile.gettempdir(), "esb_scale_test")
     d = ensure_scaled_dir(spark, sf_small, copies=3, out_root=out_root)
 
     # facts replicate exactly copies x; dims stay 1x
