@@ -100,3 +100,15 @@ def test_coverage_doc_tracks_registry():
     assert not undocumented, (
         f"registry queries missing from COVERAGE.md: {undocumented}"
     )
+
+
+def test_every_query_is_oracled():
+    """As of round 5 every registered query carries a DuckDB value-hash
+    oracle; hold the line — a new query landing without one would
+    silently downgrade itself to the driver's weaker rows-only check."""
+    from eventstream_benchmark_spark.operators import all_oracles, all_queries
+
+    q, o = set(all_queries()), set(all_oracles())
+    assert q == o, (
+        f"unoracled queries: {sorted(q - o)}; orphan oracles: {sorted(o - q)}"
+    )
