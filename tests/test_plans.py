@@ -683,3 +683,95 @@ def test_kmv_bounded_windows(spark, sf_small):
     plan = _plan(spark, sf_small, "agg_kmv_distinct")
     assert "collect_list" not in plan and "sort_array" not in plan
     assert plan.count("Window") >= 2
+
+
+# ---- round-6 pins: the late-round-5 pack's scale claims ----------------
+
+
+def test_lateral_topn_decorrelates_to_window(spark, sf_small):
+    """The correlated LATERAL (top-2 customers per region) must plan as
+    a window rank over a hash join — never a per-row nested-loop
+    re-execution of the subquery."""
+    plan = _plan(spark, sf_small, "join_lateral_topn")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shipping_lag_fact_join_stays_hashed(spark, sf_small):
+    """orders ⋈ lineitem (the fact-to-fact shape) must stay a hash/SMJ
+    equi-join with map-combinable bucket aggregation."""
+    plan = _plan(spark, sf_small, "orders_shipping_lag")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_funnel_latency_join_stays_hashed(spark, sf_small):
+    plan = _plan(spark, sf_small, "funnel_time_to_convert")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_is_one_keyed_outer_join(spark, sf_small):
+    """The CDC diff is a single full-outer SortMergeJoin on the key —
+    fingerprint comparison must not degrade to a theta join."""
+    plan = _plan(spark, sf_small, "snapshot_diff_report")
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weekday_contrast_day_dim_broadcasts(spark, sf_small):
+    """The distinct-day regime counts are dimension-sized and must ride
+    a broadcast join onto the per-type aggregate."""
+    plan = _plan(spark, sf_small, "events_weekday_contrast")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prequential_is_pure_windows_no_join_no_python(spark, sf_small):
+    """The test-then-train scorer is lag/frame windows + one aggregate —
+    zero joins, zero Python (the whole model state lives in the frame)."""
+    plan = _plan(spark, sf_small, "pattern_online_prequential")
+    assert "Join" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+
+
+def test_rfm_single_scalar_broadcast_only(spark, sf_small):
+    """The only nested-loop join is the benign 1-row max-date scalar
+    broadcast; everything else rides the per-customer aggregate."""
+    plan = _plan(spark, sf_small, "orders_rfm_segmentation")
+    # node headers look like "(15) BroadcastNestedLoopJoin"; the detail
+    # section repeats the name, so count headers, not substrings
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_sketch_agg_is_object_hash(spark, sf_small):
+    """approx_top_k accumulates via ObjectHashAggregate (map-side
+    mergeable sketch state) and the exact top-k is a
+    TakeOrderedAndProject — no full sort of the fact."""
+    plan = _plan(spark, sf_small, "agg_approx_topk_contract")
+    assert "ObjectHashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reservoir_sample_is_window_topk(spark, sf_small):
+    """Weighted-minwise selection is a TakeOrderedAndProject over
+    per-row keys — no global sort, no Python."""
+    plan = _plan(spark, sf_small, "sample_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+
+
+def test_wow_revenue_no_nested_loops(spark, sf_small):
+    """Week-over-week self-alignment is a broadcast equi-join of the
+    week-level aggregate onto itself — never a theta join."""
+    plan = _plan(spark, sf_small, "trend_wow_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
