@@ -775,3 +775,75 @@ def test_wow_revenue_no_nested_loops(spark, sf_small):
     plan = _plan(spark, sf_small, "trend_wow_revenue")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fk_audit_anti_joins_no_cartesian(spark, sf_small):
+    """Every FK edge is a (broadcast) anti join; the only nested-loop
+    joins are the six 1-row×1-row scalar count pairings."""
+    plan = _plan(spark, sf_small, "audit_referential_integrity")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 6
+
+
+def test_acf_scalar_broadcasts_only(spark, sf_small):
+    """The autocorrelation's mean/variance constants ride 1-row scalar
+    broadcasts; the lag alignment itself stays a hash equi-join."""
+    plan = _plan(spark, sf_small, "events_acf_lags")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 4
+
+
+def test_holt_fold_is_one_pandas_group_map(spark, sf_small):
+    """The genuinely sequential Holt recurrence is confined to exactly
+    one per-series FlatMapGroupsInPandas; everything around it is
+    JVM-side."""
+    plan = _plan(spark, sf_small, "events_holt_trend")
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    for py_op in ("BatchEvalPython", "ArrowEvalPython"):
+        assert py_op not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_backtest_pure_jvm_hash_joins(spark, sf_small):
+    plan = _plan(spark, sf_small, "events_forecast_backtest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+
+
+def test_matryoshka_energy_single_scan_no_join(spark, sf_small):
+    """Prefix-energy evaluation is explode + one aggregate over the
+    embeddings scan — no join, no Python."""
+    plan = _plan(spark, sf_small, "embed_matryoshka_energy")
+    assert "Join" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+
+
+def test_null_profile_no_join_no_python(spark, sf_small):
+    """The column profile is a union of per-column aggregates over one
+    table — zero joins, zero Python."""
+    plan = _plan(spark, sf_small, "dq_null_profile")
+    assert "Join" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+
+
+def test_edge_churn_single_scalar_broadcast(spark, sf_small):
+    """Year-over-year edge reconciliation: SMJ on the edge key, one
+    1-row scalar broadcast for the totals."""
+    plan = _plan(spark, sf_small, "graph_edge_churn")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_phash_pandas_confined_to_decode(spark, sf_small):
+    """Image decode/hash is Arrow-batched MapInPandas (the binary-column
+    shape); the near-dup pairing itself is banded hash equi-joins —
+    never a cross join of images."""
+    plan = _plan(spark, sf_small, "multimodal_image_phash")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -147,3 +147,21 @@ def test_pattern_state_matches_offline_replay(spark, sf_small):
         assert int(row["n_events"]) == len(grp)
         assert int(row["completed"]) == completed, f"user {user}"
         assert int(row["progress"]) == progress, f"user {user}"
+
+
+def test_foreachbatch_sinks_are_rerun_idempotent(spark, sf_small):
+    """The fixed per-fixture sink root (`_fresh_sink`) is WIPED on every
+    invocation, so back-to-back runs must produce identical results —
+    a stale checkpoint would no-op the second replay and a stale sink
+    would double-count (bench.py and the driver both invoke each query
+    more than once per round)."""
+    from eventstream_benchmark_spark.streaming import queries as sq
+
+    for name in ("streaming_foreach_batch_sink", "streaming_incremental_rollup"):
+        fn = sq.QUERIES[name]
+        first = fn(spark, sf_small).toPandas()
+        second = fn(spark, sf_small).toPandas()
+        cols = sorted(first.columns)
+        a = first.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+        b = second.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), f"{name}: rerun diverged"
