@@ -1851,6 +1851,80 @@ def write_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SORT_RUNS = 8  # range-partitioned export: number of sorted runs
+SORT_SAMPLE_MOD = 97  # ~1% deterministic hash sample for split points
+
+
+def export_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-sorted export via DETERMINISTIC sample-based range
+    partitioning — the total-order shard layout (terasort shape) a
+    training exporter needs, and the one fundamental distributed-sort
+    pattern nothing else in the registry exercises. Spark's own
+    ``repartitionByRange`` samples with a nondeterministic seed, so
+    this replays its algorithm portably: (1) a ~1% hash sample of the
+    events fact (md5-prefix mod — the portable-hash idiom), (2) exact
+    ntile(8) split points over the sample (the sample is small BY
+    CONSTRUCTION, so its global window is the honest scale shape —
+    this is exactly RangePartitioner's reservoir, made deterministic),
+    (3) every row's run = number of split points below its key (a
+    broadcast fold), (4) repartition by run + sortWithinPartitions +
+    hive-partitioned write, (5) read back and CERTIFY: per-run row
+    counts, [min, max] key ranges, and pairwise range disjointness —
+    the relational proof of a global total order, all hash-checked.
+
+    ntile is tie-safe cross-engine: per-tile value MULTISETS are
+    determined by sorted position even when equal keys interleave, so
+    ``max`` per tile — the split points — replays identically. At
+    100 TB: one scan for the sample, one for the assignment, one
+    run-keyed exchange; no global sort task ever materializes."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    k = F.unix_micros("ts")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    sample = ev.filter(h % SORT_SAMPLE_MOD == 0).select(k.alias("k"))
+    bounds = (
+        sample.withColumn("t", F.ntile(SORT_RUNS).over(W.orderBy("k")))
+        .filter(F.col("t") < SORT_RUNS)
+        .groupBy("t")
+        .agg(F.max("k").alias("b"))
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
+    )
+    run = F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("k") > b, 1).otherwise(0),
+    )
+    assigned = (
+        ev.select("event_id", "value", k.alias("k"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("run", run)
+        .drop("bs")
+    )
+    out = os.path.join(_scratch_path(sf_dir, "sorted"), "events_sorted")
+    (
+        assigned.repartition("run")
+        .sortWithinPartitions("k", "event_id")
+        .write.mode("overwrite")
+        .partitionBy("run")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    stats = back.groupBy(F.col("run").cast("long").alias("run")).agg(
+        bigint(F.count("*")).alias("n_rows"),
+        bigint(F.min("k")).alias("min_k"),
+        bigint(F.max("k")).alias("max_k"),
+    )
+    w = W.orderBy("run")
+    return (
+        stats.withColumn(
+            "disjoint",
+            F.coalesce(F.lag("max_k").over(w) < F.col("min_k"), F.lit(True)),
+        )
+        .orderBy("run")
+    )
+
+
 LAG_BUCKET_CAP = 120  # shipping-lag histogram: daily buckets, capped
 
 
@@ -2845,6 +2919,7 @@ QUERIES = {
     "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "write_partitioned_pruned": write_partitioned_pruned,
+    "export_range_partitioned": export_range_partitioned,
     "scan_schema_evolution": scan_schema_evolution,
     "join_bucketed_colocated": join_bucketed_colocated,
     "agg_distinct_approx": agg_distinct_approx,
@@ -3065,6 +3140,36 @@ ORACLES = {
         FROM events
         WHERE event_type IN {PRUNED_TYPES!r}
         GROUP BY event_type ORDER BY event_type
+    """,
+    # identical portable hash sample -> ntile split points (tie-safe:
+    # per-tile value multisets are position-determined) -> run = count
+    # of split points below the key -> per-run range certification
+    "export_range_partitioned": f"""
+        WITH ev AS (
+            SELECT event_id, epoch_us(ts) AS k FROM events
+        ),
+        s AS (
+            SELECT k FROM ev
+            WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+                  % {SORT_SAMPLE_MOD} = 0
+        ),
+        t AS (SELECT k, ntile({SORT_RUNS}) OVER (ORDER BY k) AS t FROM s),
+        b AS (SELECT max(k) AS b FROM t WHERE t < {SORT_RUNS} GROUP BY t),
+        r AS (
+            SELECT ev.k,
+                   (SELECT count(*) FROM b WHERE ev.k > b.b) AS run
+            FROM ev
+        ),
+        st AS (
+            SELECT run, count(*) AS n_rows, min(k) AS min_k, max(k) AS max_k
+            FROM r GROUP BY run
+        )
+        SELECT CAST(run AS BIGINT) AS run,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(min_k AS BIGINT) AS min_k,
+               CAST(max_k AS BIGINT) AS max_k,
+               coalesce(lag(max_k) OVER (ORDER BY run) < min_k, TRUE) AS disjoint
+        FROM st ORDER BY run
     """,
     "sql_tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count

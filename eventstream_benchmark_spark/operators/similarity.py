@@ -614,6 +614,78 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pos")
 
 
+SEMDEDUP_TAU = 0.45  # prune threshold, = COSINE_DUP_THRESHOLD (dedup.py)
+SEMDEDUP_CLUSTER_CAP = 256  # pair work per cluster ≤ CAP²/2, overflow emitted
+
+
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540, public): k-means-cluster the embedding corpus —
+    the exact ``ann_ivf_cosine`` stages (seed = first IVF_CLUSTERS
+    vectors, one distributed Lloyd round, rounded-cosine argmax
+    reassignment) — then mine near-duplicate pairs ONLY within each
+    cluster and prune every vector with a lower-id neighbor at cosine
+    ≥ τ (keep-first, the ``text_line_dedup`` rule applied to vectors).
+
+    This is the production-scale trade the flat ``dedup_embedding_
+    cosine`` can't express: pair candidates drop from O(n²) to
+    Σ|cluster|² with NO hash tables, at the cost of missing pairs that
+    straddle a cluster boundary — which is why the output reports
+    per-cluster members/pairs/pruned rather than claiming corpus
+    recall. A degenerate cluster is bounded by SEMDEDUP_CLUSTER_CAP
+    (deterministic vec_id ranking) with the truncation emitted as a
+    hash-checked ``n_overflow`` (the round-6 observability rule).
+
+    100 TB shape: centroids broadcast; two corpus scans (assign ×2);
+    shuffles key on (cluster) and the per-cluster window reuses the
+    pair join's partitioning. The oracle replays every stage with
+    identical 6/9-decimal rounding and tie-breaks."""
+    release_scoped_persists()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    seed = emb.filter(F.col("vec_id") < IVF_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    refined = _recompute_centroids(_assign(emb, seed))
+    assigned = scoped_persist(_assign(emb, refined))
+
+    w_rank = W.partitionBy("cluster").orderBy("vec_id")
+    capped = (
+        assigned.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= SEMDEDUP_CLUSTER_CAP)
+        .drop("rnk")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(r6(_cosine(F.col("a.v"), F.col("b.v"))) >= SEMDEDUP_TAU)
+        .select(F.col("a.cluster").alias("cluster"), F.col("b.vec_id").alias("victim"))
+    )
+    per_cluster = pairs.groupBy("cluster").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.count_distinct("victim").alias("n_pruned"),
+    )
+    members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return (
+        members.join(per_cluster, "cluster", "left")
+        .select(
+            bigint(F.col("cluster")).alias("cluster"),
+            bigint(F.col("n_members")).alias("n_members"),
+            bigint(F.coalesce("n_dup_pairs", F.lit(0))).alias("n_dup_pairs"),
+            bigint(F.coalesce("n_pruned", F.lit(0))).alias("n_pruned"),
+            bigint(
+                F.greatest(F.col("n_members") - SEMDEDUP_CLUSTER_CAP, F.lit(0))
+            ).alias("n_overflow"),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "embed_cosine_topk": embed_cosine_topk,
     "embed_matryoshka_energy": embed_matryoshka_energy,
@@ -625,6 +697,7 @@ QUERIES = {
     "ann_lsh_cosine": ann_lsh_cosine,
     "ann_lsh_query_topk": ann_lsh_query_topk,
     "ann_ivf_cosine": ann_ivf_cosine,
+    "dedup_semantic_cluster": dedup_semantic_cluster,
 }
 
 _COS_SQL = (
@@ -970,4 +1043,74 @@ ORACLES["ann_recall_eval"] = f"""
     FROM exact e LEFT JOIN approx a
       ON e.q_id = a.q_id AND e.vec_id = a.vec_id
     GROUP BY e.q_id ORDER BY e.q_id
+"""
+
+
+# stage-by-stage SemDeDup replay: the identical IVF clustering CTEs
+# (seed -> rounded-cosine argmax -> one 9-decimal Lloyd round ->
+# reassign), then QUALIFY-free capped within-cluster pairs and the
+# keep-first prune count. Same 6-decimal pair cosine, same vec_id
+# ranking for the cap, overflow mirrored exactly.
+ORACLES["dedup_semantic_cluster"] = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    seed AS (
+        SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv
+        FROM e WHERE vec_id < {IVF_CLUSTERS}
+    ),
+    a1 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, s.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round({_fold_cos('e.v', 's.cv')}, 6) DESC,
+                                s.cluster) AS rn
+            FROM e CROSS JOIN seed s
+        ) WHERE rn = 1
+    ),
+    cd AS (
+        SELECT cluster, i AS dim, round(avg(v[i]), 9) AS m
+        FROM a1, generate_series(1, 64) t(i)
+        GROUP BY 1, 2
+    ),
+    cents AS (
+        SELECT cluster, list(m ORDER BY dim) AS cv FROM cd GROUP BY cluster
+    ),
+    a2 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round({_fold_cos('e.v', 'c.cv')}, 6) DESC,
+                                c.cluster) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    capped AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY vec_id) AS rnk
+            FROM a2
+        ) WHERE rnk <= {SEMDEDUP_CLUSTER_CAP}
+    ),
+    pairs AS (
+        SELECT a.cluster, b.vec_id AS victim
+        FROM capped a JOIN capped b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round({_fold_cos('a.v', 'b.v')}, 6) >= {SEMDEDUP_TAU!r}
+    ),
+    pc AS (
+        SELECT cluster, count(*) AS n_dup_pairs,
+               count(DISTINCT victim) AS n_pruned
+        FROM pairs GROUP BY cluster
+    ),
+    m AS (SELECT cluster, count(*) AS n_members FROM a2 GROUP BY cluster)
+    SELECT CAST(m.cluster AS BIGINT) AS cluster,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(coalesce(n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(n_pruned, 0) AS BIGINT) AS n_pruned,
+           CAST(greatest(n_members - {SEMDEDUP_CLUSTER_CAP}, 0) AS BIGINT)
+               AS n_overflow
+    FROM m LEFT JOIN pc USING (cluster) ORDER BY m.cluster
 """

@@ -847,3 +847,74 @@ def test_phash_pandas_confined_to_decode(spark, sf_small):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_pairs_stay_within_clusters(spark, sf_small):
+    """SemDeDup's pair join is a cluster-keyed equi-join; the only
+    nested-loop joins are the two 16-row centroid broadcasts of the
+    IVF assignment stages. Zero Python anywhere."""
+    plan = _plan(spark, sf_small, "dedup_semantic_cluster")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+
+
+def test_range_export_no_global_sort_task(spark, sf_small):
+    """The sorted export's write executes inside the query, so the
+    returned frame only shows the read-back certification — pin that
+    side (no cartesian, no Python) and pin the WRITE pipeline by
+    rebuilding the assignment plan: the only unkeyed window is the
+    ntile over the ~1% hash sample, the split points ride a broadcast,
+    and no global Sort of the fact ever materializes."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from eventstream_benchmark_spark.io import load_table
+    from eventstream_benchmark_spark.operators.relational import (
+        SORT_RUNS,
+        SORT_SAMPLE_MOD,
+    )
+
+    plan = _plan(spark, sf_small, "export_range_partitioned")
+    assert "CartesianProduct" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+
+    # replicate the function's pre-write assignment plan
+    ev = load_table(spark, sf_small, "events").select("event_id", "ts", "value")
+    k = F.unix_micros("ts")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    sample = ev.filter(h % SORT_SAMPLE_MOD == 0).select(k.alias("k"))
+    bounds = (
+        sample.withColumn("t", F.ntile(SORT_RUNS).over(W.orderBy("k")))
+        .filter(F.col("t") < SORT_RUNS)
+        .groupBy("t")
+        .agg(F.max("k").alias("b"))
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
+    )
+    run = F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("k") > b, 1).otherwise(0),
+    )
+    assigned = (
+        ev.select("event_id", "value", k.alias("k"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("run", run)
+        .drop("bs")
+        .repartition("run")
+        .sortWithinPartitions("k", "event_id")
+    )
+    wplan = assigned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ntile" in wplan
+    assert "BroadcastExchange" in wplan  # split points broadcast
+    # no Sort node anywhere is global: Sort arguments render as
+    # "[keys], <global>, 0" — the fact's run-local sort and even the
+    # sample's ntile sort (single-partition window) are both local
+    sort_args = re.findall(r"\(\d+\) Sort[^(]*?Arguments: [^\n]*", wplan)
+    assert sort_args and all(", false, 0" in s for s in sort_args)
