@@ -102,6 +102,13 @@ SF1_QUERIES = (
     # 5-row frame counts + argmax) probes per-user window state under
     # the 10x user set
     "pattern_online_prequential",
+    # round-6 queries, flood-probed at birth: the 10x-duplicated
+    # embeddings overflow every SemDeDup cluster past its cap (the
+    # bound, not the corpus, must govern pair work — overflow is a
+    # hash-checked output), and the sorted export's sample/split-point
+    # machinery rides a 10x fact
+    "dedup_semantic_cluster",
+    "export_range_partitioned",
 )
 
 
