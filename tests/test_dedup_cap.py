@@ -122,3 +122,42 @@ def test_ann_lsh_bucket_cap_bounds_degenerate_cluster(spark, tmp_path):
         con.close()
     issues = compare(sim.ann_lsh_cosine(spark, str(tmp_path)), duck)
     assert not issues, "; ".join(issues)
+
+
+def test_semdedup_cap_bounds_degenerate_corpus(spark, tmp_path):
+    """A corpus of near-identical vectors collapses into one k-means
+    cluster; the per-cluster cap must bound pair work at CAP²/2 with
+    the overflow reported in the hash-checked output — and DuckDB must
+    replay the identical clustering, cap, and prune decisions."""
+    import numpy as np
+
+    from eventstream_benchmark_spark.operators import similarity as sim
+
+    n = sim.SEMDEDUP_CLUSTER_CAP + 100  # 356 clones of one vector
+    base = (np.arange(64, dtype=np.float32) % 5 - 2.0) / 3.0
+    rows = [(i, (base * (1.0 + (i % 7) * 1e-5)).astype(np.float32).tolist(), 0)
+            for i in range(n)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf.to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    out = sim.dedup_semantic_cluster(spark, str(tmp_path)).toPandas()
+    # scaling a vector leaves cosine at 1.0: one cluster holds everyone,
+    # every capped member but the keeper is pruned, overflow is exact
+    hot = out[out.n_members == n]
+    assert len(hot) == 1
+    cap = sim.SEMDEDUP_CLUSTER_CAP
+    assert int(hot.n_dup_pairs.iloc[0]) == cap * (cap - 1) // 2
+    assert int(hot.n_pruned.iloc[0]) == cap - 1
+    assert int(hot.n_overflow.iloc[0]) == n - cap
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path / 'embeddings.parquet'}')"
+        )
+        duck = con.execute(sim.ORACLES["dedup_semantic_cluster"]).fetchdf()
+    finally:
+        con.close()
+    issues = compare(sim.dedup_semantic_cluster(spark, str(tmp_path)), duck)
+    assert not issues, "; ".join(issues)
