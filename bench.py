@@ -80,6 +80,11 @@ SF1_QUERIES = (
     # 10x probe — banded hyperplane-LSH under duplicate-flooded
     # embeddings, and the iterative numeric loop over a 10x edge set
     "dedup_embedding_cosine",
+    # round-7: triangle_count runs FIRST and pays the one-time
+    # co-purchase edge aggregate; pagerank then rides the
+    # family-shared persist — the measured value of materializing the
+    # edge table once per fixture (round-6 verdict item 3)
+    "graph_triangle_count",
     "graph_pagerank",
     # round-5 operator additions with corpus-scale shuffles: span-level
     # dedup (the 10x-replicated corpus floods the keep-first window's
@@ -109,6 +114,10 @@ SF1_QUERIES = (
     # machinery rides a 10x fact
     "dedup_semantic_cluster",
     "export_range_partitioned",
+    # round-7 probe: the iterative label-propagation loop under a 10x
+    # duplicate flood (dedup_cluster_cc was the heaviest sf0.1 headline
+    # item with no 10x probe — verdict item 6)
+    "dedup_cluster_cc",
 )
 
 
@@ -146,7 +155,10 @@ def main() -> None:
     for name in ("agg_groupby_q1", "join_broadcast_dims"):
         queries[name](spark, sf_dir).count()
 
-    from eventstream_benchmark_spark.operators._cache import release_scoped_persists
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        release_shared_persists,
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -162,13 +174,25 @@ def main() -> None:
             # it so min AND spread describe the warm steady state
             # (kept when HEAVY_RUNS=1: a single cold sample beats none)
             samples = samples[1:]
-        timings[name] = round(min(samples), 3)
+        srt = sorted(samples)
+        timings[name] = round(srt[0], 3)
         extras[f"{name}_rows"] = n
-        extras[f"{name}_spread"] = round(max(samples) - min(samples), 3)
+        extras[f"{name}_spread"] = round(srt[-1] - srt[0], 3)
+        # median + sample count alongside the min: four same-code
+        # rounds swung the headline 21.0->25.0 s on VM scheduling noise
+        # alone, so round-over-round regression calls gate on the
+        # median, not a single pass (round-6 verdict item 7)
+        extras[f"{name}_median"] = round(srt[len(srt) // 2], 3)
+        extras[f"{name}_n"] = len(srt)
         # storage hygiene between queries: one query's persisted
-        # intermediates/broadcasts must not tax the next one's timing
+        # intermediates must not tax the next one's timing (every
+        # persist in the package goes through the scoped registry;
+        # family-SHARED builds — the graph family's edge aggregate —
+        # deliberately survive until the lane boundary below, which is
+        # the point of sharing them)
         release_scoped_persists()
-        spark.catalog.clearCache()
+    release_shared_persists()
+    spark.catalog.clearCache()
 
     # sf1 lane: 10x scale-up synthesized once into /tmp (key-shifted
     # fact copies over unchanged dims), a single pass over a headline
@@ -186,8 +210,12 @@ def main() -> None:
             n = queries[name](spark, sf1_dir).count()
             extras[f"sf1_{name}"] = round(time.perf_counter() - t0, 3)
             extras[f"sf1_{name}_rows"] = n
+            # scoped release only — the family-shared edge build must
+            # survive from triangle_count to pagerank (that handoff IS
+            # the measurement); everything else is scoped and released
             release_scoped_persists()
-            spark.catalog.clearCache()
+        release_shared_persists()
+        spark.catalog.clearCache()
         extras["sf1_total"] = round(
             sum(v for k, v in extras.items()
                 if k.startswith("sf1_") and not k.endswith(("_rows", "_sec"))), 3

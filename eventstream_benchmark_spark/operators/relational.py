@@ -2323,7 +2323,15 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gen1.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
     gen2.write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
-    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    # read the two generation paths explicitly (with basePath so the
+    # gen partition column still surfaces): the scratch root is a
+    # persistent fixed path, so a root-wide read would silently merge
+    # any stale extra subdirectory an older code version left behind
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", root)
+        .parquet(os.path.join(root, "gen=1"), os.path.join(root, "gen=2"))
+    )
     return (
         merged.groupBy(F.col("gen").cast("int").alias("gen"))
         .agg(

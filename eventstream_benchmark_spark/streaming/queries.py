@@ -89,7 +89,13 @@ def _fresh_sink(sf_dir: str, name: str) -> str:
     existence and a stale checkpoint would no-op the replay — but a
     uuid-suffixed dir per call leaks one sink + checkpoint pair per run
     (bench.py invokes each query several times per round).  One stable
-    path, cleared up front, keeps every run fresh AND disk bounded."""
+    path, cleared up front, keeps every run fresh AND disk bounded.
+
+    The key is basename(sf_dir), so two fixtures sharing a basename or
+    two concurrent processes on the same fixture would share (and wipe)
+    each other's sink + checkpoint — acceptable for the single-process
+    bench/driver contract; add a pid or lock suffix here if concurrent
+    runs ever matter."""
     import shutil
 
     key = os.path.basename(os.path.normpath(os.path.abspath(sf_dir))) or "sf"

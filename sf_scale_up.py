@@ -56,14 +56,33 @@ def _replicate(spark: SparkSession, df: DataFrame, keys: tuple[str, ...],
     return out.drop("_copy")
 
 
+def _src_fingerprint(src: str) -> str:
+    """Content fingerprint of the source fixture: (relative path, size,
+    mtime) of every file under it. Folded into the completion marker so
+    a regenerated fixture (same basename, different content) forces a
+    rebuild instead of silently serving the stale scaled copy."""
+    import hashlib
+
+    parts = []
+    for root, _dirs, files in sorted(os.walk(src)):
+        for fn in sorted(files):
+            p = os.path.join(root, fn)
+            st = os.stat(p)
+            parts.append((os.path.relpath(p, src), st.st_size, int(st.st_mtime)))
+    return hashlib.md5(repr(parts).encode()).hexdigest()
+
+
 def ensure_scaled_dir(spark: SparkSession, src: str, copies: int = 10,
                       out_root: str = "/tmp/spark_graft_scaled") -> str:
     out = os.path.join(
         out_root, f"{os.path.basename(src.rstrip('/'))}_x{copies}"
     )
     marker = os.path.join(out, "_ALL_TABLES_OK")
+    fp = _src_fingerprint(src)
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            if f.read().strip() == fp:
+                return out
     os.makedirs(out, exist_ok=True)
     for name in TABLES:
         df = load_table(spark, src, name)
@@ -85,5 +104,5 @@ def ensure_scaled_dir(spark: SparkSession, src: str, copies: int = 10,
             df = _replicate(spark, df, keys, int(offset), copies, ts_span_us)
         df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(fp)
     return out

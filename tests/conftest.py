@@ -21,9 +21,13 @@ def spark():
     yield spark
     # enforce the scoped-persist contract (_cache.py): nothing a query
     # persisted outlives the harness
-    from eventstream_benchmark_spark.operators._cache import release_scoped_persists
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        release_shared_persists,
+    )
 
     release_scoped_persists()
+    release_shared_persists()
 
 
 @pytest.fixture(scope="session")
