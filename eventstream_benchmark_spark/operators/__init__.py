@@ -13,71 +13,33 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (~50 of 205 per round), so registry order decides which queries earn a
-# CORRECTNESS row this round.  Round-6 rotation (verification-first per
-# VERDICT r5 item 1), strictly by staleness against merged
-# CORRECTNESS_r1-r5: (1) the 33 queries added late in round 5 that have
-# NEVER been driver-sampled (local-parity green at all three SFs, but no
-# CORRECTNESS row), (2) queries whose output contract changed THIS round
-# and therefore need a fresh row (`ann_lsh_cosine` gained an n_overflow
-# observability column), (3) round-2-green re-checks — three rounds
-# stale — in the verdict's priority order, (4) round-3-green re-checks
-# fill whatever window remains; the r4/r5-green bulk follows in merged
-# module order and rotates forward in round 7.
+# (~50 of 208 per round), so registry order decides which queries earn a
+# CORRECTNESS row this round.  Round-7 rotation (the freshness cycle's
+# second half, per VERDICT r6 items 1-2), strictly by staleness against
+# merged CORRECTNESS_r1-r6: (1) the three queries with NO driver row —
+# the two round-6 additions (queued behind round-6's window by design)
+# and this round's one gap-closure addition (`dedup_semantic_recall_
+# eval`, the SemDeDup boundary-miss measurement — within the ≤5 cap);
+# (2) `scan_schema_evolution`, r5-green but its read path changed this
+# round (explicit generation paths instead of the scratch root — ADVICE
+# r6) so it needs a fresh row; (3) the 16 remaining round-2-green
+# re-checks — four rounds stale after this round; (4) 31 of the 46
+# round-3-green re-checks, with the four whose code or composition
+# changed this round pulled to the front of the pack
+# (`agg_stats_moments` integer-scaled hash spelling,
+# `dedup_embedding_cosine` now composed into the recall eval,
+# `copurchase_part_pairs` riding the family-shared edge build,
+# `dedup_cluster_cc` newly sf1-probed). The 15 r3 remainders rotate in
+# round 8, which completes the cycle: every entry driver-green within
+# the last three rounds.
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
-    # (1) never driver-sampled (added after the round-5 window was spent)
-    "agg_kmv_distinct",        # bottom-k sketch; r6: h_k zero-guard (ADVICE)
-    "graph_bfs_hops",
-    "index_inverted_postings",
-    "layout_zorder_skipping",
-    "join_dpp_partition_pruned",  # r6: fixed scratch dir, no tempdir leak (ADVICE)
-    "events_acf_lags",
-    "events_forecast_backtest",
-    "events_holt_trend",
-    "events_dispersion_index",
-    "sample_weighted_reservoir",
-    "agg_mode_median",
-    "join_lateral_topn",
-    "audit_referential_integrity",
-    "dq_null_profile",
-    "dq_benford_audit",
-    "pattern_match_skip",
-    "set_ops_by_name",
-    "growth_new_users_daily",
-    "basket_association_rules",
-    "multimodal_image_phash",
-    "embed_matryoshka_energy",
-    "orders_rfm_segmentation",
-    "funnel_time_to_convert",
-    "streaming_growth_users",
-    "trend_wow_revenue",
-    "graph_edge_churn",
-    "agg_approx_topk_contract",  # r6: tie-gap fixture invariant pinned (ADVICE)
-    "dedup_method_comparison",
-    "snapshot_diff_report",
-    "pattern_online_prequential",
-    "embed_centroid_drift",
-    "events_weekday_contrast",  # r6: zero-weekend-regime ratio guard (VERDICT)
-    "orders_shipping_lag",
-    # (2) output contract changed in round 6 — needs a fresh row
-    "ann_lsh_cosine",          # r6: bucket-cap overflow now an output column
-    # (3) round-2-green re-checks (three rounds stale)
-    "join_broadcast_dims",
-    "agg_groupby_q1",
-    "dedup_minhash_lsh",
-    "pattern_match_fixed",
-    "embed_cosine_topk",
-    "join_range_interval",
-    "join_asof",
-    "sql_tpch_q3",
-    "sql_tpch_q5",
-    "subquery_correlated",
-    "agg_grouping_sets",
-    "win_ranking",
-    "dedup_exact",
-    "scalar_json",
-    "scalar_array",
-    "stream_tumbling_rate",
+    # (1) no driver CORRECTNESS row yet
+    "dedup_semantic_cluster",
+    "export_range_partitioned",
+    "dedup_semantic_recall_eval",   # round-7 addition (gap-closure cap)
+    # (2) code changed this round — needs a fresh row
+    "scan_schema_evolution",
+    # (3) the 16 remaining round-2-green re-checks
     "stream_drift_score",
     "retention_cohort",
     "attribution_last_touch",
@@ -94,9 +56,12 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "streaming_dedup_watermark",
     "streaming_join_clicks_purchases",
     "session_window_agg",
-    # (4) round-3-green re-checks filling the rest of the window; the
-    # remainder of the r3 pack and the r4/r5-green bulk follow in merged
-    # order and rotate forward next round
+    # (4) round-3-green re-checks: changed/composed-this-round first,
+    # then the r3 pack in merged order (15 remainders -> round 8)
+    "agg_stats_moments",
+    "dedup_embedding_cosine",
+    "copurchase_part_pairs",
+    "dedup_cluster_cc",
     "scan_parquet_project_filter",
     "scan_csv_roundtrip",
     "predicate_combo",
@@ -106,6 +71,24 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "join_skew_salted",
     "agg_hash_global",
     "agg_distinct",
+    "scan_jsonl_roundtrip",
+    "scan_orc_roundtrip",
+    "write_partitioned_pruned",
+    "join_bucketed_colocated",
+    "sql_tpch_q4",
+    "sql_tpch_q12",
+    "sql_tpch_q14",
+    "sql_tpch_q6",
+    "sql_tpch_q10",
+    "sql_tpch_q18",
+    "sql_tpch_q19",
+    "stream_anomaly_mad",
+    "scd2_user_state",
+    "rollup_hourly_daily",
+    "time_weighted_avg",
+    "funnel_conversion",
+    "attribution_linear",
+    "embed_quantize_int8",
 )
 
 

@@ -618,29 +618,14 @@ SEMDEDUP_TAU = 0.45  # prune threshold, = COSINE_DUP_THRESHOLD (dedup.py)
 SEMDEDUP_CLUSTER_CAP = 256  # pair work per cluster ≤ CAP²/2, overflow emitted
 
 
-def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
-    arXiv:2303.09540, public): k-means-cluster the embedding corpus —
-    the exact ``ann_ivf_cosine`` stages (seed = first IVF_CLUSTERS
-    vectors, one distributed Lloyd round, rounded-cosine argmax
-    reassignment) — then mine near-duplicate pairs ONLY within each
-    cluster and prune every vector with a lower-id neighbor at cosine
-    ≥ τ (keep-first, the ``text_line_dedup`` rule applied to vectors).
-
-    This is the production-scale trade the flat ``dedup_embedding_
-    cosine`` can't express: pair candidates drop from O(n²) to
-    Σ|cluster|² with NO hash tables, at the cost of missing pairs that
-    straddle a cluster boundary — which is why the output reports
-    per-cluster members/pairs/pruned rather than claiming corpus
-    recall. A degenerate cluster is bounded by SEMDEDUP_CLUSTER_CAP
-    (deterministic vec_id ranking) with the truncation emitted as a
-    hash-checked ``n_overflow`` (the round-6 observability rule).
-
-    100 TB shape: centroids broadcast; two corpus scans (assign ×2);
-    shuffles key on (cluster) and the per-cluster window reuses the
-    pair join's partitioning. The oracle replays every stage with
-    identical 6/9-decimal rounding and tie-breaks."""
-    release_scoped_persists()
+def _semdedup_pairs(spark: SparkSession, sf_dir: str):
+    """The SemDeDup mining stages shared by ``dedup_semantic_cluster``
+    and ``dedup_semantic_recall_eval``: IVF k-means assignment (seed →
+    one Lloyd round → reassign), the per-cluster vec_id-ranked cap,
+    and the within-cluster keep-first near-dup pairs. Returns
+    ``(assigned, pairs)`` where ``assigned`` is (vec_id, v, cluster)
+    — scope-persisted, callers are responsible for the entry release —
+    and ``pairs`` is (cluster, victim)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
@@ -666,6 +651,33 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(r6(_cosine(F.col("a.v"), F.col("b.v"))) >= SEMDEDUP_TAU)
         .select(F.col("a.cluster").alias("cluster"), F.col("b.vec_id").alias("victim"))
     )
+    return assigned, pairs
+
+
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540, public): k-means-cluster the embedding corpus —
+    the exact ``ann_ivf_cosine`` stages (seed = first IVF_CLUSTERS
+    vectors, one distributed Lloyd round, rounded-cosine argmax
+    reassignment) — then mine near-duplicate pairs ONLY within each
+    cluster and prune every vector with a lower-id neighbor at cosine
+    ≥ τ (keep-first, the ``text_line_dedup`` rule applied to vectors).
+
+    This is the production-scale trade the flat ``dedup_embedding_
+    cosine`` can't express: pair candidates drop from O(n²) to
+    Σ|cluster|² with NO hash tables, at the cost of missing pairs that
+    straddle a cluster boundary — which is why the output reports
+    per-cluster members/pairs/pruned rather than claiming corpus
+    recall. A degenerate cluster is bounded by SEMDEDUP_CLUSTER_CAP
+    (deterministic vec_id ranking) with the truncation emitted as a
+    hash-checked ``n_overflow`` (the round-6 observability rule).
+
+    100 TB shape: centroids broadcast; two corpus scans (assign ×2);
+    shuffles key on (cluster) and the per-cluster window reuses the
+    pair join's partitioning. The oracle replays every stage with
+    identical 6/9-decimal rounding and tie-breaks."""
+    release_scoped_persists()
+    assigned, pairs = _semdedup_pairs(spark, sf_dir)
     per_cluster = pairs.groupBy("cluster").agg(
         F.count("*").alias("n_dup_pairs"),
         F.count_distinct("victim").alias("n_pruned"),
@@ -686,6 +698,67 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup boundary-miss measurement as a first-class query — the
+    missing evaluation twin ``dedup_recall_eval`` (LSH vs exact
+    Jaccard) and ``ann_recall_eval`` (LSH ANN vs brute force) already
+    have: confusion-join the VICTIM SETS of cluster-scoped semantic
+    dedup (``dedup_semantic_cluster``'s keep-first prunes) against the
+    flat all-pairs truth (``dedup_embedding_cosine`` at the same τ —
+    SEMDEDUP_TAU == COSINE_DUP_THRESHOLD) and emit tp/fp/fn with
+    precision/recall.
+
+    A SemDeDup victim always has a lower-id neighbor at cosine ≥ τ in
+    its own cluster, and every such within-cluster pair is also a flat
+    pair, so precision is 1 BY CONSTRUCTION — fp > 0 would mean a bug,
+    which is exactly why it is an emitted, hash-checked column. Recall
+    is the published algorithm's documented trade (Abbas et al. 2023):
+    fn counts vectors whose only duplicate neighbors sit across a
+    cluster boundary (or past the per-cluster cap), the quantity the
+    round-6 contract stated but did not measure.
+
+    Scale note: the flat truth side is the capped/LSH-accelerated
+    ``dedup_embedding_cosine`` (exact-dup collapse → banded LSH →
+    batched verify — zero-missed-pairs certified per fixture), so the
+    eval never materializes an O(n²) join; at 100 TB one runs it on a
+    sampled stratum, and the query composes unchanged. The oracle
+    replays BOTH paths (the k-means stage replay and the all-pairs
+    truth) and recomputes the identical confusion counts."""
+    from eventstream_benchmark_spark.operators.dedup import dedup_embedding_cosine
+
+    # flat truth first: dedup_embedding_cosine releases scoped persists
+    # at ITS entry, so it must precede _semdedup_pairs' registrations
+    flat = dedup_embedding_cosine(spark, sf_dir)
+    truth = (
+        flat.select(F.col("v2").alias("vec_id"))
+        .distinct()
+        .withColumn("in_truth", F.lit(1))
+    )
+    _assigned, pairs = _semdedup_pairs(spark, sf_dir)
+    sem = (
+        pairs.select(F.col("victim").alias("vec_id"))
+        .distinct()
+        .withColumn("in_sem", F.lit(1))
+    )
+    conf = truth.join(sem, "vec_id", "full_outer")
+    tp = F.sum(
+        (F.col("in_truth").isNotNull() & F.col("in_sem").isNotNull()).cast("int")
+    )
+    fp = F.sum(
+        (F.col("in_truth").isNull() & F.col("in_sem").isNotNull()).cast("int")
+    )
+    fn = F.sum(
+        (F.col("in_truth").isNotNull() & F.col("in_sem").isNull()).cast("int")
+    )
+    return conf.agg(
+        bigint(tp).alias("tp"),
+        bigint(fp).alias("fp"),
+        bigint(fn).alias("fn"),
+        F.when(tp + fp > 0, r6(tp / (tp + fp))).alias("precision_ratio"),
+        F.when(tp + fn > 0, r6(tp / (tp + fn))).alias("recall_ratio"),
+    )
+
+
 QUERIES = {
     "embed_cosine_topk": embed_cosine_topk,
     "embed_matryoshka_energy": embed_matryoshka_energy,
@@ -698,6 +771,7 @@ QUERIES = {
     "ann_lsh_query_topk": ann_lsh_query_topk,
     "ann_ivf_cosine": ann_ivf_cosine,
     "dedup_semantic_cluster": dedup_semantic_cluster,
+    "dedup_semantic_recall_eval": dedup_semantic_recall_eval,
 }
 
 _COS_SQL = (
@@ -1050,9 +1124,11 @@ ORACLES["ann_recall_eval"] = f"""
 # (seed -> rounded-cosine argmax -> one 9-decimal Lloyd round ->
 # reassign), then QUALIFY-free capped within-cluster pairs and the
 # keep-first prune count. Same 6-decimal pair cosine, same vec_id
-# ranking for the cap, overflow mirrored exactly.
-ORACLES["dedup_semantic_cluster"] = f"""
-    WITH e AS (
+# ranking for the cap, overflow mirrored exactly. The CTE block is
+# shared with the recall-eval oracle below, which composes it with the
+# all-pairs flat truth replay.
+_SEMDEDUP_CTES = f"""
+    e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
@@ -1099,7 +1175,10 @@ ORACLES["dedup_semantic_cluster"] = f"""
         FROM capped a JOIN capped b
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE round({_fold_cos('a.v', 'b.v')}, 6) >= {SEMDEDUP_TAU!r}
-    ),
+    )"""
+
+ORACLES["dedup_semantic_cluster"] = f"""
+    WITH {_SEMDEDUP_CTES},
     pc AS (
         SELECT cluster, count(*) AS n_dup_pairs,
                count(DISTINCT victim) AS n_pruned
@@ -1114,3 +1193,48 @@ ORACLES["dedup_semantic_cluster"] = f"""
                AS n_overflow
     FROM m LEFT JOIN pc USING (cluster) ORDER BY m.cluster
 """
+
+# composed replay for the boundary-miss eval: the SemDeDup stage CTEs
+# (above) give the semantic victim set; the flat truth is the same
+# all-pairs spelling as the dedup_embedding_cosine oracle at the
+# identical τ; the confusion counts mirror the Spark full-outer join.
+# The eval's precision-is-1 contract (fp = 0) is hash-checked like any
+# other column.
+ORACLES["dedup_semantic_recall_eval"] = f"""
+    WITH {_SEMDEDUP_CTES},
+    sem AS (SELECT DISTINCT victim AS vec_id FROM pairs),
+    truth AS (
+        SELECT DISTINCT b.vec_id AS vec_id
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 6) >= {SEMDEDUP_TAU!r}
+    ),
+    conf AS (
+        SELECT coalesce(t.vec_id, s.vec_id) AS vec_id,
+               t.vec_id IS NOT NULL AS in_truth,
+               s.vec_id IS NOT NULL AS in_sem
+        FROM truth t FULL OUTER JOIN sem s ON t.vec_id = s.vec_id
+    ),
+    c AS (
+        SELECT sum(CASE WHEN in_truth AND in_sem THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN NOT in_truth AND in_sem THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN in_truth AND NOT in_sem THEN 1 ELSE 0 END) AS fn
+        FROM conf
+    )
+    SELECT CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp > 0
+                THEN round(tp * 1.0 / (tp + fp), 6) END AS precision_ratio,
+           CASE WHEN tp + fn > 0
+                THEN round(tp * 1.0 / (tp + fn), 6) END AS recall_ratio
+    FROM c
+"""
+
+# SEMDEDUP_TAU must stay equal to the flat path's threshold or the
+# eval compares two different dedup contracts; fail at import, not in
+# a driver round
+from eventstream_benchmark_spark.operators.dedup import COSINE_DUP_THRESHOLD
+
+assert SEMDEDUP_TAU == COSINE_DUP_THRESHOLD
