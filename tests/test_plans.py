@@ -864,16 +864,17 @@ def test_range_export_no_global_sort_task(spark, sf_small):
     """The sorted export's write executes inside the query, so the
     returned frame only shows the read-back certification — pin that
     side (no cartesian, no Python) and pin the WRITE pipeline by
-    rebuilding the assignment plan: the only unkeyed window is the
-    ntile over the ~1% hash sample, the split points ride a broadcast,
-    and no global Sort of the fact ever materializes."""
+    rebuilding the assignment plan: NO ntile / data-sized
+    single-partition window anywhere (round-7: split points come from
+    the bucketed histogram selection in ``_sort_split_points`` — every
+    Window is keyed), the split points ride a broadcast, and no global
+    Sort of the fact ever materializes."""
     import pyspark.sql.functions as F
-    from pyspark.sql import Window as W
 
     from eventstream_benchmark_spark.io import load_table
     from eventstream_benchmark_spark.operators.relational import (
-        SORT_RUNS,
         SORT_SAMPLE_MOD,
+        _sort_split_points,
     )
 
     plan = _plan(spark, sf_small, "export_range_partitioned")
@@ -888,13 +889,7 @@ def test_range_export_no_global_sort_task(spark, sf_small):
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
     ).cast("long")
     sample = ev.filter(h % SORT_SAMPLE_MOD == 0).select(k.alias("k"))
-    bounds = (
-        sample.withColumn("t", F.ntile(SORT_RUNS).over(W.orderBy("k")))
-        .filter(F.col("t") < SORT_RUNS)
-        .groupBy("t")
-        .agg(F.max("k").alias("b"))
-        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
-    )
+    bounds = _sort_split_points(sample)
     run = F.aggregate(
         F.col("bs"),
         F.lit(0),
@@ -911,10 +906,15 @@ def test_range_export_no_global_sort_task(spark, sf_small):
     wplan = assigned._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert "ntile" in wplan
+    # the data-sized unkeyed window is gone, and every remaining
+    # Window operator is keyed (the bucket/super-bucket partition
+    # columns appear in its argument list)
+    assert "ntile" not in wplan
+    win_args = re.findall(r"\(\d+\) Window[^(]*?Arguments: [^\n]*", wplan)
+    assert win_args and all("kb#" in w for w in win_args)
     assert "BroadcastExchange" in wplan  # split points broadcast
     # no Sort node anywhere is global: Sort arguments render as
-    # "[keys], <global>, 0" — the fact's run-local sort and even the
-    # sample's ntile sort (single-partition window) are both local
+    # "[keys], <global>, 0" — the fact's run-local sort and the
+    # within-bucket selection sorts are all local
     sort_args = re.findall(r"\(\d+\) Sort[^(]*?Arguments: [^\n]*", wplan)
     assert sort_args and all(", false, 0" in s for s in sort_args)

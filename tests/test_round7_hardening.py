@@ -1,0 +1,87 @@
+"""Round-7 hardening pins.
+
+1. ``_sort_split_points`` must select the k values at EXACTLY the
+   sorted positions ``ntile(SORT_RUNS)`` tile maxima occupy — the
+   bucketed keyed-window spelling and the single-partition ntile
+   spelling are interchangeable BY VALUE, which is what lets the
+   DuckDB oracle keep its honest single-node ntile replay while the
+   Spark plan carries no data-sized unkeyed window. Pinned over the
+   adversarial shapes the closed-form position rule must survive:
+   heavy ties (multiset positions, not row identity), n < RUNS (empty
+   ntile tiles produce no split point), n == RUNS, a single row, an
+   empty sample, all keys in one histogram bucket, and one key per
+   bucket.
+2. The family-shared persist registry: one build per (app, fixture)
+   key, re-persist after an external clearCache, and full release at
+   harness boundaries.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+
+_CASES = {
+    "ties_heavy": [5] * 20 + [7] * 13 + [9],
+    "n_lt_runs": [3, 1, 2],
+    "n_eq_runs": list(range(8)),
+    "single": [42],
+    "empty": [],
+    "random_997": [random.Random(7).randrange(0, 10**15) for _ in range(997)],
+    "one_bucket": [1000 + i for i in range(100)],
+    "one_per_bucket": [i * (1 << 33) for i in range(50)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(_CASES))
+def test_split_points_match_ntile_positions(spark, name):
+    from eventstream_benchmark_spark.operators.relational import (
+        SORT_RUNS,
+        _sort_split_points,
+    )
+
+    ks = _CASES[name]
+    df = (
+        spark.createDataFrame([(int(x),) for x in ks], "k long")
+        if ks
+        else spark.createDataFrame([], "k long")
+    )
+    new = _sort_split_points(df).collect()[0]["bs"]
+    old = (
+        df.withColumn("t", F.ntile(SORT_RUNS).over(Window.orderBy("k")))
+        .filter(F.col("t") < SORT_RUNS)
+        .groupBy("t")
+        .agg(F.max("k").alias("b"))
+        .agg(F.sort_array(F.collect_list("b")).alias("bs"))
+    ).collect()[0]["bs"]
+    assert new == old
+
+
+def test_shared_persist_lifecycle(spark, sf_small):
+    from eventstream_benchmark_spark.operators._cache import (
+        _SHARED,
+        release_shared_persists,
+        shared_persist,
+    )
+
+    builds = []
+    key = ("test_family", spark.sparkContext.applicationId, "fixture")
+
+    def builder():
+        builds.append(1)
+        return spark.range(10).withColumn("x", F.col("id") * 2)
+
+    a = shared_persist(key, builder)
+    b = shared_persist(key, builder)
+    assert a is b and len(builds) == 1 and a.is_cached
+    # an external clearCache must not leave a silently-unpersisted
+    # entry in the registry: the next fetch re-persists (no rebuild)
+    spark.catalog.clearCache()
+    c = shared_persist(key, builder)
+    assert c is a and len(builds) == 1 and c.is_cached
+    release_shared_persists()
+    assert key not in _SHARED and not a.is_cached
