@@ -1021,14 +1021,17 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical IEEE-double expression; pre-rounding doubles are then
     bit-identical, making the rounded hash deterministic.
 
-    The moments are EMITTED as fixed-scale decimal strings (the
-    hash-green ``scalar_decimal`` pattern): the round-2 row still
-    hash-failed despite exact local value parity, i.e. the residual
-    divergence is in double *serialization* inside the driver's hash
-    canonicalization (e.g. −0.0 vs 0.0), not in the math. A rounded
-    double's shortest repr has ≤ scale fraction digits, so the
-    double→decimal cast is exact in both engines and digit-for-digit
-    string equality is immune to any float canonicalization."""
+    The moments are EMITTED integer-scaled (``*_e4`` / ``*_e6`` BIGINT
+    columns — round-7 migration to SCALE.md's round-5 rule): a
+    ``round(x, k)`` k-digit round can land within an ulp of the k-dp
+    .5 grid, where Spark (shortest-decimal BigDecimal) and DuckDB
+    (binary double) round DIFFERENT ways — the exact failure class the
+    sf0.1 third-scale sweep caught six times in round 5. A 0-dp round
+    of the 10^k-scaled value is boundary-safe (every 0-dp .5 IS
+    float-representable, so both engines see the same tie and both
+    round it half-away-from-zero), and the BIGINT output is immune to
+    any float serialization concern (−0.0, shortest-repr drift) by
+    construction."""
     li = load_table(spark, sf_dir, "lineitem")
 
     def dec(c: str) -> Column:
@@ -1053,15 +1056,15 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mqq = dbl["sqq"] - dbl["sq"] * dbl["sq"] / n
     mqx = dbl["sqx"] - dbl["sq"] * dbl["sx"] / n
     mdt = dbl["sdt"] - dbl["sd"] * dbl["st"] / n
-    def dec_str(col: Column, scale: int) -> Column:
-        return col.cast(f"decimal(28,{scale})").cast("string")
+    def scaled(col: Column, k: int) -> Column:
+        return bigint(F.round(col * F.lit(float(10**k)), 0))
 
     return sums.select(
         "l_linestatus",
-        dec_str(r4(F.sqrt(mxx / (n - 1))), 4).alias("sd_price"),
-        dec_str(r4(mqq / (n - 1)), 4).alias("var_qty"),
-        dec_str(r6(mqx / F.sqrt(mqq * mxx)), 6).alias("corr_qty_price"),
-        dec_str(r4(mdt / (n - 1)), 4).alias("cov_disc_tax"),
+        scaled(F.sqrt(mxx / (n - 1)), 4).alias("sd_price_e4"),
+        scaled(mqq / (n - 1), 4).alias("var_qty_e4"),
+        scaled(mqx / F.sqrt(mqq * mxx), 6).alias("corr_qty_price_e6"),
+        scaled(mdt / (n - 1), 4).alias("cov_disc_tax_e4"),
     ).orderBy("l_linestatus")
 
 
@@ -3649,14 +3652,14 @@ ORACLES = {
             FROM sums
         )
         SELECT l_linestatus,
-               CAST(CAST(round(sqrt(mxx / (n - 1)), 4) AS DECIMAL(28,4))
-                    AS VARCHAR) AS sd_price,
-               CAST(CAST(round(mqq / (n - 1), 4) AS DECIMAL(28,4))
-                    AS VARCHAR) AS var_qty,
-               CAST(CAST(round(mqx / sqrt(mqq * mxx), 6) AS DECIMAL(28,6))
-                    AS VARCHAR) AS corr_qty_price,
-               CAST(CAST(round(mdt / (n - 1), 4) AS DECIMAL(28,4))
-                    AS VARCHAR) AS cov_disc_tax
+               CAST(round(sqrt(mxx / (n - 1)) * 10000.0, 0) AS BIGINT)
+                   AS sd_price_e4,
+               CAST(round(mqq / (n - 1) * 10000.0, 0) AS BIGINT)
+                   AS var_qty_e4,
+               CAST(round(mqx / sqrt(mqq * mxx) * 1000000.0, 0) AS BIGINT)
+                   AS corr_qty_price_e6,
+               CAST(round(mdt / (n - 1) * 10000.0, 0) AS BIGINT)
+                   AS cov_disc_tax_e4
         FROM m ORDER BY l_linestatus
     """,
     "sql_tpch_q3": """
