@@ -860,6 +860,20 @@ def test_semantic_dedup_pairs_stay_within_clusters(spark, sf_small):
         assert py_op not in plan
 
 
+def test_semantic_recall_eval_composes_without_cartesian(spark, sf_small):
+    """The boundary-miss eval composes the flat LSH-accelerated truth
+    with the SemDeDup stages and a vec_id-keyed full-outer confusion
+    join — never an all-pairs operator: the only nested loops are the
+    two 16-row centroid broadcasts, and the only Python is the flat
+    side's Arrow-batched sequential-fold dot (no row-at-a-time eval,
+    no grouped-pandas fallback)."""
+    plan = _plan(spark, sf_small, "dedup_semantic_recall_eval")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
+    for py_op in ("BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+
+
 def test_range_export_no_global_sort_task(spark, sf_small):
     """The sorted export's write executes inside the query, so the
     returned frame only shows the read-back certification — pin that
