@@ -94,6 +94,39 @@ def _edge_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edge_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thresholded UNDIRECTED edge list (src, dst) — both
+    directions of every ≥ TRIANGLE_MIN_ORDERS pair — landed ONCE
+    hash-partitioned on ``src`` through the family-shared persist.
+    Consumed by ``graph_pagerank`` (the degree aggregate, the degree
+    join, and every iteration's rank join) and ``graph_bfs_hops``
+    (the seed-degree aggregate and every hop's frontier join): all of
+    them key on ``src``, so with this one upfront exchange every
+    iterative round is exchange-free on the edge side — the
+    partitioning-reuse rule the round-5 verdict's profiling item
+    established for pagerank, now shared by both iterative consumers."""
+
+    def build() -> DataFrame:
+        e = (
+            _edge_base(spark, sf_dir)
+            .filter(F.col("n_orders") >= TRIANGLE_MIN_ORDERS)
+            .select("p1", "p2")
+        )
+        un = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
+            e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+        return un.repartition("src")
+
+    return shared_persist(
+        (
+            "copurchase_undirected",
+            spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir),
+        ),
+        build,
+    )
+
+
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the top part pairs most often
     bought in the same order. The classic association-mining primitive
@@ -206,16 +239,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines cut the same 20 rows. No dangling nodes exist by
     construction (every vertex comes from an edge)."""
     release_scoped_persists()
-    e = _edge_base(spark, sf_dir).filter(
-        F.col("n_orders") >= TRIANGLE_MIN_ORDERS
-    ).select("p1", "p2")
-    # undirected → both directions, landed ONCE hash-partitioned on src:
-    # the degree aggregate, the annotation join, and all three rank
-    # joins consume this partitioning without another edge exchange
-    un = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
-        e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-    )
-    unp = scoped_persist(un.repartition("src"))
+    # undirected edges landed ONCE hash-partitioned on src (the
+    # family-SHARED frame, also consumed by BFS): the degree
+    # aggregate, the annotation join, and all three rank joins consume
+    # this partitioning without another edge exchange
+    unp = _edge_undirected(spark, sf_dir)
     deg = unp.groupBy("src").agg(F.count("*").alias("deg"))
     # the deg join preserves hashpartitioning(src); persisting its
     # result keeps the iterations from re-running it three times
@@ -342,14 +370,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; the DuckDB oracle replays it as a recursive CTE whose
     UNION-dedupe bounds the walk at |V|·hops rows despite cycles."""
     release_scoped_persists()
-    e = _edge_base(spark, sf_dir).filter(
-        F.col("n_orders") >= TRIANGLE_MIN_ORDERS
-    ).select("p1", "p2")
-    un = scoped_persist(
-        e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
-            e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-        )
-    )
+    # the family-SHARED undirected src-partitioned edge list: every
+    # hop's frontier join keys on src, so each round is exchange-free
+    # on the edge side (the same reuse pagerank's iterations get)
+    un = _edge_undirected(spark, sf_dir)
     seeds = (
         un.groupBy(F.col("src").alias("v"))
         .agg(F.count("*").alias("deg"))
