@@ -690,8 +690,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     batched sequential-fold dot (``_seq_dot_udf``) with per-vector
     norms precomputed once (a norm is a pure function of the vector;
     precomputing changes no bits vs the oracle's per-pair
-    ``sqrt(fold(a,a))``)."""
+    ``sqrt(fold(a,a))``).
+
+    The verified pair set is family-shared (built once per session +
+    fixture): ``dedup_semantic_recall_eval`` consumes the identical
+    frame as its flat all-pairs truth side."""
     release_scoped_persists()
+    return shared_persist(
+        (
+            "emb_cosine_pairs",
+            spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir),
+        ),
+        lambda: _emb_cosine_pairs_build(spark, sf_dir),
+    )
+
+
+def _emb_cosine_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq_dot = _seq_dot_udf()
     raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
