@@ -17,6 +17,15 @@ from eventstream_benchmark_spark.operators import all_queries
 
 
 def _plan(spark, sf_dir, name: str) -> str:
+    # hermetic: a family-shared frame materialized by an EARLIER test
+    # prints its cached subtree once per reference, double-counting
+    # pinned operators — release so every pin reads the canonical cold
+    # build plan regardless of suite order
+    from eventstream_benchmark_spark.operators._cache import (
+        release_shared_persists,
+    )
+
+    release_shared_persists()
     df = all_queries()[name](spark, sf_dir)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

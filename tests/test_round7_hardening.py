@@ -85,3 +85,56 @@ def test_shared_persist_lifecycle(spark, sf_small):
     assert c is a and len(builds) == 1 and c.is_cached
     release_shared_persists()
     assert key not in _SHARED and not a.is_cached
+
+
+def _family_keys(prefix: str):
+    from eventstream_benchmark_spark.operators._cache import _SHARED
+
+    return [k for k in _SHARED if k[0] == prefix]
+
+
+def test_dedup_family_shares_one_pair_build(spark, sf_small):
+    """The three MinHash pair-set consumers must ride ONE family-shared
+    build — and consuming the shared frame must change nothing about
+    the result (cold rebuild == shared read)."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_shared_persists,
+    )
+    from eventstream_benchmark_spark.operators import all_queries
+
+    qs = all_queries()
+    release_shared_persists()
+    cold = sorted(map(tuple, qs["dedup_cluster_cc"](spark, sf_small).collect()))
+    assert len(_family_keys("minhash_pairs")) == 1
+    # a second consumer must NOT register a second build for the fixture
+    qs["dedup_minhash_lsh"](spark, sf_small).count()
+    qs["dedup_recall_eval"](spark, sf_small).count()
+    assert len(_family_keys("minhash_pairs")) == 1
+    shared = sorted(map(tuple, qs["dedup_cluster_cc"](spark, sf_small).collect()))
+    assert shared == cold
+    release_shared_persists()
+
+
+def test_embedding_family_shares_ivf_and_pair_builds(spark, sf_small):
+    """ann_ivf_cosine + both SemDeDup queries share one IVF model
+    (centroids + inverted file); the SemDeDup victim set and the
+    flat embedding-cosine pair set are each built once; and the eval
+    composed from shared frames equals the eval composed cold."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_shared_persists,
+    )
+    from eventstream_benchmark_spark.operators import all_queries
+
+    qs = all_queries()
+    release_shared_persists()
+    cold = qs["dedup_semantic_recall_eval"](spark, sf_small).collect()
+    for fam in ("ivf_refined", "ivf_assigned", "semdedup_victims", "emb_cosine_pairs"):
+        assert len(_family_keys(fam)) == 1, fam
+    qs["ann_ivf_cosine"](spark, sf_small).count()
+    qs["dedup_semantic_cluster"](spark, sf_small).count()
+    qs["dedup_embedding_cosine"](spark, sf_small).count()
+    for fam in ("ivf_refined", "ivf_assigned", "semdedup_victims", "emb_cosine_pairs"):
+        assert len(_family_keys(fam)) == 1, fam
+    shared = qs["dedup_semantic_recall_eval"](spark, sf_small).collect()
+    assert shared == cold
+    release_shared_persists()
