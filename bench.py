@@ -129,6 +129,22 @@ SF1_QUERIES = (
 # pass): for the shared-build graph family the min is the warm
 # steady state and the spread carries the one-time build.
 SF1_HEAVY_RUNS = int(os.environ.get("SPARK_GRAFT_SF1_HEAVY_RUNS", "2"))
+
+# Queries whose measured WORK is itself a family-shared artifact build
+# (round-7 shared-build extension): with min-of-N, their second pass
+# would read the persisted artifact back and report a cache-read time
+# as the query's cost. Before EVERY timed pass of an emitter, its own
+# family entries are dropped (selectively — other families' builds,
+# like the graph lane's edge aggregate mid-handoff, stay) so each pass
+# pays the real build; the LAST pass still leaves the artifact behind,
+# which is what downstream consumer queries (cluster CC, corpus prep,
+# the recall evals) deliberately ride — that asymmetry is the honest
+# split: emitters report build cost, consumers report marginal cost.
+EMITTER_FAMILIES = {
+    "dedup_minhash_lsh": ("minhash_pairs",),
+    "dedup_embedding_cosine": ("emb_cosine_pairs",),
+    "dedup_semantic_cluster": ("semdedup_victims", "ivf_assigned", "ivf_refined"),
+}
 SF1_HEAVY = {
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
@@ -180,6 +196,7 @@ def main() -> None:
 
     from eventstream_benchmark_spark.operators._cache import (
         release_scoped_persists,
+        release_shared_families,
         release_shared_persists,
     )
 
@@ -188,6 +205,8 @@ def main() -> None:
         fn = queries[name]
         samples = []
         for _ in range(HEAVY_RUNS if name in HEAVY else RUNS):
+            if name in EMITTER_FAMILIES:
+                release_shared_families(EMITTER_FAMILIES[name])
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
@@ -231,6 +250,8 @@ def main() -> None:
         for name in SF1_QUERIES:
             samples = []
             for _ in range(SF1_HEAVY_RUNS if name in SF1_HEAVY else 1):
+                if name in EMITTER_FAMILIES:
+                    release_shared_families(EMITTER_FAMILIES[name])
                 t0 = time.perf_counter()
                 n = queries[name](spark, sf1_dir).count()
                 samples.append(time.perf_counter() - t0)

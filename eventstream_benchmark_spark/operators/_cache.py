@@ -69,3 +69,13 @@ def release_shared_persists() -> None:
     """Unpersist every family-shared frame (harness boundaries only)."""
     while _SHARED:
         _SHARED.popitem()[1].unpersist()
+
+
+def release_shared_families(prefixes: tuple[str, ...]) -> None:
+    """Unpersist and drop only the shared frames whose family tag (the
+    key's first element) is in ``prefixes`` — the bench uses this so a
+    query that EMITS a shared artifact pays its own build on every
+    measured pass without evicting other families' builds (e.g. the
+    graph lane's edge aggregate mid-handoff)."""
+    for key in [k for k in _SHARED if k[0] in prefixes]:
+        _SHARED.pop(key).unpersist()
