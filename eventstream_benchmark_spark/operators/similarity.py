@@ -44,11 +44,22 @@ def _as_double(col: str = "embedding"):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _dot(va, vb):
+    """Left-to-right sequential fold dot — the cross-engine-stable
+    spelling (DuckDB ``list_reduce`` folds in the same order)."""
+    return F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def _norm(v):
+    """sqrt of the sequential sum-of-squares fold — a pure function of
+    the vector, so it can be computed once per vector and reused
+    across every pair that vector appears in: the cosine
+    ``dot/(na·nb)`` sees the identical doubles either way."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
 def _cosine(va, vb):
-    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda a, x: a + x * x))
-    nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda a, x: a + x * x))
-    return dot / (na * nb)
+    return _dot(va, vb) / (_norm(va) * _norm(vb))
 
 
 # --------------------------------------------------------------------------
@@ -79,13 +90,23 @@ def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
     queries = F.broadcast(
         emb.filter(F.col("vec_id") < KNN_QUERIES).select(
-            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            _norm(F.col("v")).alias("qnrm"),
         )
     )
+    # corpus norms folded once per vector, not once per (vector, query)
     scored = (
-        emb.crossJoin(queries)
+        emb.withColumn("vnrm", _norm(F.col("v")))
+        .crossJoin(queries)
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", r6(_cosine(F.col("v"), F.col("qv"))).alias("cosine"))
+        .select(
+            "q_id",
+            "vec_id",
+            r6(_dot(F.col("v"), F.col("qv")) / (F.col("vnrm") * F.col("qnrm"))).alias(
+                "cosine"
+            ),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -184,6 +205,8 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bk_rank") <= LSH_BUCKET_CAP)
         .drop("bk_rank")
+        # one norm fold per surviving vector, reused by every pair
+        .withColumn("nrm", _norm(F.col("v")))
     )
     a = capped.alias("a")
     b = capped.alias("b")
@@ -197,7 +220,9 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.bucket").alias("bucket"),
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
-            r6(_cosine(F.col("a.v"), F.col("b.v"))).alias("cosine"),
+            r6(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
             bigint(F.col("a.n_overflow")).alias("n_overflow"),
         )
     )
@@ -261,20 +286,30 @@ def ann_lsh_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = bucket + c
     bucketed = emb.withColumn("bucket", bucket.cast("bigint"))
     queries = bucketed.filter(F.col("vec_id") < KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+        _norm(F.col("v")).alias("qnrm"),
     )
     # each corpus vector lives in exactly one bucket and the 79 probed
     # buckets are pairwise distinct, so no (q, candidate) dedup needed
     probes = queries.select(
         "q_id",
         "qv",
+        "qnrm",
         F.explode(
             F.array(*[F.col("qb").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS])
         ).alias("bucket"),
     )
-    candidates = probes.join(bucketed, "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    candidates = probes.join(
+        bucketed.withColumn("nrm", _norm(F.col("v"))), "bucket"
+    ).filter(F.col("vec_id") != F.col("q_id"))
     scored = candidates.select(
-        "q_id", "vec_id", r6(_cosine(F.col("qv"), F.col("v"))).alias("cosine")
+        "q_id",
+        "vec_id",
+        r6(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -294,8 +329,22 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     decimals and ties break toward the lowest cluster id so the
     assignment is reproducible cross-engine (the DuckDB oracle ranks
     the same rounded values the same way)."""
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "v", "cluster", r6(_cosine(F.col("v"), F.col("cv"))).alias("sim")
+    # norms are folded ONCE per vector and once per centroid instead of
+    # per (vector, centroid) pair — the interpreted-HOF fold is the
+    # whole cost of this stage (3 folds/pair -> 1), and the cosine
+    # divides the identical doubles, so every rounded sim is unchanged
+    cent = centroids.select("cluster", "cv", _norm(F.col("cv")).alias("cnrm"))
+    scored = (
+        emb.withColumn("vnrm", _norm(F.col("v")))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "v",
+            "cluster",
+            r6(_dot(F.col("v"), F.col("cv")) / (F.col("vnrm") * F.col("cnrm"))).alias(
+                "sim"
+            ),
+        )
     )
     return scored.groupBy("vec_id").agg(
         F.max_by(
@@ -402,11 +451,19 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("pr") <= IVF_PROBES)
-        .select("q_id", "qv", "cluster")
+        .select("q_id", "qv", _norm(F.col("qv")).alias("qnrm"), "cluster")
     )
-    candidates = probe.join(assigned, "cluster").filter(F.col("vec_id") != F.col("q_id"))
+    # corpus-side norms folded once per assigned vector (below the
+    # join), query norms once per surviving probe — not per candidate
+    candidates = probe.join(
+        assigned.withColumn("nrm", _norm(F.col("v"))), "cluster"
+    ).filter(F.col("vec_id") != F.col("q_id"))
     scored = candidates.select(
-        "q_id", "vec_id", r6(_cosine(F.col("qv"), F.col("v"))).alias("cosine")
+        "q_id",
+        "vec_id",
+        r6(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -675,10 +732,14 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str):
 
     def build() -> DataFrame:
         w_rank = W.partitionBy("cluster").orderBy("vec_id")
+        # per-vector norms folded once on the capped set (≤ CAP rows
+        # per cluster) instead of twice per candidate pair — identical
+        # doubles into the identical dot/(na·nb) division
         capped = (
             assigned.withColumn("rnk", F.row_number().over(w_rank))
             .filter(F.col("rnk") <= SEMDEDUP_CLUSTER_CAP)
             .drop("rnk")
+            .withColumn("nrm", _norm(F.col("v")))
         )
         a, b = capped.alias("a"), capped.alias("b")
         return (
@@ -687,7 +748,13 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str):
                 (F.col("a.cluster") == F.col("b.cluster"))
                 & (F.col("a.vec_id") < F.col("b.vec_id")),
             )
-            .filter(r6(_cosine(F.col("a.v"), F.col("b.v"))) >= SEMDEDUP_TAU)
+            .filter(
+                r6(
+                    _dot(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.nrm") * F.col("b.nrm"))
+                )
+                >= SEMDEDUP_TAU
+            )
             .select(
                 F.col("a.cluster").alias("cluster"), F.col("b.vec_id").alias("victim")
             )
