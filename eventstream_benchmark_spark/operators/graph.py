@@ -168,14 +168,30 @@ def _degree_oriented(e: DataFrame) -> DataFrame:
     )
 
 
-def _count_triangles(oriented: DataFrame) -> DataFrame:
+TRIANGLE_BROADCAST_CAP = 50_000_000  # closing-side edges; ~800 MB of (src, dst)
+
+
+def _count_triangles(oriented: DataFrame, n_edges: int = 0) -> DataFrame:
     """Wedge join + closing-edge check over a (deg, id)-oriented edge
     set: a triangle a≺b≺c has edges a→b, b→c, a→c under the total
     order, so joining (a→b)⋈(b→c) on the middle vertex and closing
-    with (a→c) counts each triangle exactly once."""
+    with (a→c) counts each triangle exactly once.
+
+    The wedge stream is O(Σ outdeg²) — up to E^1.5 rows even under the
+    degree orientation — so letting the closing check plan as a
+    sort-merge join exchanges AND sorts that entire stream (measured:
+    ~2/3 of the query at the sf1 flood's 1.2M-edge graph). The closing
+    side is only E rows, so below TRIANGLE_BROADCAST_CAP it is
+    broadcast: wedges then flow straight from the wedge join into a
+    map-side hash probe and a partial count — the wedge stream never
+    hits an exchange. Above the cap (where E itself no longer fits an
+    executor) the shuffled closing join is the correct plan, same
+    runtime sizing rule AQE applies; ``n_edges`` comes from a count on
+    the already-persisted edge frame, not an extra scan."""
     ab, bc, ac = oriented.alias("ab"), oriented.alias("bc"), oriented.alias("ac")
+    closing = F.broadcast(ac) if n_edges <= TRIANGLE_BROADCAST_CAP else ac
     return ab.join(bc, F.col("ab.dst") == F.col("bc.src")).join(
-        ac,
+        closing,
         (F.col("ac.src") == F.col("ab.src")) & (F.col("ac.dst") == F.col("bc.dst")),
     )
 
@@ -199,9 +215,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2")
     )
     oriented = scoped_persist(_degree_oriented(e))
+    # one cheap job on the persisted oriented frame decides the
+    # closing-join strategy (broadcast vs shuffle) before plan build
+    n_edges = oriented.count()
     verts = e.select(F.col("p1").alias("v")).union(e.select(F.col("p2").alias("v")))
     return (
-        _count_triangles(oriented)
+        _count_triangles(oriented, n_edges)
         .agg(bigint(F.count("*")).alias("n_triangles"))
         .crossJoin(e.agg(bigint(F.count("*")).alias("n_edges")))
         .crossJoin(verts.agg(bigint(F.countDistinct("v")).alias("n_vertices")))
