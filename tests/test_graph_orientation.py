@@ -42,3 +42,28 @@ def test_triangle_plus_pendant(spark):
         [(1, 2), (1, 3), (2, 3), (3, 4)], "p1 long, p2 long"
     )
     assert _count_triangles(_degree_oriented(e)).count() == 1
+
+
+def test_closing_join_broadcasts_below_cap_only(spark):
+    """The closing-edge check must never force the wedge stream
+    through an exchange when the edge set fits an executor: below
+    TRIANGLE_BROADCAST_CAP the closing side plans as a broadcast hash
+    join; above it (an executor that can't hold E can't hold the hash
+    table either) the switch falls back to the shuffled join. Pin the
+    switch itself by building both plans from the same frame."""
+    e = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)], "p1 long, p2 long"
+    )
+    o = _degree_oriented(e)
+    below = _count_triangles(o, n_edges=0)._jdf.queryExecution().executedPlan().toString()
+    above = _count_triangles(o, n_edges=10**12)._jdf.queryExecution().executedPlan().toString()
+    # below-cap: at least two BroadcastHashJoins (wedge join may also
+    # broadcast at this size) and the closing join is one of them
+    assert "BroadcastHashJoin" in below
+    # above-cap: the closing join must NOT carry the broadcast hint —
+    # with AQE disabled at plan build the non-hinted spelling keeps a
+    # sort-merge/shuffled-hash closing join on the (src, dst) keys
+    assert ("SortMergeJoin" in above) or ("ShuffledHashJoin" in above)
+    # both spellings agree on the count, cap or no cap
+    assert _count_triangles(o, n_edges=10**12).count() == 20
+    assert _count_triangles(o, n_edges=0).count() == 20
