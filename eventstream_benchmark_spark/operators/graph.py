@@ -168,10 +168,15 @@ def _degree_oriented(e: DataFrame) -> DataFrame:
     )
 
 
-TRIANGLE_BROADCAST_CAP = 50_000_000  # closing-side edges; ~800 MB of (src, dst)
+# closing-side edge cap for the broadcast strategy: 8M (src, dst)
+# rows ≈ 128 MB raw, but a broadcast relation costs several times its
+# raw bytes (driver-side collect + UnsafeHashedRelation build,
+# replicated per executor), so the cap is sized for the HASHED
+# footprint (~0.5-1 GB) to stay inside ordinary executor memory
+TRIANGLE_BROADCAST_CAP = 8_000_000
 
 
-def _count_triangles(oriented: DataFrame, n_edges: int = 0) -> DataFrame:
+def _count_triangles(oriented: DataFrame, n_edges: int | None = None) -> DataFrame:
     """Wedge join + closing-edge check over a (deg, id)-oriented edge
     set: a triangle a≺b≺c has edges a→b, b→c, a→c under the total
     order, so joining (a→b)⋈(b→c) on the middle vertex and closing
@@ -184,12 +189,19 @@ def _count_triangles(oriented: DataFrame, n_edges: int = 0) -> DataFrame:
     side is only E rows, so below TRIANGLE_BROADCAST_CAP it is
     broadcast: wedges then flow straight from the wedge join into a
     map-side hash probe and a partial count — the wedge stream never
-    hits an exchange. Above the cap (where E itself no longer fits an
-    executor) the shuffled closing join is the correct plan, same
-    runtime sizing rule AQE applies; ``n_edges`` comes from a count on
-    the already-persisted edge frame, not an extra scan."""
+    hits an exchange. Above the cap (where the hashed relation no
+    longer fits ordinary executor memory) the shuffled closing join is
+    the correct plan, the same runtime sizing rule AQE applies;
+    ``n_edges`` comes from a count on the already-persisted edge
+    frame, not an extra scan. When the caller does not know the edge
+    count (``n_edges=None``) the safe unhinted plan is used — the
+    broadcast is strictly an opt-in for a measured-small edge set."""
     ab, bc, ac = oriented.alias("ab"), oriented.alias("bc"), oriented.alias("ac")
-    closing = F.broadcast(ac) if n_edges <= TRIANGLE_BROADCAST_CAP else ac
+    closing = (
+        F.broadcast(ac)
+        if n_edges is not None and n_edges <= TRIANGLE_BROADCAST_CAP
+        else ac
+    )
     return ab.join(bc, F.col("ab.dst") == F.col("bc.src")).join(
         closing,
         (F.col("ac.src") == F.col("ab.src")) & (F.col("ac.dst") == F.col("bc.dst")),
@@ -215,8 +227,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2")
     )
     oriented = scoped_persist(_degree_oriented(e))
-    # one cheap job on the persisted oriented frame decides the
-    # closing-join strategy (broadcast vs shuffle) before plan build
+    # one job on the persisted oriented frame decides the closing-join
+    # strategy (broadcast vs shuffle) before plan build. This is a
+    # deliberate exception to the build-lazily rule (the tfidf pin):
+    # the count materializes exactly the scoped persists the query's
+    # own first action would materialize moments later, so the only
+    # plan-only cost is a cached-frame count — and the decision it
+    # buys removes the exchange+sort of the up-to-E^1.5-row wedge
+    # stream, which no static plan choice can do safely at every size
     n_edges = oriented.count()
     verts = e.select(F.col("p1").alias("v")).union(e.select(F.col("p2").alias("v")))
     return (

@@ -70,12 +70,22 @@ def _cosine(va, vb):
 def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
     probe = F.broadcast(
-        emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(F.col("v").alias("pv"))
+        emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            F.col("v").alias("pv"), _norm(F.col("v")).alias("pnrm")
+        )
     )
+    # the probe norm folds once on the one-row broadcast side, the
+    # corpus norm once per row — not two extra folds per scanned row
     return (
         emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .withColumn("vnrm", _norm(F.col("v")))
         .crossJoin(probe)
-        .select("vec_id", r6(_cosine(F.col("v"), F.col("pv"))).alias("cosine"))
+        .select(
+            "vec_id",
+            r6(_dot(F.col("v"), F.col("pv")) / (F.col("vnrm") * F.col("pnrm"))).alias(
+                "cosine"
+            ),
+        )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOPK)
     )
@@ -340,17 +350,22 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "v",
+            "vnrm",
             "cluster",
             r6(_dot(F.col("v"), F.col("cv")) / (F.col("vnrm") * F.col("cnrm"))).alias(
                 "sim"
             ),
         )
     )
+    # the already-folded per-vector norm rides the output for free
+    # (one F.first, no extra fold) so consumers of the family-shared
+    # inverted file never re-fold corpus norms per invocation
     return scored.groupBy("vec_id").agg(
         F.max_by(
             "cluster", F.struct(F.col("sim").alias("s"), (-F.col("cluster")).alias("c"))
         ).alias("cluster"),
         F.first("v").alias("v"),
+        F.first("vnrm").alias("nrm"),
     )
 
 
@@ -403,7 +418,7 @@ def _ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The final nearest-centroid assignment (vec_id, cluster, v),
+    """The final nearest-centroid assignment (vec_id, cluster, v, nrm),
     family-shared by the same three consumers as ``_ivf_refined`` —
     the inverted file itself. Corpus-sized but vector-dense-bounded
     (the fixture's 64-dim doubles ≈ 0.5 KB/row), the same storage
@@ -436,13 +451,27 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined = _ivf_refined(spark, sf_dir)
     assigned = _ivf_assigned(spark, sf_dir)
 
+    # query norms fold once per query (serving both the centroid-probe
+    # ranking and the candidate scoring), centroid norms once per
+    # centroid on the tiny broadcast side — never per (query, centroid)
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qnrm"),
+    )
+    cent = F.broadcast(
+        refined.select("cluster", "cv", _norm(F.col("cv")).alias("cnrm"))
     )
     probe = (
-        queries.crossJoin(F.broadcast(refined))
+        queries.crossJoin(cent)
         .select(
-            "q_id", "qv", "cluster", r6(_cosine(F.col("qv"), F.col("cv"))).alias("sim")
+            "q_id",
+            "qv",
+            "qnrm",
+            "cluster",
+            r6(_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+                "sim"
+            ),
         )
         .withColumn(
             "pr",
@@ -451,13 +480,13 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("pr") <= IVF_PROBES)
-        .select("q_id", "qv", _norm(F.col("qv")).alias("qnrm"), "cluster")
+        .select("q_id", "qv", "qnrm", "cluster")
     )
-    # corpus-side norms folded once per assigned vector (below the
-    # join), query norms once per surviving probe — not per candidate
-    candidates = probe.join(
-        assigned.withColumn("nrm", _norm(F.col("v"))), "cluster"
-    ).filter(F.col("vec_id") != F.col("q_id"))
+    # corpus-side norms come pre-folded out of the family-shared
+    # inverted file (_assign emits them), so no per-invocation re-fold
+    candidates = probe.join(assigned, "cluster").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
     scored = candidates.select(
         "q_id",
         "vec_id",
@@ -722,7 +751,8 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str):
     and ``dedup_semantic_recall_eval``: IVF k-means assignment (seed →
     one Lloyd round → reassign), the per-cluster vec_id-ranked cap,
     and the within-cluster keep-first near-dup pairs. Returns
-    ``(assigned, pairs)`` where ``assigned`` is (vec_id, v, cluster)
+    ``(assigned, pairs)`` where ``assigned`` is (vec_id, v, cluster,
+    nrm)
     and ``pairs`` is (cluster, victim) — BOTH family-shared persists
     (the assignment through ``_ivf_assigned``, the mined victim pairs
     keyed here), so the k-means stages and the capped within-cluster
@@ -732,14 +762,13 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str):
 
     def build() -> DataFrame:
         w_rank = W.partitionBy("cluster").orderBy("vec_id")
-        # per-vector norms folded once on the capped set (≤ CAP rows
-        # per cluster) instead of twice per candidate pair — identical
-        # doubles into the identical dot/(na·nb) division
+        # per-vector norms come pre-folded out of the family-shared
+        # inverted file — the pair filter divides the identical
+        # doubles the per-pair fold would have produced
         capped = (
             assigned.withColumn("rnk", F.row_number().over(w_rank))
             .filter(F.col("rnk") <= SEMDEDUP_CLUSTER_CAP)
             .drop("rnk")
-            .withColumn("nrm", _norm(F.col("v")))
         )
         a, b = capped.alias("a"), capped.alias("b")
         return (

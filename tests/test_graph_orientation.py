@@ -46,24 +46,33 @@ def test_triangle_plus_pendant(spark):
 
 def test_closing_join_broadcasts_below_cap_only(spark):
     """The closing-edge check must never force the wedge stream
-    through an exchange when the edge set fits an executor: below
+    through an exchange when the edge set fits an executor: at
     TRIANGLE_BROADCAST_CAP the closing side plans as a broadcast hash
-    join; above it (an executor that can't hold E can't hold the hash
-    table either) the switch falls back to the shuffled join. Pin the
-    switch itself by building both plans from the same frame."""
+    join; one edge above (where the hashed relation outgrows ordinary
+    executor memory) the switch falls back to the shuffled join, and
+    an unknown count (None) takes the safe unhinted plan. The probes
+    straddle the actual constant so raising the cap cannot silently
+    untest the fallback, and the assertion is DIFFERENTIAL — the two
+    plans differ only in the closing-join hint, so below-cap must
+    carry strictly more broadcast joins than above-cap."""
+    from eventstream_benchmark_spark.operators.graph import TRIANGLE_BROADCAST_CAP
+
     e = spark.createDataFrame(
         [(a, b) for a in range(6) for b in range(a + 1, 6)], "p1 long, p2 long"
     )
     o = _degree_oriented(e)
-    below = _count_triangles(o, n_edges=0)._jdf.queryExecution().executedPlan().toString()
-    above = _count_triangles(o, n_edges=10**12)._jdf.queryExecution().executedPlan().toString()
-    # below-cap: at least two BroadcastHashJoins (wedge join may also
-    # broadcast at this size) and the closing join is one of them
-    assert "BroadcastHashJoin" in below
-    # above-cap: the closing join must NOT carry the broadcast hint —
-    # with AQE disabled at plan build the non-hinted spelling keeps a
-    # sort-merge/shuffled-hash closing join on the (src, dst) keys
+
+    def plan(n_edges):
+        df = _count_triangles(o, n_edges=n_edges)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    below = plan(TRIANGLE_BROADCAST_CAP)
+    above = plan(TRIANGLE_BROADCAST_CAP + 1)
+    unknown = plan(None)
+    assert below.count("BroadcastHashJoin") > above.count("BroadcastHashJoin")
+    # above-cap / unknown: the closing join keeps a shuffled spelling
     assert ("SortMergeJoin" in above) or ("ShuffledHashJoin" in above)
-    # both spellings agree on the count, cap or no cap
-    assert _count_triangles(o, n_edges=10**12).count() == 20
-    assert _count_triangles(o, n_edges=0).count() == 20
+    assert unknown.count("BroadcastHashJoin") == above.count("BroadcastHashJoin")
+    # both strategies agree on the count (K6 has C(6,3) triangles)
+    assert _count_triangles(o, n_edges=TRIANGLE_BROADCAST_CAP + 1).count() == 20
+    assert _count_triangles(o, n_edges=TRIANGLE_BROADCAST_CAP).count() == 20
