@@ -58,10 +58,6 @@ def _norm(v):
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
 
 
-def _cosine(va, vb):
-    return _dot(va, vb) / (_norm(va) * _norm(vb))
-
-
 # --------------------------------------------------------------------------
 # B26 — cosine top-k vs a fixed probe vector
 # --------------------------------------------------------------------------
