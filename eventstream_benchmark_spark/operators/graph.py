@@ -94,6 +94,19 @@ def _edge_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edge_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ≥ TRIANGLE_MIN_ORDERS co-purchase edge set (p1 < p2) — the
+    single thresholding rule every graph consumer (triangles,
+    pagerank/BFS via ``_edge_undirected``) derives from the
+    family-shared pair aggregate, factored so the rule can't
+    desynchronize between consumers."""
+    return (
+        _edge_base(spark, sf_dir)
+        .filter(F.col("n_orders") >= TRIANGLE_MIN_ORDERS)
+        .select("p1", "p2")
+    )
+
+
 def _edge_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The thresholded UNDIRECTED edge list (src, dst) — both
     directions of every ≥ TRIANGLE_MIN_ORDERS pair — landed ONCE
@@ -107,11 +120,7 @@ def _edge_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     established for pagerank, now shared by both iterative consumers."""
 
     def build() -> DataFrame:
-        e = (
-            _edge_base(spark, sf_dir)
-            .filter(F.col("n_orders") >= TRIANGLE_MIN_ORDERS)
-            .select("p1", "p2")
-        )
+        e = _edge_thresholded(spark, sf_dir)
         un = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).union(
             e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
         )
@@ -221,11 +230,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # annotation joins + vertex/edge stats all read it) and the
     # oriented set once (wedge join x2 sides + closing check); the
     # pair aggregate itself comes from the family-shared build
-    e = scoped_persist(
-        _edge_base(spark, sf_dir)
-        .filter(F.col("n_orders") >= TRIANGLE_MIN_ORDERS)
-        .select("p1", "p2")
-    )
+    e = scoped_persist(_edge_thresholded(spark, sf_dir))
     oriented = scoped_persist(_degree_oriented(e))
     # one job on the persisted oriented frame decides the closing-join
     # strategy (broadcast vs shuffle) before plan build. This is a
@@ -333,10 +338,13 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized even at 100 TB because parts are a dimension).
 
     Determinism: lift = N·c(ab)/(c(a)·c(b)) is a ratio, so the ORDER
-    is pinned on the floor-micro integer (computed from exact BIGINTs
-    with one correctly-rounded double division) with a (p1, p2)
-    tiebreak — both engines cut the identical top-25. Confidence is
-    emitted the same way."""
+    is pinned on the floor-micro integer with a (p1, p2) tiebreak —
+    both engines run the identical IEEE pipeline (each count cast to
+    double before the multiplies, then one division), so they cut the
+    identical top-25. The per-factor casts are the overflow-safe
+    spelling: a BIGINT·BIGINT product of 100 TB-scale counts wraps
+    past 2⁶³ while doubles hold every count exactly and never
+    overflow. Confidence is emitted the same way."""
     release_scoped_persists()
     li = load_table(spark, sf_dir, "lineitem")
     d = li.select("l_orderkey", "l_partkey").distinct()
@@ -357,12 +365,20 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.col("c_single").alias("c2"))), "p2")
         .crossJoin(n_orders)
     )
+    # each count casts to double BEFORE the multiply: counts are exact
+    # in a double's 53-bit mantissa, but a BIGINT·BIGINT product of
+    # 1e10-1e11-scale counts (the 100 TB regime) overflows signed
+    # 64-bit — silently wrapped by non-ANSI Spark, raised by DuckDB —
+    # so the pre-cast spelling is the one that stays cross-engine
+    # exact at every scale (both engines run the identical IEEE
+    # double pipeline, so the floor-micro sort key still matches
+    # bit-for-bit)
     lift_micro = bigint(
         F.floor(
             F.lit(1_000_000.0)
             * (
-                (F.col("n_orders") * F.col("c_pair")).cast("double")
-                / (F.col("c1") * F.col("c2")).cast("double")
+                (F.col("n_orders").cast("double") * F.col("c_pair").cast("double"))
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
             )
         )
     )
@@ -429,7 +445,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hops", F.lit(hop))
         )
         reached = scoped_persist(reached.union(nxt))
-        frontier = nxt.select("v")
+        # the next frontier reads hop-k rows back OUT of the persisted
+        # union — deriving it from the unpersisted `nxt` subtree would
+        # re-run every earlier hop's expansion join on each evaluation
+        # (the O(hops²) recompute the docstring's persist rule exists
+        # to prevent)
+        frontier = reached.filter(F.col("hops") == hop).select("v")
     return (
         reached.groupBy("hops")
         .agg(
@@ -449,7 +470,14 @@ def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions). Yearly edge sets are distinct (year, p1<p2) pairs; the
     churn counts are one equi self-join (retained) and two anti joins
     (new, lost), all keyed on (year, p1, p2) — never anything wider
-    than the edge table, exact integers throughout."""
+    than the edge table, exact integers throughout.
+
+    The report's base is the ORDER years, not the years that happen to
+    have edges: a year whose basket graph collapses to zero qualifying
+    pairs still reports the loss of the prior year's edges (n_edges=0,
+    lost>0) instead of silently vanishing from the profile, while the
+    phantom year AFTER the data's last year — where the shifted frame
+    alone has rows — is excluded because it is not an order year."""
     release_scoped_persists()
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -494,16 +522,18 @@ def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr")
         .agg(bigint(F.count("*")).alias("lost_edges"))
     )
-    first_year = F.broadcast(edges.agg(F.min("yr").alias("y0")))
+    years = orders.select(F.year("o_orderdate").alias("yr")).distinct()
+    first_year = F.broadcast(years.agg(F.min("yr").alias("y0")))
     return (
-        per_year.join(retained, "yr", "left")
+        years.join(per_year, "yr", "left")
+        .join(retained, "yr", "left")
         .join(new_e, "yr", "left")
         .join(lost, "yr", "left")
         .crossJoin(first_year)
         .filter(F.col("yr") > F.col("y0"))  # first year has no predecessor
         .select(
             bigint(F.col("yr")).alias("yr"),
-            "n_edges",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
             F.coalesce("retained", F.lit(0)).alias("retained"),
             F.coalesce("new_edges", F.lit(0)).alias("new_edges"),
             F.coalesce("lost_edges", F.lit(0)).alias("lost_edges"),
@@ -599,21 +629,25 @@ ORACLES = {
                                  WHERE e.yr = sh.yr AND e.p1 = sh.p1
                                    AND e.p2 = sh.p2)
                GROUP BY yr),
-        y0 AS (SELECT min(yr) AS y0 FROM e)
-        SELECT CAST(py.yr AS BIGINT) AS yr, py.n_edges,
+        yrs AS (SELECT DISTINCT year(o_orderdate) AS yr FROM orders),
+        y0 AS (SELECT min(yr) AS y0 FROM yrs)
+        SELECT CAST(yrs.yr AS BIGINT) AS yr,
+               coalesce(py.n_edges, 0) AS n_edges,
                coalesce(ret.retained, 0) AS retained,
                coalesce(ne.new_edges, 0) AS new_edges,
                coalesce(lo.lost_edges, 0) AS lost_edges
-        FROM py
-        LEFT JOIN ret ON ret.yr = py.yr
-        LEFT JOIN ne ON ne.yr = py.yr
-        LEFT JOIN lo ON lo.yr = py.yr
+        FROM yrs
+        LEFT JOIN py ON py.yr = yrs.yr
+        LEFT JOIN ret ON ret.yr = yrs.yr
+        LEFT JOIN ne ON ne.yr = yrs.yr
+        LEFT JOIN lo ON lo.yr = yrs.yr
         CROSS JOIN y0
-        WHERE py.yr > y0.y0
-        ORDER BY py.yr
+        WHERE yrs.yr > y0.y0
+        ORDER BY yrs.yr
     """,
-    # identical exact-integer support/confidence/lift algebra; the
-    # floor-micro lift is the sort key in both engines
+    # identical support/confidence/lift algebra — per-factor double
+    # casts (overflow-safe at 100 TB counts) feeding the same IEEE
+    # multiply/divide; the floor-micro lift is the sort key in both
     "basket_association_rules": f"""
         WITH {_EDGES_CTE},
         no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM d),
@@ -626,8 +660,10 @@ ORACLES = {
                CAST(floor(1000000.0 * (CAST(c_pair AS DOUBLE)
                     / CAST(s1.c_single AS DOUBLE))) AS BIGINT)
                    AS confidence_micro,
-               CAST(floor(1000000.0 * (CAST(no.n_orders * c_pair AS DOUBLE)
-                    / CAST(s1.c_single * s2.c_single AS DOUBLE))) AS BIGINT)
+               CAST(floor(1000000.0 * ((CAST(no.n_orders AS DOUBLE)
+                         * CAST(c_pair AS DOUBLE))
+                    / (CAST(s1.c_single AS DOUBLE)
+                         * CAST(s2.c_single AS DOUBLE)))) AS BIGINT)
                    AS lift_micro
         FROM pairs
         JOIN singles s1 ON s1.p = pairs.p1
