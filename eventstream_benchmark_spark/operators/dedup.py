@@ -29,7 +29,6 @@ buckets (the measured sf1 585 s → 10.7 s lesson).
 
 from __future__ import annotations
 
-import math
 import os
 
 import pandas as pd
@@ -234,7 +233,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH variant below is still the preferred scale path (its
     bucket joins touch candidates only, not every co-shingled pair)."""
     release_scoped_persists()
-    sh = _capped_shingles(_doc_shingles(spark, sf_dir))
+    return _jaccard_pairs(spark, sf_dir)
+
+
+def _pair_intersections(sh: DataFrame) -> DataFrame:
+    """(d1, d2, inter, n1, n2) over a prepared capped-shingle table —
+    the exact pairwise machinery shared by ``dedup_ngram_jaccard``,
+    ``dedup_containment_ngram``, and ``dedup_recall_eval``'s truth
+    side, factored so a change to the pair-join shape (the DOCFREQ_CAP
+    anti-join, the d1 < d2 orientation, the inter aggregate) cannot
+    silently desynchronize the score variants."""
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     a = exploded.alias("a")
@@ -246,11 +254,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return inter.join(s1, "d1").join(s2, "d2")
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact J ≥ 0.8 pair set — the NON-RELEASING inner builder,
+    so composed queries (``dedup_recall_eval``) can call it after
+    other builders have registered scoped persists without dropping
+    them mid-composition."""
+    stats = _pair_intersections(_capped_shingles(_doc_shingles(spark, sf_dir)))
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("jaccard", r6(jac))
+        stats.withColumn("jaccard", r6(jac))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "jaccard")
     )
@@ -274,23 +289,10 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap bounds the per-key fanout; one shuffle on shingle, one on the
     pair key), so the plan scales identically."""
     release_scoped_persists()
-    sh = _capped_shingles(_doc_shingles(spark, sf_dir))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("inter"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    stats = _pair_intersections(_capped_shingles(_doc_shingles(spark, sf_dir)))
     containment = F.col("inter") / F.least("n1", "n2")
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("containment", r6(containment))
+        stats.withColumn("containment", r6(containment))
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select("d1", "d2", "containment")
     )
@@ -449,20 +451,45 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the exact side is the capped oracle shape (stop-shingle
     docfreq bound); at 100 TB one runs this eval on a sampled stratum,
     not the full corpus — the query composes unchanged."""
-    lsh = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2", F.lit(1).alias("in_lsh"))
-    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+    # ONE entry release, then non-releasing inner builders: calling
+    # the registered queries here would let the second entry's release
+    # drop the first builder's still-lazy scoped persists (the
+    # signature/shingle barriers), re-running the capped-shingle and
+    # signature aggregates once per plan reference at action time
+    release_scoped_persists()
+    lsh = _lsh_pairs_shared(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("in_lsh")
+    )
+    exact = _jaccard_pairs(spark, sf_dir).select(
         "d1", "d2", F.lit(1).alias("in_exact")
     )
     conf = lsh.join(exact, ["d1", "d2"], "full_outer")
-    tp = F.sum((F.col("in_lsh").isNotNull() & F.col("in_exact").isNotNull()).cast("int"))
-    fp = F.sum((F.col("in_lsh").isNotNull() & F.col("in_exact").isNull()).cast("int"))
-    fn = F.sum((F.col("in_lsh").isNull() & F.col("in_exact").isNotNull()).cast("int"))
+    tp = F.coalesce(
+        F.sum((F.col("in_lsh").isNotNull() & F.col("in_exact").isNotNull()).cast("int")),
+        F.lit(0),
+    )
+    fp = F.coalesce(
+        F.sum((F.col("in_lsh").isNotNull() & F.col("in_exact").isNull()).cast("int")),
+        F.lit(0),
+    )
+    fn = F.coalesce(
+        F.sum((F.col("in_lsh").isNull() & F.col("in_exact").isNotNull()).cast("int")),
+        F.lit(0),
+    )
+    # ratio guards: a pair-free corpus/stratum (the sampled-stratum
+    # case the docstring names) must degrade to the oracle's vacuous
+    # (0, 0, 0, 1.0, 1.0), not NULLs — and ANSI sessions must not
+    # raise DIVIDE_BY_ZERO
     return conf.agg(
         bigint(tp).alias("tp"),
         bigint(fp).alias("fp"),
         bigint(fn).alias("fn"),
-        r6(tp / (tp + fp)).alias("precision_ratio"),
-        r6(tp / (tp + fn)).alias("recall_ratio"),
+        r6(F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(1.0))).alias(
+            "precision_ratio"
+        ),
+        r6(F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(1.0))).alias(
+            "recall_ratio"
+        ),
     )
 
 
@@ -800,7 +827,13 @@ def _emb_cosine_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-CC_ROUNDS = 5  # each round halves path lengths: diameter up to ~2^5 joins
+# round-count CAP, not a target: the early-exit probe stops at the
+# fixpoint (typical dup graphs converge in 2 rounds), and one
+# min-neighbor hop + one pointer-doubling per round covers diameters
+# growing as d_r = 2·d_{r-1}+2, so 40 rounds reach ~2⁴⁰ — deeper than
+# any physical corpus. Exhausting the cap without converging raises
+# instead of returning wrong labels.
+CC_MAX_ROUNDS = 40
 
 
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,13 +846,17 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative min-label propagation with pointer doubling: each round
     takes the min label over graph neighbors, then short-circuits
     label chains (``label ← label[label]``), so convergence needs
-    O(log diameter) rounds — CC_ROUNDS=5 covers diameters to ~2³². The
-    loop is equi-joins over the (tiny relative to the corpus) dup-edge
-    set, with an early exit as soon as a round changes no label: the
-    per-round localCheckpoint already materializes each round, so the
-    convergence probe is one cheap job over two in-memory frames and
-    typical dup graphs (diameter ≤ 4) stop after 2 rounds instead of
-    paying all 5. The edge set
+    O(log diameter) rounds — the reachable diameter roughly doubles
+    per round (d_r = 2·d_{r-1}+2), so the CC_MAX_ROUNDS=40 cap covers
+    ~2⁴⁰, beyond any physical corpus; if a pathological graph still
+    hasn't converged at the cap the query RAISES rather than returning
+    non-minimal labels (the observability rule: no silent wrong
+    output). The loop is equi-joins over the (tiny relative to the
+    corpus) dup-edge set, with an early exit as soon as a round
+    changes no label: the per-round localCheckpoint already
+    materializes each round, so the convergence probe is one cheap
+    job over two in-memory frames and typical dup graphs
+    (diameter ≤ 4) stop after 2 rounds. The edge set
     is ``localCheckpoint``-ed first: iterative plans over an un-truncated
     lineage re-canonicalize the whole upstream LSH subtree at every
     join (OOMs the driver at round 3 — measured), and at 100 TB the
@@ -829,6 +866,25 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     same join shapes. Oracle: DuckDB recursive-CTE transitive closure
     over the same pairs."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    labels = _min_label_cc(pairs)
+    from pyspark.sql import Window as W
+
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .withColumn(
+            "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _min_label_cc(pairs: DataFrame) -> DataFrame:
+    """(doc_id, label): min-reachable-id connected components over an
+    undirected (d1, d2) pair set — min-label propagation with pointer
+    doubling, looping to the monotone fixpoint under the CC_MAX_ROUNDS
+    cap and RAISING rather than emitting non-minimal labels if the cap
+    is ever hit. Factored from ``dedup_cluster_cc`` so the deep-chain
+    behavior is unit-testable on synthetic graphs."""
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -838,7 +894,8 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
     )
     prev = labels
-    for _ in range(CC_ROUNDS):
+    converged = False
+    for _ in range(CC_MAX_ROUNDS):
         nbr = (
             edges.join(
                 labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("dl")),
@@ -870,17 +927,16 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .isEmpty()
         )
         if unchanged:
+            converged = True
             break
         prev = labels
-    from pyspark.sql import Window as W
-
-    return (
-        labels.select("doc_id", F.col("label").alias("cluster_id"))
-        .withColumn(
-            "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
+    if not converged:
+        raise RuntimeError(
+            f"dedup_cluster_cc: label propagation did not reach its "
+            f"fixpoint within CC_MAX_ROUNDS={CC_MAX_ROUNDS} rounds — "
+            f"refusing to emit non-minimal cluster labels"
         )
-        .orderBy("doc_id")
-    )
+    return labels
 
 
 QUERIES = {
