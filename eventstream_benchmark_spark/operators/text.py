@@ -67,11 +67,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard pre-training corpus filter shape, as one scan."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    n_tok = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    chars_adj = F.length("text") - (n_tok - 1)  # chars sans separators
-    mean_tok_len = chars_adj / n_tok
-    stop_ratio = stop_hits / n_tok
+    # bigint BEFORE any product (the _logreg_scored spelling): size()
+    # and length() are int32, and n_tok*200 / n_tok*8 / least(n,100)*n
+    # wrap silently past 2³¹ in non-ANSI Spark on a ~10M-token doc
+    # while the BIGINT oracle does not — the same overflow class the
+    # graph lane's lift fix closed
+    n_tok = F.size(toks).cast("bigint")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    chars_adj = F.length("text").cast("bigint") - (n_tok - 1)  # chars sans separators
     # quality = least(1, n/100)*0.5 + (1-stop_ratio)*0.3 + least(1, mtl/8)*0.2,
     # restructured as ONE integer-arithmetic ratio so Spark and DuckDB
     # compute bit-identical doubles (a sum of three separately-divided
@@ -224,6 +227,16 @@ SPLIT_HASH_MULT = 2654435761  # Knuth multiplicative hash, mod 2^32
 SPLIT_HASH_MOD = 4294967296
 
 
+def _split_bucket():
+    """doc_id → 0..99: the deterministic split-hash bucket — ONE
+    spelling shared by ``sample_hash_split`` (80/10/10) and
+    ``decontaminate_ngram_overlap`` (80/20 with val+test collapsed),
+    so an edit to the multiplier or threshold can never desynchronize
+    train/eval membership between the split report and the
+    decontamination pass."""
+    return (F.col("doc_id") * SPLIT_HASH_MULT) % SPLIT_HASH_MOD % 100
+
+
 def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (80/10/10) by hashing the
     document id — the reproducible held-out split a training pipeline
@@ -232,7 +245,7 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle portability; at production scale use F.xxhash64(doc_id) %
     100 — same plan shape, better mixing."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * SPLIT_HASH_MULT) % SPLIT_HASH_MOD % 100
+    bucket = _split_bucket()
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -292,9 +305,11 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-VOCAB_K word list — the tokenizer-coverage check run before
     committing to a vocab. The vocabulary is a global top-K
     (TakeOrdered — distributed heap-merge, never a single-partition
-    window) and is broadcast back onto the exploded token stream, so
-    the corpus side shuffles once (the word-count aggregate) no matter
-    the scale."""
+    window) and is broadcast back onto the exploded token stream.
+    Cost shape, honestly: TWO corpus-scale shuffles (the word-count
+    aggregate for the vocab, then the per-doc hit aggregate) over two
+    tokenize passes — the per-doc aggregate can't ride the vocab
+    build's partitioning because they key on different columns."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
     vocab = (
@@ -328,12 +343,15 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-grams are built with the same zip-with-shifted-slices idiom as
     ``dedup._shingles`` — ``split`` stays outside the lambdas so
     Catalyst's projection collapse can't inline a re-tokenize per
-    element. At 100 TB the eval side is a fixed-size held-out set, so
-    its distinct n-gram list broadcasts and the train side is one scan
-    with no shuffle before the per-doc aggregate; output is the
+    element. The gram match is a plain shuffle equi-join on the gram
+    key: the 80/20 hash split makes the held-out side GROW WITH THE
+    CORPUS (20% of all docs), so force-broadcasting its gram set —
+    tempting because eval is 'small' — would collect a corpus-scale
+    list to the driver at 100 TB; a production pipeline with a truly
+    fixed held-out set can re-add the hint. Output is the
     contamination report (shared grams + how many eval docs are hit)."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * SPLIT_HASH_MULT) % SPLIT_HASH_MOD % 100
+    bucket = _split_bucket()
     split = F.when(bucket < 80, "train").otherwise("eval")
     toks = _tokens(F.col("text"))
     gram = toks
@@ -355,7 +373,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gram"), F.col("doc_id").alias("eval_doc_id")
     )
     return (
-        train.join(F.broadcast(held_out), "gram")
+        train.join(held_out, "gram")
         .groupBy("doc_id")
         .agg(
             bigint(F.count_distinct("gram")).alias("n_shared_grams"),
@@ -521,7 +539,7 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = F.filter(
         F.zip_with(
             toks,
-            F.slice(toks, 2, 1 << 30),
+            F.slice(toks, 2, _SLICE_ALL),
             lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
         ),
         lambda s: s.getField("w2").isNotNull(),
@@ -554,9 +572,12 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping context windows over each document's token stream
     (CHUNK_LEN tokens every CHUNK_STRIDE — the sliding-window chunking
     a RAG/pretraining pipeline runs before embedding or packing).
-    Entirely array expressions: sequence → explode fans each doc out
-    to its chunk starts inside the partition (no shuffle), slice takes
-    the window. Short final windows are kept, matching the usual
+    Entirely array expressions — and the per-chunk fields (bounds +
+    first/last term) are extracted IN THE ARRAY DOMAIN, so the explode
+    fans out only small structs: carrying the full token array through
+    the explode and slicing afterwards replicates the whole document
+    per chunk row (O(T²/stride) element copies — tens of GB for one
+    1M-token doc). Short final windows are kept, matching the usual
     keep-the-tail chunker. One scan; output rows ≈ tokens/stride."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
@@ -565,21 +586,32 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1),
         (F.ceil((F.col("n") - CHUNK_LEN) / F.lit(float(CHUNK_STRIDE))) + 1).cast("long"),
     )
-    chunks = based.select(
-        "doc_id", "toks", "n",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
-    )
-    start = F.col("chunk_idx") * CHUNK_STRIDE
-    return (
-        chunks.select(
-            "doc_id",
-            F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            bigint(start).alias("start_tok"),
-            bigint(F.least(F.lit(CHUNK_LEN), F.col("n") - start)).alias("chunk_tok_len"),
-            F.element_at("toks", (start + 1).cast("int")).alias("first_term"),
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * CHUNK_STRIDE).alias("start_tok"),
+            F.least(F.lit(CHUNK_LEN), F.col("n") - i * CHUNK_STRIDE).alias(
+                "chunk_tok_len"
+            ),
+            F.element_at(F.col("toks"), (i * CHUNK_STRIDE + 1).cast("int")).alias(
+                "first_term"
+            ),
             F.element_at(
-                "toks", F.least(F.col("n"), start + CHUNK_LEN).cast("int")
+                F.col("toks"),
+                F.least(F.col("n"), i * CHUNK_STRIDE + CHUNK_LEN).cast("int"),
             ).alias("last_term"),
+        ),
+    )
+    return (
+        based.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            bigint(F.col("c.start_tok")).alias("start_tok"),
+            bigint(F.col("c.chunk_tok_len")).alias("chunk_tok_len"),
+            F.col("c.first_term").alias("first_term"),
+            F.col("c.last_term").alias("last_term"),
         )
         .orderBy("doc_id", "chunk_idx")
     )
@@ -908,6 +940,12 @@ def _marker_score_sql(lang: str) -> str:
     )
 
 
+# dedup's shingle length, interpolated into the corpus_ngram_topk
+# oracle below (import deferred to here — pipeline-level modules
+# import text, so the top of the module stays dependency-light)
+from eventstream_benchmark_spark.operators.dedup import SHINGLE_K as _DEDUP_SHINGLE_K  # noqa: E402
+
+
 ORACLES = {
     # weighted-minwise replay: identical ticket hashes (48-bit md5
     # prefix of id:j), identical min-per-doc key, identical bottom-K
@@ -956,19 +994,23 @@ ORACLES = {
         GROUP BY t.term, t.docfreq, t.tf_total
         ORDER BY t.docfreq DESC, t.term
     """,
-    "corpus_ngram_topk": """
+    # constants interpolated from the Spark side (the dedup._PAIRS_SQL
+    # convention) so a SHINGLE_K / CORPUS_NGRAM_TOPK change can't
+    # leave the oracle on stale literals; the 3-part gram concat
+    # itself is trigram-shaped by construction, same as _PAIRS_SQL
+    "corpus_ngram_topk": f"""
         WITH toks AS (
             SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-            WHERE len(string_split(lower(text), ' ')) >= 3
+            WHERE len(string_split(lower(text), ' ')) >= {_DEDUP_SHINGLE_K}
         ),
         sh AS (
             SELECT unnest(list_distinct(
                 [w[i] || '_' || w[i+1] || '_' || w[i+2]
-                 FOR i IN range(1, len(w) - 1)])) AS shingle
+                 FOR i IN range(1, len(w) - {_DEDUP_SHINGLE_K - 2})])) AS shingle
             FROM toks
         )
         SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
-        ORDER BY df DESC, shingle LIMIT 25
+        ORDER BY df DESC, shingle LIMIT {CORPUS_NGRAM_TOPK}
     """,
     "docs_chunk_overlap": f"""
         WITH d AS (

@@ -239,13 +239,26 @@ def test_partitioned_write_prunes_at_scan(spark, sf_small):
     assert "event_type" in pf[0]
 
 
-def test_decontaminate_broadcasts_eval_side(spark, sf_small):
-    """The held-out side of the contamination join is a fixed-size set
-    at any corpus scale — it must arrive by broadcast, leaving the
-    train-side gram stream shuffle-free before the per-doc aggregate."""
-    plan = _plan(spark, sf_small, "decontaminate_ngram_overlap")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_decontaminate_gram_join_not_forced_broadcast(spark, sf_small):
+    """The held-out side GROWS WITH THE CORPUS (the 80/20 hash split
+    puts 20% of all docs in eval), so the gram match must NOT carry a
+    broadcast hint — at build time (before AQE's runtime sizing) the
+    non-hinted equi join plans shuffled; a forced F.broadcast here
+    would collect a corpus-scale gram list to the driver at 100 TB.
+    AQE/Catalyst may still pick broadcast from their own size
+    estimates — that is exactly the decision the hint removal
+    delegates — so the pin disables the auto-threshold while building
+    the plan: a FORCED broadcast would survive that, the unhinted join
+    must fall back to a shuffled spelling."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_small, "decontaminate_ngram_overlap")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_tpch_q4_exists_plans_as_semi_join(spark, sf_small):
