@@ -62,3 +62,18 @@ def r4(col: Column) -> Column:
 def r6(col: Column) -> Column:
     """Round high-precision scalars to 6 decimals."""
     return F.round(col, 6)
+
+
+def floor_micro(num: Column, den: Column) -> Column:
+    """``floor(10⁶·num/den)`` as BIGINT — THE cross-engine-exact ratio
+    display (SCALE.md): both operands are exact integers (BIGINT or
+    decimal/HUGEINT), int→double conversion and the one division are
+    correctly-rounded IEEE ops, and floor of the identical double is
+    engine-exact. Every micro-ratio site must use this exact shape —
+    a drive-by edit (dropping a cast, floor→round) at one inline copy
+    silently broke the contract, which is why it lives here. DuckDB
+    twin: ``CAST(floor(1000000.0 * (CAST(a AS DOUBLE) / CAST(b AS
+    DOUBLE))) AS BIGINT)``."""
+    return F.floor(
+        F.lit(1_000_000.0) * (num.cast("double") / den.cast("double"))
+    ).cast("bigint")

@@ -14,8 +14,6 @@ groupBy/window on (user_id) or (window bucket), no UDFs.
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -26,6 +24,7 @@ from eventstream_benchmark_spark.operators._util import (
     bigint,
     duck_fmt_date,
     duck_fmt_ts,
+    floor_micro,
     fmt_date,
     fmt_ts,
     r2,
@@ -235,8 +234,12 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     slowly-changing dimension. Two windows over the same (user_id)
     shuffle — Catalyst plans one Exchange, the second window reuses the
     partitioning/sort. Output is the compact per-type interval summary;
-    dwell time uses epoch-µs integer subtraction divided once (never
-    double-arithmetic on epoch values)."""
+    dwell time is epoch-µs integer subtraction summed in decimal(38,0)
+    (exact past the ~9e18 µs a BIGINT sum wraps at), with ONE 0-dp
+    round of the µs average and one display division — the integer-
+    scaled spelling, replacing the round(avg(double),6) form whose
+    6-dp .5 grid is not float-representable (the k-dp boundary-flip
+    class the sf0.1 sweep caught in six other queries)."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     changed = (
@@ -248,17 +251,21 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     intervals = changed.withColumn("valid_to", F.lead("ts").over(w))
-    dwell_secs = (
-        F.unix_micros("valid_to") - F.unix_micros("ts")
-    ).cast("double") / 1_000_000.0
+    dwell_us = (F.unix_micros("valid_to") - F.unix_micros("ts")).cast(
+        "decimal(38,0)"
+    )
+    sum_us = F.sum(dwell_us)  # null dwells (open intervals) skipped
+    n_closed = F.sum(F.col("valid_to").isNotNull().cast("int"))
     return (
         intervals.groupBy("event_type")
         .agg(
             F.count("*").alias("n_versions"),
-            bigint(F.sum(F.col("valid_to").isNotNull().cast("int"))).alias(
-                "n_closed"
-            ),
-            r6(F.avg(dwell_secs)).alias("avg_dwell_secs"),
+            bigint(n_closed).alias("n_closed"),
+            F.when(
+                n_closed > 0,
+                F.round(sum_us.cast("double") / n_closed, 0)
+                / F.lit(1_000_000.0),
+            ).alias("avg_dwell_secs"),
         )
         .orderBy("event_type")
     )
@@ -272,7 +279,16 @@ def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized rollup job maintains incrementally; dailies (and
     weeklies, monthlies) fold from it at 1/3600th the input size. The
     oracle recomputes the same two-level shape in DuckDB, proving the
-    re-aggregation algebra exact."""
+    re-aggregation algebra exact.
+
+    Known precision bound (shared with stream_tumbling_rate's r2 sum):
+    the rounded double sums are hash-stable while accumulation noise
+    stays below the rounding step — safe to (day, type) sums of
+    ~1e10 in magnitude, past which the exact spelling is an integer
+    cents sum divided once (the cusum/LTTB working-resolution rule);
+    migrating is deliberately deferred because it changes the query's
+    declared semantics (sum-of-cents vs rounded-sum) in lockstep with
+    the streaming twin's contract."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
@@ -337,12 +353,7 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary microdigit) divided once for display."""
     ev = load_table(spark, sf_dir, "events")
     hourly = _hourly_micro_avg(ev)
-    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = bounds.select(
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
-    )
-    types = ev.select("event_type").distinct()
-    grid = spine.crossJoin(types)
+    grid = _hour_type_grid(hourly)
     w = (
         W.partitionBy("event_type")
         .orderBy("h")
@@ -361,6 +372,23 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_gap"),
         (F.col("v_i") / F.lit(1_000_000.0)).alias("v_filled"),
     ).orderBy("hour", "event_type")
+
+
+def _hour_type_grid(hourly: DataFrame) -> DataFrame:
+    """The complete hour × type spine over a prepared hourly
+    aggregate. Bounds AND the type vocabulary both come off the
+    aggregate — every type with an event has an hourly row, so
+    enumerating ~5 type strings never rescans (or re-shuffles) the
+    fact table, which the previous per-query ``ev.select(...).
+    distinct()`` did; the grid stays bounded by time range ×
+    vocabulary at any corpus size. Shared by ``events_gap_fill_locf``
+    and ``events_resample_interp`` so the spine spelling can't
+    desynchronize."""
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    return spine.crossJoin(hourly.select("event_type").distinct())
 
 
 def _hourly_micro_avg(ev: DataFrame) -> DataFrame:
@@ -450,12 +478,7 @@ def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact side pays one aggregate shuffle, exactly like LOCF."""
     ev = load_table(spark, sf_dir, "events")
     hourly = _hourly_micro_avg(ev)
-    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = bounds.select(
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
-    )
-    types = ev.select("event_type").distinct()
-    grid = spine.crossJoin(types)
+    grid = _hour_type_grid(hourly)
     w_prev = W.partitionBy("event_type").orderBy("h").rowsBetween(
         W.unboundedPreceding, 0
     )
@@ -505,7 +528,19 @@ def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes (median, then MAD of residuals) plus one flagging pass; the
     per-type stats are a handful of rows, so both join-backs are
     broadcasts and the events side is never shuffled — at 100 TB this
-    is three scans and zero exchanges of the fact table."""
+    is three scans and zero exchanges of the fact table.
+
+    Decision-boundary hygiene (SCALE.md rule): Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` interpolate even-count medians one
+    ulp apart (measured: 369.695 vs 369.69499999999994 for the pair
+    213.47/525.92), and with 2-dp-grid values every |v−med| and
+    MAD_K·mad is a multiple of 0.005 — exact-tie territory where a
+    raw-double strict comparison flips per engine. So med/mad are
+    snapped to micro integers BEFORE the comparison (the grid makes
+    the snap lossless: meds land on 0.005, dev-medians on 0.0025 —
+    both far from .5-micro boundaries) and the outlier test is pure
+    integer arithmetic; the displayed med/mad are the same snapped
+    values divided once."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
@@ -516,19 +551,23 @@ def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.expr("percentile(dev, 0.5)").alias("mad"))
     )
-    stats = med.join(mad, "event_type")
+    stats = med.join(mad, "event_type").select(
+        "event_type",
+        F.round(F.col("med") * 1_000_000, 0).cast("bigint").alias("med_u"),
+        F.round(F.col("mad") * 1_000_000, 0).cast("bigint").alias("mad_u"),
+    )
+    v_u = F.round(F.col("value") * 1_000_000, 0).cast("bigint")
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            r6(F.first("med")).alias("med"),
-            r6(F.first("mad")).alias("mad"),
+            (F.first("med_u") / F.lit(1_000_000.0)).alias("med"),
+            (F.first("mad_u") / F.lit(1_000_000.0)).alias("mad"),
             bigint(
                 F.sum(
                     F.when(
-                        F.abs(F.col("value") - F.col("med"))
-                        > MAD_K * F.col("mad"),
+                        F.abs(v_u - F.col("med_u")) > MAD_K * F.col("mad_u"),
                         1,
                     ).otherwise(0)
                 )
@@ -694,11 +733,24 @@ def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_ = dec(F.col("y")) * F.col("cp") - F.col("syp")
     c_ = dec(F.col("sxp")) - dec(F.col("x")) * F.col("cp")
     d_ = dec(F.col("syn")) * F.col("cp") - dec(F.col("syp")) * F.col("cn")
+    # decimal(38,0) holds the product exactly to ~2e11 points/series
+    # (a_·b_ ~ cnt³·T·y); past that non-ANSI Spark yields NULL, which
+    # would sort LAST under the desc pick and silently degrade the
+    # argmax to an arbitrary point — so a NULL area RAISES instead
+    # (DuckDB's HUGEINT path raises on the same overflow, keeping the
+    # two engines' failure mode aligned)
+    s_raw = F.abs(a_ * b_ - c_ * d_)
+    s_area = F.when(s_raw.isNotNull(), s_raw).otherwise(
+        F.raise_error(
+            "events_downsample_lttb: scaled triangle area overflowed "
+            "decimal(38,0) — refusing to emit a degraded argmax"
+        )
+    )
     middle = (
         base.filter((F.col("bucket") > 0) & (F.col("bucket") < LTTB_BUCKETS - 1))
         .join(F.broadcast(prev), ["event_type", "bucket"])
         .join(F.broadcast(nxt), ["event_type", "bucket"])
-        .withColumn("s_area", F.abs(a_ * b_ - c_ * d_))
+        .withColumn("s_area", s_area)
     )
     w_pick = W.partitionBy("event_type", "bucket").orderBy(
         F.desc("s_area"), F.asc("event_id")
@@ -784,7 +836,11 @@ def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer mean (floor division), running sums/mins of bigints, and
     the alarm comparison cross-multiplied (max_cusum·n >
     FACTOR·Σ|dev|) so no division ever rounds — bit-deterministic in
-    both engines.
+    both engines. The cross-multiplication itself runs in 128-bit
+    integers (decimal(38,0) / HUGEINT): max_cusum grows ~shift·n
+    under a real mean shift, so max_cusum·n is ~n² and wraps BIGINT
+    at a few 1e9 events per type — silently reporting alarm=false on
+    a genuinely shifted stream in non-ANSI Spark.
 
     Scale shape: one shuffle keyed on event_type for the windows (per-
     series sequential scan, the CUSUM lower bound), one tiny aggregate.
@@ -826,7 +882,8 @@ def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "alarm",
-            F.col("max_cusum") * F.col("n") > CUSUM_FACTOR * F.col("sum_absdev"),
+            F.col("max_cusum").cast("decimal(38,0)") * F.col("n")
+            > F.lit(CUSUM_FACTOR).cast("decimal(38,0)") * F.col("sum_absdev"),
         )
         .orderBy("event_type")
     )
@@ -890,7 +947,14 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = series.crossJoin(tot).select(
         "h", (F.col("n") * F.col("x") - F.col("s")).alias("dx")
     )
-    den = F.broadcast(d.agg(F.sum(F.col("dx") * F.col("dx")).alias("den")))
+    # the centered products run in decimal(38,0) (DuckDB: HUGEINT):
+    # dx ~ n·x ~ 1e14 at 100 TB rates, so dx² ~ 1e28 wraps BIGINT long
+    # before the declared scale while 128-bit integers hold it exactly
+    # — sums stay order-independent (a double sum would not), and the
+    # one int→double conversion at the floor-micro boundary is the
+    # same correctly-rounded IEEE op in both engines
+    dxd = F.col("dx").cast("decimal(38,0)")
+    den = F.broadcast(d.agg(F.sum(dxd * dxd).alias("den")))
     lagged = d.select(
         "h", F.col("dx").alias("dx_a"),
         F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
@@ -902,18 +966,15 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("lag")
         .agg(
             bigint(F.count("*")).alias("n_terms"),
-            F.sum(F.col("dx_a") * F.col("dx_b")).alias("num"),
+            F.sum(
+                F.col("dx_a").cast("decimal(38,0)") * F.col("dx_b")
+            ).alias("num"),
         )
         .crossJoin(den)
         .select(
             bigint(F.col("lag")).alias("lag"),
             "n_terms",
-            bigint(
-                F.floor(
-                    F.lit(1_000_000.0)
-                    * (F.col("num").cast("double") / F.col("den").cast("double"))
-                )
-            ).alias("acf_micro"),
+            floor_micro(F.col("num"), F.col("den")).alias("acf_micro"),
         )
         .orderBy("lag")
     )
@@ -952,15 +1013,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             bigint(F.count("*")).alias("n_terms"),
             bigint(F.sum(F.abs(F.col("actual") - F.col("forecast")))).alias("sae"),
         )
-        .withColumn(
-            "mae_micro",
-            bigint(
-                F.floor(
-                    F.lit(1_000_000.0)
-                    * (F.col("sae").cast("double") / F.col("n_terms").cast("double"))
-                )
-            ),
-        )
+        .withColumn("mae_micro", floor_micro(F.col("sae"), F.col("n_terms")))
         .orderBy("method")
     )
 
@@ -1096,12 +1149,8 @@ def events_weekday_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the denominator is strictly positive, mirrored in the oracle.
     ratio_micro = F.when(
         F.col("n_we") * F.col("d_wd") > 0,
-        F.floor(
-            F.lit(1_000_000.0)
-            * (
-                (F.col("n_wd") * F.col("d_we")).cast("double")
-                / (F.col("n_we") * F.col("d_wd")).cast("double")
-            )
+        floor_micro(
+            F.col("n_wd") * F.col("d_we"), F.col("n_we") * F.col("d_wd")
         ),
     )
     return wide.select(
@@ -1178,12 +1227,7 @@ def pattern_online_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hits_freq5"),
     )
-    acc = lambda h: bigint(  # noqa: E731
-        F.floor(
-            F.lit(1_000_000.0)
-            * (F.col(h).cast("double") / F.col("n_scored").cast("double"))
-        )
-    )
+    acc = lambda h: floor_micro(F.col(h), F.col("n_scored"))  # noqa: E731
     return agg.select(
         "event_type",
         "n_scored",
@@ -1204,24 +1248,28 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (missing hours 0).
 
     Exact algebra: D = (n·Σx² − S²) / (S·(n−1)) — numerator and
-    denominator are exact BIGINTs from one map-combinable aggregate,
-    the verdict flag is the integer comparison num > den, and the
-    displayed index is the floor-micro quotient (SCALE.md rule)."""
+    denominator are exact 128-bit integers (Spark decimal(38,0),
+    DuckDB HUGEINT: x² ~ 1e20/row and S² ~ 1e26 at 100 TB rates wrap
+    BIGINT, and a double sum would be order-dependent) from one
+    map-combinable aggregate, the verdict flag is the exact integer
+    comparison num > den, and the displayed index is the floor-micro
+    quotient (SCALE.md rule)."""
     series = _hour_spine_counts(
         load_table(spark, sf_dir, "events"), by_type=True
     ).drop("h")
     agg = series.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("q"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
     )
-    num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
-    den = F.col("s") * (F.col("n") - 1)
+    sd = F.col("s").cast("decimal(38,0)")
+    num = F.col("n") * F.col("q") - sd * F.col("s")
+    den = sd * (F.col("n") - 1)
     return agg.select(
         "event_type",
         bigint(F.col("n")).alias("n_hours"),
-        bigint(F.floor(F.lit(1_000_000.0) * (F.col("s").cast("double") / F.col("n").cast("double")))).alias("mean_micro"),
-        bigint(F.floor(F.lit(1_000_000.0) * (num.cast("double") / den.cast("double")))).alias("dispersion_micro"),
+        floor_micro(F.col("s"), F.col("n")).alias("mean_micro"),
+        floor_micro(num, den).alias("dispersion_micro"),
         (num > den).alias("overdispersed"),
     ).orderBy("event_type")
 
@@ -1371,17 +1419,18 @@ ORACLES = {
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(x) AS BIGINT) AS sm,
-                   CAST(sum(x * x) AS BIGINT) AS q
+                   sum(CAST(x AS HUGEINT) * x) AS q
             FROM s GROUP BY event_type
         )
         SELECT event_type,
                n AS n_hours,
                CAST(floor(1000000.0 * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)))
                     AS BIGINT) AS mean_micro,
-               CAST(floor(1000000.0 * (CAST(n * q - sm * sm AS DOUBLE)
-                        / CAST(sm * (n - 1) AS DOUBLE))) AS BIGINT)
+               CAST(floor(1000000.0 * (CAST(n * q - CAST(sm AS HUGEINT) * sm AS DOUBLE)
+                        / CAST(CAST(sm AS HUGEINT) * (n - 1) AS DOUBLE))) AS BIGINT)
                    AS dispersion_micro,
-               n * q - sm * sm > sm * (n - 1) AS overdispersed
+               n * q - CAST(sm AS HUGEINT) * sm
+                   > CAST(sm AS HUGEINT) * (n - 1) AS overdispersed
         FROM a ORDER BY event_type
     """,
     # the dyadic Holt recurrence replayed step-by-step: adds/subs and
@@ -1463,12 +1512,12 @@ ORACLES = {
         t AS (SELECT CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(x) AS BIGINT) AS ssum FROM s),
         d AS (SELECT h, n * x - ssum AS dx FROM s CROSS JOIN t),
-        den AS (SELECT CAST(sum(dx * dx) AS BIGINT) AS den FROM d),
+        den AS (SELECT sum(CAST(dx AS HUGEINT) * dx) AS den FROM d),
         l AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag),
         pairs AS (
             SELECT l.lag,
                    CAST(count(*) AS BIGINT) AS n_terms,
-                   CAST(sum(a.dx * bb.dx) AS BIGINT) AS num
+                   sum(CAST(a.dx AS HUGEINT) * bb.dx) AS num
             FROM l JOIN d a ON TRUE JOIN d bb ON bb.h = a.h + l.lag
             GROUP BY l.lag
         )
@@ -1538,8 +1587,9 @@ ORACLES = {
                CAST(max(cpos) AS BIGINT) AS max_cusum,
                any_value(p.peak_event_id) AS peak_event_id,
                CAST(sum(absdev) AS BIGINT) AS sum_absdev,
-               CAST(max(cpos) AS BIGINT) * count(*)
-                   > {CUSUM_FACTOR} * CAST(sum(absdev) AS BIGINT) AS alarm
+               CAST(max(cpos) AS HUGEINT) * count(*)
+                   > CAST({CUSUM_FACTOR} AS HUGEINT)
+                     * CAST(sum(absdev) AS BIGINT) AS alarm
         FROM cusum c JOIN peak p USING (event_type)
         GROUP BY 1 ORDER BY 1
     """,
@@ -1807,8 +1857,13 @@ ORACLES = {
         SELECT event_type, count(*) AS n_versions,
                CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_closed,
-               round(avg(CAST(epoch_us(valid_to) - epoch_us(ts) AS DOUBLE)
-                         / 1000000.0), 6) AS avg_dwell_secs
+               CASE WHEN sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END) > 0
+                    THEN round(
+                        CAST(sum(CAST(epoch_us(valid_to) - epoch_us(ts) AS HUGEINT))
+                             AS DOUBLE)
+                        / sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END), 0)
+                        / 1000000.0
+               END AS avg_dwell_secs
         FROM intervals GROUP BY event_type ORDER BY event_type
     """,
     "rollup_hourly_daily": """
@@ -1835,9 +1890,12 @@ ORACLES = {
             GROUP BY e.event_type
         )
         SELECT e.event_type, count(*) AS n,
-               round(any_value(m.med), 6) AS med,
-               round(any_value(d.mad), 6) AS mad,
-               CAST(sum(CASE WHEN abs(e.value - m.med) > {MAD_K} * d.mad
+               round(any_value(m.med) * 1000000, 0) / 1000000.0 AS med,
+               round(any_value(d.mad) * 1000000, 0) / 1000000.0 AS mad,
+               CAST(sum(CASE WHEN
+                       abs(CAST(round(e.value * 1000000, 0) AS BIGINT)
+                           - CAST(round(m.med * 1000000, 0) AS BIGINT))
+                       > {MAD_K} * CAST(round(d.mad * 1000000, 0) AS BIGINT)
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e
         JOIN med m ON e.event_type = m.event_type
