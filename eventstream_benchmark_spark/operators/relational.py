@@ -637,14 +637,20 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands everything on 5 reducers. Stage 1 groups by (key, salt16)
     spreading each hot key over 16 partials; stage 2 merges the 5×16
     partials — the standard skew-neutralizing shape for algebraic
-    aggregates (sum/count/min/max recombine exactly). Results are
-    identical to the direct groupBy, which is the oracle.
+    aggregates. The sum rides exact integer cents (the fixture values
+    are 2-dp, so round(value·100) is lossless): count/min/max
+    recombine exactly for ANY type, but a double sum does NOT — the
+    salted two-stage addition order differs from the oracle's direct
+    sum, which is precisely the rounding-boundary class SCALE.md's
+    round-5 rule retired. Integer sums make the "identical to the
+    direct groupBy" claim literally true at any scale.
     """
     ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
     salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
     partial = salted.groupBy("event_type", "salt").agg(
         F.count("*").alias("n"),
-        F.sum("value").alias("sv"),
+        F.sum(cents).alias("sv_cents"),
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
     )
@@ -652,7 +658,7 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.groupBy("event_type")
         .agg(
             bigint(F.sum("n")).alias("n"),
-            r4(F.sum("sv")).alias("sum_value"),
+            r4(F.sum("sv_cents") / 100.0).alias("sum_value"),
             r6(F.min("mn")).alias("min_value"),
             r6(F.max("mx")).alias("max_value"),
         )
@@ -672,12 +678,15 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     what AQE skew-join does at runtime, needed when the dim is too big
     to broadcast and stats are missing; the MERGE hint models that
     (fixture dims would otherwise broadcast and hide the shuffle).
-    Results are identical to the unsalted join — the oracle."""
+    Results are identical to the unsalted join — the oracle. The
+    weighted sum rides exact integers (2-dp cents × an integer
+    factor), so the salted plan's different addition order cannot
+    move the rounded output off the oracle's direct sum."""
     ev = load_table(spark, sf_dir, "events")
     dim = (
         ev.select("event_type")
         .distinct()
-        .withColumn("factor", F.length("event_type").cast("double"))
+        .withColumn("factor", F.length("event_type").cast("long"))
     )
     fact = ev.withColumn(
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(JOIN_SALT_N))
@@ -685,12 +694,13 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_x = dim.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT_N - 1)))
     ).withColumn("salt", F.col("salt").cast("bigint"))
+    w_cents = F.round(F.col("value") * 100).cast("long") * F.col("factor")
     return (
         fact.join(dim_x.hint("merge"), ["event_type", "salt"])
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            r2(F.sum(F.col("value") * F.col("factor"))).alias("weighted_sum"),
+            r2(F.sum(w_cents) / 100.0).alias("weighted_sum"),
         )
         .orderBy("event_type")
     )
@@ -3160,11 +3170,12 @@ ORACLES = {
         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                                    ORDER BY ts DESC, event_id DESC) = 1
     """,
-    # salting recombines exactly for algebraic aggregates: the oracle is
-    # the direct (unsalted) groupBy
+    # salting recombines exactly because the sum is integer cents: the
+    # oracle is the direct (unsalted) groupBy over the same exact ints
     "agg_skew_salted": """
         SELECT event_type, count(*) AS n,
-               round(sum(value), 4) AS sum_value,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4)
+                   AS sum_value,
                round(min(value), 6) AS min_value,
                round(max(value), 6) AS max_value
         FROM events GROUP BY event_type ORDER BY event_type
@@ -3202,7 +3213,8 @@ ORACLES = {
     """,
     "join_skew_salted": """
         SELECT event_type, count(*) AS n,
-               round(sum(value * length(event_type)), 2) AS weighted_sum
+               round(sum(CAST(round(value * 100) AS BIGINT)
+                         * length(event_type)) / 100.0, 2) AS weighted_sum
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "scan_schema_evolution": f"""
