@@ -33,9 +33,14 @@ QUALITY_THRESHOLD = 0.55
 
 def _quality_cols(docs: DataFrame) -> DataFrame:
     toks = F.split(F.lower("text"), " ")
-    n_tok = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*text.STOPWORDS)))
-    chars_adj = F.length("text") - (n_tok - 1)
+    # bigint BEFORE any product (the text_quality_score hardening,
+    # round 7): size()/length() are int32 and the n_tok*200 divisor
+    # wraps silently past a ~10M-token doc in non-ANSI Spark while the
+    # DuckDB oracle's BIGINT len() does not — the same overflow class,
+    # duplicated here because this pipeline predates the fix
+    n_tok = F.size(toks).cast("bigint")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*text.STOPWORDS))).cast("bigint")
+    chars_adj = F.length("text").cast("bigint") - (n_tok - 1)
     quality = (
         F.least(n_tok, F.lit(100)) * n_tok
         + (n_tok - stop_hits) * 60
@@ -49,11 +54,15 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _quality_cols(docs).filter(F.col("quality") >= QUALITY_THRESHOLD)
 
     # near-dup pairs (verified Jaccard >= 0.8); drop the larger id of
-    # each pair — broadcast the (tiny) drop list into an anti-join
+    # each pair via an anti-join. NO forced broadcast: the drop list
+    # grows with the corpus's duplicate mass (a flooded crawl at 100 TB
+    # makes it corpus-scale), so the hint would collect it to the
+    # driver — AQE broadcasts from its own runtime sizing when the
+    # list measures small (the decontaminate_ngram_overlap rule).
     dup_ids = (
         dedup.dedup_minhash_lsh(spark, sf_dir).select(F.col("d2").alias("doc_id")).distinct()
     )
-    kept = scored.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+    kept = scored.join(dup_ids, "doc_id", "left_anti")
 
     return (
         kept.groupBy("lang")
@@ -184,7 +193,9 @@ def pipeline_dedup_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = docs.join(keepers, "doc_id", "left_semi")
     pairs = _minhash_pairs(_capped_shingles(_shingle_table(survivors)))
     dropped = pairs.select(F.col("d2").alias("doc_id")).distinct()
-    near_kept = survivors.join(F.broadcast(dropped), "doc_id", "left_anti")
+    # unhinted anti-join: the dropped set scales with duplicate mass
+    # (see pipeline_corpus_prep) — AQE sizes the broadcast decision
+    near_kept = survivors.join(dropped, "doc_id", "left_anti")
     stage = lambda name, df: df.agg(bigint(F.count("*")).alias("n_docs")).select(  # noqa: E731
         F.lit(name).alias("stage"), "n_docs"
     )
@@ -197,6 +208,14 @@ def pipeline_dedup_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXPORT_SHARDS = 16
+# Shard checksums accumulate per-doc products whose 64-bit sum can
+# exceed 2^63 at 100 TB (1e11 docs × ~2^31-scale fingerprints): Spark's
+# non-ANSI BIGINT sum wraps SILENTLY while DuckDB's HUGEINT sum -> CAST
+# raises — divergent failure modes. Both engines therefore sum in
+# 128-bit (Spark decimal(38,0), DuckDB HUGEINT) and reduce by one
+# explicit modulus, making the checksum a defined modular fingerprint
+# instead of an accidental wrap.
+CHECKSUM_MOD = 1 << 61
 
 
 def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,7 +264,10 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.count("*")).alias("n_docs"),
         bigint(F.sum("n_tok")).alias("sum_tokens"),
         bigint(F.sum("n_chars")).alias("sum_chars"),
-        bigint(F.sum("fp")).alias("checksum"),
+        # 128-bit sum + modulus: see CHECKSUM_MOD
+        bigint(
+            F.pmod(F.sum(F.col("fp").cast("decimal(38,0)")), F.lit(CHECKSUM_MOD))
+        ).alias("checksum"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
@@ -319,7 +341,14 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.sum("n_tokens_kept")).alias("sum_tokens"),
         bigint(F.sum(F.col("n_emails") + F.col("n_phones"))).alias("n_pii"),
         bigint(F.sum("redacted_len")).alias("sum_bytes"),
-        bigint(F.sum(F.col("doc_id") * F.col("n_tokens_kept"))).alias("checksum"),
+        # the product is taken in decimal too: doc_id·tokens already
+        # nears 2^63 at production id ranges (see CHECKSUM_MOD)
+        bigint(
+            F.pmod(
+                F.sum(F.col("doc_id").cast("decimal(38,0)") * F.col("n_tokens_kept")),
+                F.lit(CHECKSUM_MOD),
+            )
+        ).alias("checksum"),
     )
     from pyspark.sql import Window as W
 
@@ -558,7 +587,8 @@ ORACLES = {
                    CAST(sum(n_tokens_kept) AS BIGINT) AS sum_tokens,
                    CAST(sum(n_emails + n_phones) AS BIGINT) AS n_pii,
                    CAST(sum(redacted_len) AS BIGINT) AS sum_bytes,
-                   CAST(sum(doc_id * n_tokens_kept) AS BIGINT) AS checksum
+                   CAST(sum(CAST(doc_id AS HUGEINT) * n_tokens_kept)
+                        % {CHECKSUM_MOD} AS BIGINT) AS checksum
             FROM per_doc GROUP BY shard
         )
         SELECT shard, n_docs, sum_tokens, n_pii, checksum,
@@ -588,7 +618,8 @@ ORACLES = {
             SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-                   CAST(sum(fp) AS BIGINT) AS checksum,
+                   CAST(sum(CAST(fp AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)
+                       AS checksum,
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM perdoc GROUP BY shard
         )

@@ -297,7 +297,7 @@ def ann_lsh_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qb"),
         _norm(F.col("v")).alias("qnrm"),
     )
-    # each corpus vector lives in exactly one bucket and the 79 probed
+    # each corpus vector lives in exactly one bucket and the 37 probed
     # buckets are pairwise distinct, so no (q, candidate) dedup needed
     probes = queries.select(
         "q_id",

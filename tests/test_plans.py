@@ -261,6 +261,27 @@ def test_decontaminate_gram_join_not_forced_broadcast(spark, sf_small):
     assert "BroadcastHashJoin" not in plan
 
 
+@pytest.mark.parametrize(
+    "query", ["pipeline_corpus_prep", "pipeline_dedup_ordered"]
+)
+def test_pipeline_drop_list_not_forced_broadcast(spark, sf_small, query):
+    """The near-dup drop list GROWS WITH THE CORPUS'S DUPLICATE MASS
+    (a flooded crawl makes it corpus-scale), so the keep-side anti-join
+    must not carry a broadcast hint — the decontaminate_ngram_overlap
+    rule. With the auto-threshold disabled, only a FORCED broadcast
+    could survive; the unhinted anti-join must fall back to a shuffled
+    spelling."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_small, query)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_tpch_q4_exists_plans_as_semi_join(spark, sf_small):
     """EXISTS must decorrelate to a (left-)semi join, never a per-row
     subquery or nested loop."""
