@@ -64,6 +64,19 @@ def r6(col: Column) -> Column:
     return F.round(col, 6)
 
 
+def null_safe_div(num: Column, den: Column) -> Column:
+    """``num/den``, NULL when ``den = 0`` — the ANSI alignment guard:
+    this environment's Spark 4 default (``ansi.enabled=true``) RAISES
+    DIVIDE_BY_ZERO on every division form, while DuckDB yields NULL,
+    so an unguarded division whose denominator can reach zero under
+    degenerate-but-plausible data (a zero-norm embedding from a broken
+    encoder, a zero-variance group, a one-sample series) crashes the
+    Spark job where the oracle contract says NULL. The guard costs one
+    comparison and changes no value where ``den ≠ 0``; the DuckDB twin
+    needs nothing (NULL is already its division-by-zero result)."""
+    return F.when(den != F.lit(0), num / den)
+
+
 def floor_micro(num: Column, den: Column) -> Column:
     """``floor(10⁶·num/den)`` as BIGINT — THE cross-engine-exact ratio
     display (SCALE.md): both operands are exact integers (BIGINT or
@@ -71,9 +84,11 @@ def floor_micro(num: Column, den: Column) -> Column:
     correctly-rounded IEEE ops, and floor of the identical double is
     engine-exact. Every micro-ratio site must use this exact shape —
     a drive-by edit (dropping a cast, floor→round) at one inline copy
-    silently broke the contract, which is why it lives here. DuckDB
-    twin: ``CAST(floor(1000000.0 * (CAST(a AS DOUBLE) / CAST(b AS
-    DOUBLE))) AS BIGINT)``."""
+    silently broke the contract, which is why it lives here. NULL when
+    ``den = 0`` via :func:`null_safe_div` (ANSI Spark would raise where
+    DuckDB's twin yields NULL — a constant series or one-sample group
+    must degrade, not crash). DuckDB twin: ``CAST(floor(1000000.0 *
+    (CAST(a AS DOUBLE) / CAST(b AS DOUBLE))) AS BIGINT)``."""
     return F.floor(
-        F.lit(1_000_000.0) * (num.cast("double") / den.cast("double"))
+        F.lit(1_000_000.0) * null_safe_div(num.cast("double"), den.cast("double"))
     ).cast("bigint")

@@ -42,7 +42,7 @@ from eventstream_benchmark_spark.operators._cache import (
     scoped_persist,
     shared_persist,
 )
-from eventstream_benchmark_spark.operators._util import bigint, r6
+from eventstream_benchmark_spark.operators._util import bigint, null_safe_div, r6
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.8
@@ -777,7 +777,11 @@ def _emb_cosine_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p1",
             "p2",
-            r6(seq_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            # null_safe_div: a zero-norm (all-zero) vector pair would
+            # raise DIVIDE_BY_ZERO under ANSI Spark where DuckDB yields
+            # NULL; NULL fails the >= threshold below in both engines
+            r6(null_safe_div(seq_dot(F.col("va"), F.col("vb")),
+                             F.col("na") * F.col("nb"))).alias(
                 "cosine"
             ),
         )
@@ -789,7 +793,8 @@ def _emb_cosine_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles), so r6(d / (sqrt(d)·sqrt(d))) matches bit-for-bit
     self_cos = reps.select(
         "rep_id",
-        r6(seq_dot(F.col("v"), F.col("v")) / (F.col("nrm") * F.col("nrm"))).alias(
+        r6(null_safe_div(seq_dot(F.col("v"), F.col("v")),
+                         F.col("nrm") * F.col("nrm"))).alias(
             "cosine"
         ),
     )

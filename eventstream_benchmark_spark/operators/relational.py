@@ -1069,12 +1069,20 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     def scaled(col: Column, k: int) -> Column:
         return bigint(F.round(col * F.lit(float(10**k)), 0))
 
+    # null_safe_div (ANSI alignment): a one-row group makes n−1 = 0 and
+    # a constant column makes sqrt(mqq·mxx) = 0 — ANSI Spark raises
+    # DIVIDE_BY_ZERO where DuckDB's replay yields NULL (its division-
+    # by-zero result propagates through sqrt/round/CAST as NULL), so
+    # both engines now agree on NULL-undefined moments for degenerate
+    # groups instead of diverging crash-vs-NULL.
+    from eventstream_benchmark_spark.operators._util import null_safe_div
+
     return sums.select(
         "l_linestatus",
-        scaled(F.sqrt(mxx / (n - 1)), 4).alias("sd_price_e4"),
-        scaled(mqq / (n - 1), 4).alias("var_qty_e4"),
-        scaled(mqx / F.sqrt(mqq * mxx), 6).alias("corr_qty_price_e6"),
-        scaled(mdt / (n - 1), 4).alias("cov_disc_tax_e4"),
+        scaled(F.sqrt(null_safe_div(mxx, n - 1)), 4).alias("sd_price_e4"),
+        scaled(null_safe_div(mqq, n - 1), 4).alias("var_qty_e4"),
+        scaled(null_safe_div(mqx, F.sqrt(mqq * mxx)), 6).alias("corr_qty_price_e6"),
+        scaled(null_safe_div(mdt, n - 1), 4).alias("cov_disc_tax_e4"),
     ).orderBy("l_linestatus")
 
 

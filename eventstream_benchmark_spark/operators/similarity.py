@@ -31,7 +31,7 @@ from eventstream_benchmark_spark.operators._cache import (
     scoped_persist,
     shared_persist,
 )
-from eventstream_benchmark_spark.operators._util import bigint, r6
+from eventstream_benchmark_spark.operators._util import bigint, null_safe_div, r6
 
 PROBE_VEC_ID = 0
 TOPK = 20
@@ -58,6 +58,18 @@ def _norm(v):
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
 
 
+def _cos(dot, na, nb):
+    """``dot/(na·nb)`` with the zero-norm guard: a zero vector (a
+    broken encoder's plausible output) makes the denominator 0, where
+    ANSI Spark raises DIVIDE_BY_ZERO and DuckDB yields NULL — the
+    ``null_safe_div`` guard aligns both engines on NULL-undefined
+    cosine (NULLs sort last under every DESC ranking in the lane and
+    fail every ≥ τ filter, in both engines). Values are unchanged for
+    every nonzero pair: the guard is a comparison, not an arithmetic
+    rewrite."""
+    return null_safe_div(dot, na * nb)
+
+
 # --------------------------------------------------------------------------
 # B26 — cosine top-k vs a fixed probe vector
 # --------------------------------------------------------------------------
@@ -78,7 +90,7 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(probe)
         .select(
             "vec_id",
-            r6(_dot(F.col("v"), F.col("pv")) / (F.col("vnrm") * F.col("pnrm"))).alias(
+            r6(_cos(_dot(F.col("v"), F.col("pv")), F.col("vnrm"), F.col("pnrm"))).alias(
                 "cosine"
             ),
         )
@@ -109,7 +121,7 @@ def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            r6(_dot(F.col("v"), F.col("qv")) / (F.col("vnrm") * F.col("qnrm"))).alias(
+            r6(_cos(_dot(F.col("v"), F.col("qv")), F.col("vnrm"), F.col("qnrm"))).alias(
                 "cosine"
             ),
         )
@@ -227,7 +239,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
             r6(
-                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+                _cos(_dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm"), F.col("b.nrm"))
             ).alias("cosine"),
             bigint(F.col("a.n_overflow")).alias("n_overflow"),
         )
@@ -313,7 +325,7 @@ def ann_lsh_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = candidates.select(
         "q_id",
         "vec_id",
-        r6(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+        r6(_cos(_dot(F.col("qv"), F.col("v")), F.col("qnrm"), F.col("nrm"))).alias(
             "cosine"
         ),
     )
@@ -348,7 +360,7 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             "v",
             "vnrm",
             "cluster",
-            r6(_dot(F.col("v"), F.col("cv")) / (F.col("vnrm") * F.col("cnrm"))).alias(
+            r6(_cos(_dot(F.col("v"), F.col("cv")), F.col("vnrm"), F.col("cnrm"))).alias(
                 "sim"
             ),
         )
@@ -465,7 +477,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qv",
             "qnrm",
             "cluster",
-            r6(_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+            r6(_cos(_dot(F.col("qv"), F.col("cv")), F.col("qnrm"), F.col("cnrm"))).alias(
                 "sim"
             ),
         )
@@ -486,7 +498,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = candidates.select(
         "q_id",
         "vec_id",
-        r6(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+        r6(_cos(_dot(F.col("qv"), F.col("v")), F.col("qnrm"), F.col("nrm"))).alias(
             "cosine"
         ),
     )
@@ -546,15 +558,20 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     n_sat = F.size(F.filter("v", lambda x: F.abs(x) == F.col("amax")))
+    # the amax > 0 filter is applied BEFORE the projection so the
+    # x/scale divisions provably never see a zero scale (an all-zero
+    # vector) — under ANSI that would raise rather than null out, and
+    # relying on Catalyst to push the filter below the project leaves
+    # the guarantee to the optimizer instead of the plan order
     return (
-        based.select(
+        based.filter(F.col("amax") > 0)
+        .select(
             "vec_id",
             "label",
             r6(scale).alias("scale"),
             r6(sqerr / F.size("v")).alias("mse"),
             bigint(n_sat).alias("n_saturated"),
         )
-        .filter(F.col("amax") > 0)
         .orderBy("vec_id")
     )
 
@@ -652,8 +669,11 @@ def embed_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = sq_sum(F.col("embedding"))
     pref = {p: sq_sum(F.slice("embedding", 1, p)) for p in MRL_PREFIXES}
+    # null_safe_div: an all-zero vector has zero total energy — ANSI
+    # Spark would raise on the ratio where DuckDB yields NULL (which
+    # every aggregate below then skips, identically in both engines)
     micro = {
-        p: F.floor(F.lit(1_000_000.0) * (pref[p] / full)).cast("long")
+        p: F.floor(F.lit(1_000_000.0) * null_safe_div(pref[p], full)).cast("long")
         for p in MRL_PREFIXES
     }
     stacked = emb.select(
@@ -775,8 +795,8 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str):
             )
             .filter(
                 r6(
-                    _dot(F.col("a.v"), F.col("b.v"))
-                    / (F.col("a.nrm") * F.col("b.nrm"))
+                    _cos(_dot(F.col("a.v"), F.col("b.v")),
+                         F.col("a.nrm"), F.col("b.nrm"))
                 )
                 >= SEMDEDUP_TAU
             )
