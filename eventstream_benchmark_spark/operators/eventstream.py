@@ -27,6 +27,7 @@ from eventstream_benchmark_spark.operators._util import (
     floor_micro,
     fmt_date,
     fmt_ts,
+    null_safe_div,
     r2,
     r4,
     r6,
@@ -328,8 +329,14 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_obs"),
             bigint(F.sum("dt_us")).alias("total_us"),
+            # null_safe_div: a type whose consecutive observations all
+            # share one microsecond timestamp (a coarse-granularity
+            # source) has Σdt = 0 — ANSI Spark would raise where the
+            # DuckDB twin's division yields NULL
             r6(
-                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us")
+                null_safe_div(
+                    F.sum(F.col("value") * F.col("dt_us")), F.sum("dt_us")
+                )
             ).alias("twap"),
             r6(F.avg("value")).alias("plain_avg"),
         )

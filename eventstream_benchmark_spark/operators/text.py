@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eventstream_benchmark_spark.io import load_table
-from eventstream_benchmark_spark.operators._util import bigint, r4, r6
+from eventstream_benchmark_spark.operators._util import bigint, null_safe_div, r4, r6
 
 STOPWORDS = ("a", "the")
 
@@ -290,7 +290,12 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             bigint(n).alias("n_trigrams"),
             bigint(d).alias("n_distinct"),
-            r6((n - d) / n).alias("rep_ratio"),
+            # null_safe_div: a doc under 3 tokens has n = 0 — the
+            # n_trigrams > 0 filter below prunes the row, but it is
+            # applied after this projection, so under ANSI the guard
+            # (not optimizer pushdown order) is what keeps a short doc
+            # from raising DIVIDE_BY_ZERO
+            r6(null_safe_div(n - d, n)).alias("rep_ratio"),
         )
         .filter(F.col("n_trigrams") > 0)
         .orderBy("doc_id")
