@@ -148,12 +148,32 @@ _QUERIES = (
 )
 
 
+# ordering-sensitive queries: the fixture's timestamps ALL tie, so
+# every window/asof/session ordering is decided purely by its declared
+# tie-break (SURVEY §1.2 — the reference's own pattern boundaries tie).
+# Any ordering missing a total tie-break diverges from the oracle here
+# even though the production fixtures (mostly distinct timestamps)
+# would mask it.
+_TIE_QUERIES = (
+    "join_asof",
+    "join_asof_nearest",
+    "dedup_exact",
+    "dedup_keep_latest",
+    "win_lag_inter_arrival",
+    "session_window_agg",
+    "funnel_conversion",
+    "attribution_last_touch",
+    "attribution_linear",
+    "join_range_interval",
+)
+
+
 @pytest.fixture(scope="module")
 def degen_dir():
     return _build()
 
 
-@pytest.mark.parametrize("name", _QUERIES)
+@pytest.mark.parametrize("name", _QUERIES + _TIE_QUERIES)
 def test_degenerate_parity(spark, degen_dir, name):
     import __spark_entry__ as e
 
