@@ -13,86 +13,81 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (~50 of 208 per round), so registry order decides which queries earn a
-# CORRECTNESS row this round.  Round-7 rotation (the freshness cycle's
-# second half, per VERDICT r6 items 1-2), strictly by staleness against
-# merged CORRECTNESS_r1-r6: (1) the three queries with NO driver row —
-# the two round-6 additions (queued behind round-6's window by design)
-# and this round's one gap-closure addition (`dedup_semantic_recall_
-# eval`, the SemDeDup boundary-miss measurement — within the ≤5 cap);
-# (2) `scan_schema_evolution`, r5-green but its read path changed this
-# round (explicit generation paths instead of the scratch root — ADVICE
-# r6) so it needs a fresh row; (3) the 16 remaining round-2-green
-# re-checks — four rounds stale after this round; (4) 31 of the 46
-# round-3-green re-checks, with the four whose code or composition
-# changed this round pulled to the front of the pack
-# (`agg_stats_moments` integer-scaled hash spelling,
-# `dedup_embedding_cosine` now composed into the recall eval,
-# `copurchase_part_pairs` riding the family-shared edge build,
-# `dedup_cluster_cc` newly sf1-probed). The 15 r3 remainders rotate in
-# round 8, which completes the cycle: every entry driver-green within
-# the last three rounds.
+# (DRIVER_WINDOW=50 of 209 per round), so registry order decides which
+# queries earn a CORRECTNESS row this round.  Round-8 rotation, now
+# MECHANIZED (VERDICT r7 items 1/2/5): this tuple is the output of
+# ``rotation.compute_front`` over merged CORRECTNESS_r1-r7 — never-
+# sampled additions first (this round's `generate_stream_dataframe`),
+# then ascending latest-green round, alphabetical within a round — and
+# ``tests/test_rotation.py`` asserts literal == computation, so the
+# round-7 failure mode (51 names hand-counted into a 50-slot window,
+# silently starving `embed_quantize_int8`) can no longer happen.  This
+# window fronts all 16 r3-stale entries plus the 33 alphabetically
+# first r4 entries, completing the freshness cycle: after round 8 every
+# registered query has a driver-green row within the last four rounds.
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
-    # (1) no driver CORRECTNESS row yet
-    "dedup_semantic_cluster",
-    "export_range_partitioned",
-    "dedup_semantic_recall_eval",   # round-7 addition (gap-closure cap)
-    # (2) code changed this round — needs a fresh row
-    "scan_schema_evolution",
-    # (3) the 16 remaining round-2-green re-checks
-    "stream_drift_score",
-    "retention_cohort",
-    "attribution_last_touch",
-    "dedup_exact_text",
-    "embed_dim_stats",
-    "knn_bruteforce_topk",
-    "sample_hash_split",
-    "text_token_count",
-    "text_langid",
-    "text_fingerprint",
-    "text_tokenize_topterms",
-    "pipeline_corpus_prep",
-    "streaming_replay_tumbling",
-    "streaming_dedup_watermark",
-    "streaming_join_clicks_purchases",
-    "session_window_agg",
-    # (4) round-3-green re-checks: changed/composed-this-round first,
-    # then the r3 pack in merged order (15 remainders -> round 8)
-    "agg_stats_moments",
-    "dedup_embedding_cosine",
-    "copurchase_part_pairs",
-    "dedup_cluster_cc",
-    "scan_parquet_project_filter",
-    "scan_csv_roundtrip",
-    "predicate_combo",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_semi_anti",
-    "join_skew_salted",
-    "agg_hash_global",
-    "agg_distinct",
-    "scan_jsonl_roundtrip",
-    "scan_orc_roundtrip",
-    "write_partitioned_pruned",
-    "join_bucketed_colocated",
-    "sql_tpch_q4",
-    "sql_tpch_q12",
-    "sql_tpch_q14",
-    "sql_tpch_q6",
-    "sql_tpch_q10",
-    "sql_tpch_q18",
-    "sql_tpch_q19",
-    "stream_anomaly_mad",
-    "scd2_user_state",
-    "rollup_hourly_daily",
-    "time_weighted_avg",
-    "funnel_conversion",
-    "attribution_linear",
+    # never sampled (round-8 addition, gap-closure cap)
+    "generate_stream_dataframe",
+    # r3-green — 4 rounds stale, the cycle's last pack (all 16)
+    "decontaminate_ngram_overlap",
     "embed_quantize_int8",
+    "generate_patterns_spark",
+    "generate_stream_exact",
+    "pack_sequences_chunked",
+    "pattern_recovery_scored",
+    "sample_topn_per_stratum",
+    "sample_weighted_hash",
+    "streaming_foreach_batch_sink",
+    "streaming_left_outer_join",
+    "streaming_rate_replay",
+    "streaming_session_window",
+    "text_bigram_surprisal",
+    "text_repetition_score",
+    "udf_surface",
+    "vocab_oov_rate",
+    # r4-green re-checks, alphabetical (first 33 of 44 fill the window)
+    "agg_cube",
+    "agg_histogram",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_skew_salted",
+    "ann_ivf_cosine",
+    "cogroup_asof_enrich",
+    "corpus_mix_rebalance",
+    "dedup_keep_latest",
+    "docs_chunk_overlap",
+    "generate_stream_sharded",
+    "graph_pagerank",
+    "join_full_outer",
+    "multimodal_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pipeline_dedup_ordered",
+    "scalar_datetime",
+    "scalar_decimal",
+    "scalar_math",
+    "scalar_math_density",
+    "scalar_string",
+    "scalar_string_distance",
+    "set_ops",
+    "sort_limit_topk",
+    "sql_tpch_q11",
+    "sql_tpch_q13",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q17",
+    "sql_tpch_q2",
+    "sql_tpch_q20",
 )
 
 
 def _ordered(merged: dict) -> dict:
+    assert len(_FRONT_OF_REGISTRY) <= 50, (
+        f"{len(_FRONT_OF_REGISTRY)} front names for the driver's 50-slot "
+        "per-round window — entries past slot 50 silently miss the round "
+        "(the round-7 embed_quantize_int8 overflow)"
+    )
     missing = [n for n in _FRONT_OF_REGISTRY if n not in merged]
     assert not missing, (
         f"_FRONT_OF_REGISTRY names absent from the registry: {missing} — "

@@ -24,6 +24,7 @@ from eventstream_benchmark_spark.generator import (
     patterns_df,
     stream_df_cached,
     stream_df_exact,
+    stream_df_pure,
     stream_df_sharded,
     stream_iter,
     to_numpy,
@@ -190,6 +191,99 @@ def test_sharded_stream_invariants(spark):
     s0 = pdf[pdf["shard"] == 0]["ts"].to_numpy()
     s1 = pdf[pdf["shard"] == 1]["ts"].to_numpy()
     assert not np.array_equal(s0[: min(len(s0), len(s1))], s1[: min(len(s0), len(s1))])
+
+
+def test_puredf_stream_invariants(spark):
+    """The pure-DataFrame mode satisfies the same §1.2 invariants as
+    the NumPy paths, per shard: monotone clock, exact random ratio,
+    type range, contiguous length-L pattern blocks, ties only at
+    random->pattern boundaries."""
+    from eventstream_benchmark_spark.generator.queries import (
+        GOLDEN_PATTERNS,
+        PUREDF_STREAM,
+    )
+    import dataclasses
+
+    df = stream_df_pure(spark, GOLDEN_PATTERNS, PUREDF_STREAM, n_shards=8)
+    pdf = df.toPandas().sort_values(["shard", "event_id"])
+    assert len(pdf) == PUREDF_STREAM.total_events
+    per_shard = dataclasses.replace(
+        PUREDF_STREAM, total_events=PUREDF_STREAM.total_events // 8
+    )
+    for _shard, grp in pdf.groupby("shard"):
+        _invariants(
+            grp["ts"].to_numpy(),
+            grp["event_type"].to_numpy(),
+            grp["is_pattern"].to_numpy(),
+            per_shard,
+            GOLDEN_PATTERNS.pattern_length,
+        )
+    # shards draw different streams (hash keys include the shard)
+    s0 = pdf[pdf["shard"] == 0]["ts"].to_numpy()
+    s1 = pdf[pdf["shard"] == 1]["ts"].to_numpy()
+    assert not np.array_equal(s0, s1)
+
+
+def test_puredf_deterministic_and_seed_sensitive(spark):
+    """Counter-based draws: same (config, seed, shards) -> identical
+    output across independent builds; a different seed changes it."""
+    import dataclasses
+
+    cfg = StreamConfig(
+        n_types=4, total_events=2_000, random_ratio=0.5, seed=77,
+        rand_interval_dist="geometric", rand_interval_base=4,
+        rand_jitter="uniform", rand_jitter_amount=1,
+        pattern_jitter="uniform", pattern_jitter_amount=2,
+        density_mode="none",
+    )
+    a = stream_df_pure(spark, PCFG, cfg, n_shards=4).toPandas().sort_values("event_id")
+    b = stream_df_pure(spark, PCFG, cfg, n_shards=4).toPandas().sort_values("event_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    c = (
+        stream_df_pure(spark, PCFG, dataclasses.replace(cfg, seed=78), n_shards=4)
+        .toPandas()
+        .sort_values("event_id")
+    )
+    assert not a["ts"].reset_index(drop=True).equals(c["ts"].reset_index(drop=True))
+
+
+def test_puredf_rejects_non_closed_form_laws(spark):
+    """poisson intervals, gaussian/laplace jitters, and sin density
+    have no closed-form column inverse -> the pure mode refuses them
+    (the sharded path owns those configs)."""
+    import dataclasses
+
+    base = StreamConfig(
+        n_types=4, total_events=100, random_ratio=0.5, seed=1,
+        rand_interval_dist="fixed", rand_interval_base=3,
+        rand_jitter="none", rand_jitter_amount=0,
+        pattern_jitter="none", pattern_jitter_amount=0,
+        density_mode="none",
+    )
+    for bad in (
+        dataclasses.replace(base, rand_interval_dist="poisson"),
+        dataclasses.replace(base, rand_jitter="gaussian", rand_jitter_amount=2),
+        dataclasses.replace(base, pattern_jitter="laplace", pattern_jitter_amount=2),
+        dataclasses.replace(base, density_mode="sin"),
+    ):
+        with pytest.raises(ValueError):
+            stream_df_pure(spark, PCFG, bad, n_shards=2)
+
+
+def test_puredf_summary_constants_pinned(spark):
+    """The generate_stream_dataframe oracle is a precomputed VALUES
+    table; recompute it with a fresh run so an xxhash64/plan drift
+    fails here before the driver hashes a stale constant."""
+    from eventstream_benchmark_spark.generator.queries import (
+        _PUREDF_SUMMARY_ROWS,
+        generate_stream_dataframe,
+    )
+
+    got = tuple(
+        tuple(int(v) for v in row)
+        for row in generate_stream_dataframe(spark, "").collect()
+    )
+    assert got == _PUREDF_SUMMARY_ROWS
 
 
 def test_patterns_df_matches_numpy(spark):
