@@ -259,6 +259,85 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split with leakage evaluation —
+    the contamination control a training pipeline runs AFTER near-dup
+    mining: hashing each document's dup-CLUSTER label (not its own id)
+    into the 80/10/10 split keeps every near-duplicate family inside
+    one split, so an eval example can never have a near-copy in train
+    (SemDeDup/Gopher-era split hygiene).
+
+    Composes three existing artifacts without new machinery: the
+    family-shared verified MinHash pair set, min-label connected
+    components over it (``dedup._min_label_cc``; docs with no dup edge
+    label themselves), and the corpus-wide split hash
+    (:func:`_split_bucket`'s constants — ONE spelling, so membership
+    can never desynchronize from ``sample_hash_split``). Output: one
+    row per policy (``naive`` = hash of doc_id, ``cluster_aware`` =
+    hash of cluster_id) with split sizes and the COMPUTED number of
+    verified near-dup pairs straddling a split boundary — zero for the
+    cluster-aware policy by construction, but produced by the same
+    count the naive row runs, so the invariant is hash-checked, not
+    asserted. Scale shape: CC over the output-sized pair set, two
+    output-sized leak joins, one-row broadcast folds for the summary
+    rows."""
+    from eventstream_benchmark_spark.operators.dedup import (
+        _min_label_cc,
+        dedup_minhash_lsh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    labels = _min_label_cc(pairs)
+    full = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+    )
+
+    def split_of(key):
+        b = (key * SPLIT_HASH_MULT) % SPLIT_HASH_MOD % 100
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    from eventstream_benchmark_spark.operators._cache import scoped_persist
+
+    assign = scoped_persist(
+        full.select(
+            "doc_id",
+            split_of(F.col("doc_id")).alias("naive_s"),
+            split_of(F.col("cluster_id")).alias("aware_s"),
+        )
+    )
+
+    def policy_row(col: str, policy: str) -> DataFrame:
+        a = assign.select("doc_id", F.col(col).alias("s"))
+        sizes = a.agg(
+            bigint(F.sum((F.col("s") == "train").cast("long"))).alias("n_train"),
+            bigint(F.sum((F.col("s") == "val").cast("long"))).alias("n_val"),
+            bigint(F.sum((F.col("s") == "test").cast("long"))).alias("n_test"),
+        )
+        a1 = a.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"))
+        a2 = a.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2"))
+        leak = (
+            pairs.join(a1, "d1")
+            .join(a2, "d2")
+            .filter(F.col("s1") != F.col("s2"))
+            .agg(bigint(F.count("*")).alias("cross_split_pairs"))
+        )
+        # two one-row frames — a broadcast scalar fold, not a data join
+        return sizes.crossJoin(leak).select(
+            F.lit(policy).alias("policy"),
+            "n_train",
+            "n_val",
+            "n_test",
+            "cross_split_pairs",
+        )
+
+    return (
+        policy_row("aware_s", "cluster_aware")
+        .unionAll(policy_row("naive_s", "naive"))
+        .orderBy("policy")
+    )
+
+
 DECON_N = 5  # contamination n-gram size
 _SLICE_ALL = 1 << 30  # slice() length is clamped to the array end
 
@@ -918,6 +997,7 @@ QUERIES = {
     "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
     "corpus_ngram_topk": corpus_ngram_topk,
     "sample_hash_split": sample_hash_split,
+    "sample_cluster_aware_split": sample_cluster_aware_split,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "text_repetition_score": text_repetition_score,
     "vocab_oov_rate": vocab_oov_rate,
@@ -949,6 +1029,7 @@ def _marker_score_sql(lang: str) -> str:
 # oracle below (import deferred to here — pipeline-level modules
 # import text, so the top of the module stays dependency-light)
 from eventstream_benchmark_spark.operators.dedup import SHINGLE_K as _DEDUP_SHINGLE_K  # noqa: E402
+from eventstream_benchmark_spark.operators.dedup import _PAIRS_SQL as _DEDUP_PAIRS_SQL  # noqa: E402
 
 
 ORACLES = {
@@ -1156,6 +1237,65 @@ ORACLES = {
         JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
         JOIN c1 ON b.w1 = c1.w1
         GROUP BY 1 ORDER BY 1
+    """,
+    "sample_cluster_aware_split": f"""
+        WITH RECURSIVE
+        pairs AS (SELECT d1, d2 FROM ({_DEDUP_PAIRS_SQL}) p),
+        edges AS (
+            SELECT d1 AS a, d2 AS b FROM pairs
+            UNION
+            SELECT d2, d1 FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a
+        ),
+        labels AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ),
+        assign AS (
+            SELECT doc_id,
+                   CASE WHEN (doc_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD} % 100 < 80 THEN 'train'
+                        WHEN (doc_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD} % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS naive_s,
+                   CASE WHEN (cluster_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD} % 100 < 80 THEN 'train'
+                        WHEN (cluster_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD} % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS aware_s
+            FROM labels
+        ),
+        split_sizes AS (
+            SELECT 'naive' AS policy,
+                   CAST(sum(CASE WHEN naive_s = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                   CAST(sum(CASE WHEN naive_s = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+                   CAST(sum(CASE WHEN naive_s = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+            FROM assign
+            UNION ALL
+            SELECT 'cluster_aware',
+                   CAST(sum(CASE WHEN aware_s = 'train' THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN aware_s = 'val' THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN aware_s = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+            FROM assign
+        ),
+        leaks AS (
+            SELECT 'naive' AS policy,
+                   CAST(count(*) FILTER (a1.naive_s <> a2.naive_s) AS BIGINT) AS cross_split_pairs,
+                   CAST(count(*) FILTER (a1.aware_s <> a2.aware_s) AS BIGINT) AS aware_cross
+            FROM pairs
+            JOIN assign a1 ON d1 = a1.doc_id
+            JOIN assign a2 ON d2 = a2.doc_id
+        )
+        SELECT s.policy, s.n_train, s.n_val, s.n_test,
+               CASE WHEN s.policy = 'naive' THEN l.cross_split_pairs
+                    ELSE l.aware_cross END AS cross_split_pairs
+        FROM split_sizes s CROSS JOIN leaks l
+        ORDER BY s.policy
     """,
     "sample_hash_split": f"""
         SELECT CASE WHEN b < 80 THEN 'train'

@@ -51,15 +51,23 @@ def _row_green(rec: dict) -> bool:
     )
 
 
-def latest_green_rounds(repo_root: str | Path) -> dict[str, int]:
+def latest_green_rounds(
+    repo_root: str | Path, upto: int | None = None
+) -> dict[str, int]:
     """name -> most recent round with a green driver row, merged over
-    every CORRECTNESS_r*.json under ``repo_root``."""
+    every CORRECTNESS_r*.json under ``repo_root``. ``upto`` bounds the
+    history (rounds > upto ignored) so a front list generated against
+    rounds 1..N stays verifiable after the driver appends round N+1's
+    file — the regeneration for the next window is a deliberate act at
+    the next round's start, not a test surprise."""
     latest: dict[str, int] = {}
     for path in sorted(Path(repo_root).glob("CORRECTNESS_r*.json")):
         m = _CORRECTNESS_RE.search(path.name)
         if not m:
             continue
         rnd = int(m.group(1))
+        if upto is not None and rnd > upto:
+            continue
         for name, rec in json.loads(path.read_text()).items():
             if isinstance(rec, dict) and _row_green(rec):
                 latest[name] = max(latest.get(name, 0), rnd)
@@ -76,9 +84,11 @@ def staleness_order(
 
 
 def compute_front(
-    registry_names: list[str], repo_root: str | Path
+    registry_names: list[str], repo_root: str | Path, upto: int | None = None
 ) -> tuple[str, ...]:
     """The DRIVER_WINDOW stalest registry names — the mechanized
-    front-of-registry list for the next driver round."""
-    latest = latest_green_rounds(repo_root)
+    front-of-registry list for the next driver round. Pass ``upto`` =
+    the last round whose CORRECTNESS file existed when the list was
+    generated (``operators._FRONT_GENERATED_FROM_ROUND``)."""
+    latest = latest_green_rounds(repo_root, upto=upto)
     return tuple(staleness_order(registry_names, latest)[:DRIVER_WINDOW])

@@ -15,7 +15,10 @@ from pathlib import Path
 import pytest
 
 from eventstream_benchmark_spark import rotation
-from eventstream_benchmark_spark.operators import _FRONT_OF_REGISTRY
+from eventstream_benchmark_spark.operators import (
+    _FRONT_GENERATED_FROM_ROUND,
+    _FRONT_OF_REGISTRY,
+)
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
@@ -35,16 +38,22 @@ def test_front_list_fits_driver_window():
 
 
 def test_front_list_matches_computed_staleness():
-    """The literal tuple equals compute_front over the merged
-    CORRECTNESS history: never-sampled first, then stalest-first,
-    alphabetical within a round."""
+    """The literal tuple equals compute_front over the CORRECTNESS
+    history it was generated from (rounds 1.._FRONT_GENERATED_FROM_
+    ROUND): never-sampled first, then stalest-first, alphabetical
+    within a round. The `upto` pin keeps this green when the driver
+    appends the NEXT round's file — regeneration (list + pin bump) is
+    the next round's deliberate first act, not a test surprise."""
     if not list(REPO_ROOT.glob("CORRECTNESS_r*.json")):
         pytest.skip("no CORRECTNESS artifacts in this checkout")
     names = _registry_names()
-    computed = rotation.compute_front(names, REPO_ROOT)
+    computed = rotation.compute_front(
+        names, REPO_ROOT, upto=_FRONT_GENERATED_FROM_ROUND
+    )
     assert _FRONT_OF_REGISTRY == computed, (
         "front-of-registry drifted from the computed staleness order; "
-        "regenerate it with rotation.compute_front(all_queries(), repo_root)"
+        "regenerate it with rotation.compute_front(all_queries(), repo_root, "
+        "upto=<latest round>) and bump _FRONT_GENERATED_FROM_ROUND"
     )
 
 
