@@ -144,6 +144,10 @@ EMITTER_FAMILIES = {
     "dedup_minhash_lsh": ("minhash_pairs",),
     "dedup_embedding_cosine": ("emb_cosine_pairs",),
     "dedup_semantic_cluster": ("semdedup_victims", "ivf_assigned", "ivf_refined"),
+    # round 8: CC labels became a shared artifact (the cluster-aware
+    # split consumes them); cluster_cc emits it, so each measured pass
+    # re-pays the CC iteration while still riding the pair-set persist
+    "dedup_cluster_cc": ("cc_labels",),
 }
 SF1_HEAVY = {
     "dedup_minhash_lsh",

@@ -282,13 +282,13 @@ def sample_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     output-sized leak joins, one-row broadcast folds for the summary
     rows."""
     from eventstream_benchmark_spark.operators.dedup import (
-        _min_label_cc,
+        _cc_labels_shared,
         dedup_minhash_lsh,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
-    labels = _min_label_cc(pairs)
+    labels = _cc_labels_shared(spark, sf_dir)
     full = docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
     )
