@@ -285,7 +285,8 @@ def main() -> None:
         extras["sf1_total"] = round(
             sum(v for k, v in extras.items()
                 if k.startswith("sf1_")
-                and not k.endswith(("_rows", "_sec", "_spread"))), 3
+                and not k.endswith(("_rows", "_sec", "_spread", "_median", "_n"))),
+            3,
         )
 
     total = round(sum(timings.values()), 3)
