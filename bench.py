@@ -118,6 +118,10 @@ SF1_QUERIES = (
     # duplicate flood (dedup_cluster_cc was the heaviest sf0.1 headline
     # item with no 10x probe — verdict item 6)
     "dedup_cluster_cc",
+    # round-8 addition, flood-probed at birth: the cluster-aware split
+    # rides the shared cc_labels + pair set the cc pass leaves behind
+    # (consumer semantics — marginal cost of the split-hygiene check)
+    "sample_cluster_aware_split",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single
@@ -188,9 +192,11 @@ def main() -> None:
     from eventstream_benchmark_spark.generator.bench import (
         csv_export_rows_per_sec,
         generator_events_per_sec,
+        puredf_events_per_sec,
     )
 
     extras["generator_events_per_sec"] = generator_events_per_sec(spark)
+    extras["puredf_events_per_sec"] = puredf_events_per_sec(spark)
     extras["csv_export_rows_per_sec"] = csv_export_rows_per_sec(spark)
 
     # warm the JVM + parquet footers so per-query numbers measure the
