@@ -213,23 +213,31 @@ _PURE_SCHED_SCHEMA = StructType(
 )
 
 
-def _pure_schedule_rows(size: int, length: int, ratio: float) -> list[tuple]:
-    """The controller's slot sequence for one shard size as scalar
-    rows: (size, slot_id, is_random, start_pos, pad_before). Consumes
+def _pure_schedule_pdf(size: int, length: int, ratio: float) -> pd.DataFrame:
+    """The controller's slot sequence for one shard size as a pandas
+    frame: (size, slot_id, is_random, start_pos, pad_before). Consumes
     no randomness (``core.slot_schedule``); pad_before marks the +1
     clock tick after a completed pattern instance (reference
     ``eventstream.py:383-384``) — every non-final slot's instance is
     complete (the schedule loop stops once the budget fills), so the
-    pad is simply "previous slot was a pattern"."""
+    pad is simply "previous slot was a pattern". Built vectorized and
+    shipped via the Arrow createDataFrame path: at bench scale the
+    schedule is ~10⁵ rows and a Python-tuple build was measurable
+    driver time."""
     slots, _n_rand, _n_inst = core.slot_schedule(size, length, ratio)
-    rows: list[tuple] = []
-    pos = 0
-    prev_pattern = False
-    for k, is_rand in enumerate(slots.tolist()):
-        rows.append((size, k, bool(is_rand), pos, 1 if prev_pattern else 0))
-        pos += 1 if is_rand else length
-        prev_pattern = not is_rand
-    return rows
+    n = slots.shape[0]
+    ev = np.where(slots, 1, length).astype(np.int64)
+    start = np.concatenate(([0], np.cumsum(ev)))[:-1]
+    pad = np.concatenate(([False], ~slots[:-1]))
+    return pd.DataFrame(
+        {
+            "size": np.full(n, size, dtype=np.int32),
+            "slot_id": np.arange(n, dtype=np.int32),
+            "is_random": slots,
+            "start_pos": start.astype(np.int64),
+            "pad_before": pad.astype(np.int32),
+        }
+    )
 
 
 def stream_df_pure(
@@ -286,13 +294,15 @@ def stream_df_pure(
 
     sizes = core.shard_sizes(scfg.total_events, n_shards)
     stride = -(-scfg.total_events // n_shards)  # ceil, same id layout as sharded
-    sched_rows = [
-        row
-        for size in sorted(set(sizes))
-        if size > 0
-        for row in _pure_schedule_rows(size, pcfg.pattern_length, scfg.random_ratio)
-    ]
-    sched = F.broadcast(spark.createDataFrame(sched_rows, _PURE_SCHED_SCHEMA))
+    sched_pdf = pd.concat(
+        [
+            _pure_schedule_pdf(size, pcfg.pattern_length, scfg.random_ratio)
+            for size in sorted(set(sizes))
+            if size > 0
+        ],
+        ignore_index=True,
+    )
+    sched = F.broadcast(spark.createDataFrame(sched_pdf, _PURE_SCHED_SCHEMA))
     shards = spark.createDataFrame(
         [(s, sizes[s]) for s in range(n_shards) if sizes[s] > 0],
         "shard int, size int",
