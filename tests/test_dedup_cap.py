@@ -161,3 +161,71 @@ def test_semdedup_cap_bounds_degenerate_corpus(spark, tmp_path):
         con.close()
     issues = compare(sim.dedup_semantic_cluster(spark, str(tmp_path)), duck)
     assert not issues, "; ".join(issues)
+
+
+def _flooded_docs() -> pd.DataFrame:
+    """A duplicate-flooded mini corpus exercising every collapse path:
+    two exact-dup cliques (sizes 4 and 3), a cross-clique near-dup
+    (one clique's text one-word-edited — J above threshold), an
+    unrelated singleton, a sub-3-token doc (shingle-filtered), and a
+    case-variant duplicate (collapse keys on lower(text))."""
+    # 12 tokens -> 10 shingles; a last-word edit shares 9 of them on
+    # each side: J = 9/(10+10-9) = 9/11 ~ 0.818, above the 0.8 gate
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu xi"
+    rows = [(i, base) for i in range(1, 5)]                 # clique A (4 copies)
+    rows += [(10 + i, near) for i in range(3)]              # clique B (3 copies)
+    rows.append((20, base.upper()))                         # case variant of A
+    rows.append((30, "completely different words entirely here now"))
+    rows.append((40, "too short"))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_collapsed_minhash_equals_uncollapsed(spark, tmp_path):
+    """The round-8 exact-dup collapse is OUTPUT-EQUAL to the
+    uncollapsed chain by construction (identical texts share shingle
+    sets, signatures, and band buckets; the weighted cap reproduces
+    the corpus docfreq) — this pins that argument directly: both
+    chains over a duplicate-flooded corpus produce the identical
+    (d1, d2, jaccard) multiset, including within-clique pairs at
+    exactly 1.0, the case-variant member, and cross-clique near-dups
+    carrying the representative jaccard."""
+    pdf = _flooded_docs()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf = str(tmp_path)
+
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        release_shared_persists,
+    )
+
+    release_shared_persists()
+    release_scoped_persists()
+    collapsed = (
+        dedup._minhash_pairs_collapsed(spark, sf)
+        .toPandas()
+        .sort_values(["d1", "d2"])
+        .reset_index(drop=True)
+    )
+    release_scoped_persists()
+    uncollapsed = (
+        dedup._minhash_pairs(
+            dedup._capped_shingles(dedup._doc_shingles(spark, sf))
+        )
+        .toPandas()
+        .sort_values(["d1", "d2"])
+        .reset_index(drop=True)
+    )
+    release_scoped_persists()
+
+    assert collapsed.equals(uncollapsed), (
+        f"collapsed:\n{collapsed}\nuncollapsed:\n{uncollapsed}"
+    )
+    # the corpus exercises every path: 4-clique (6 pairs at J=1.0
+    # incl. the case variant -> 5-clique = 10 pairs), 3-clique
+    # (3 pairs at 1.0), cross-clique near-dups (5x3 = 15 pairs < 1.0)
+    ones = collapsed[collapsed["jaccard"] == 1.0]
+    cross = collapsed[collapsed["jaccard"] < 1.0]
+    assert len(ones) == 10 + 3, collapsed
+    assert len(cross) == 15, collapsed
+    assert (cross["jaccard"] >= dedup.JACCARD_THRESHOLD).all()
