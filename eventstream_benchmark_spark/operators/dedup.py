@@ -7,11 +7,12 @@ of round 5:
 - word-3-gram Jaccard near-dup pairs (exact, capped shingle
   equi-join) — oracle ✓; plus the asymmetric CONTAINMENT variant for
   partial duplicates — oracle ✓
-- MinHash+LSH near-dup (capped shingles→minhash→band→bucket-join→
-  exact verify) — oracle ✓ against the all-pairs exact query: with
+- MinHash+LSH near-dup (exact-dup collapse → capped shingles →
+  minhash → band → bucket-join → exact verify → output-sized
+  expansion) — oracle ✓ against the all-pairs exact query: with
   128 perms in 32 bands × 4 rows, P(miss | J ≥ 0.8) = (1-0.8⁴)³² ≈
-  5e-8, and candidates are verified exactly, so LSH output ==
-  all-pairs output
+  5e-8, candidates are verified exactly, and the collapse is
+  output-equal by construction, so LSH output == all-pairs output
 - SimHash bucketing — oracle ✓ (md5-derived bucket bits DuckDB can
   replay); the xxhash64 production variant stays test-verified
 - embedding-cosine near-dup pairs (exact-dup collapse → banded
