@@ -92,3 +92,35 @@ def compute_front(
     generated (``operators._FRONT_GENERATED_FROM_ROUND``)."""
     latest = latest_green_rounds(repo_root, upto=upto)
     return tuple(staleness_order(registry_names, latest)[:DRIVER_WINDOW])
+
+
+def _main() -> None:  # pragma: no cover - convenience CLI
+    """Print the regenerated front list for the next round:
+
+        python -m eventstream_benchmark_spark.rotation [repo_root]
+
+    Paste the tuple into ``operators._FRONT_OF_REGISTRY`` and bump
+    ``_FRONT_GENERATED_FROM_ROUND`` to the highest CORRECTNESS round
+    present; ``tests/test_rotation.py`` then re-verifies the literal.
+    """
+    import sys
+
+    from eventstream_benchmark_spark.operators import all_queries
+
+    root = sys.argv[1] if len(sys.argv) > 1 else "."
+    latest = latest_green_rounds(root)
+    top = max(latest.values(), default=0)
+    names = list(all_queries().keys())
+    front = compute_front(names, root, upto=top)
+    print(f"# generated from CORRECTNESS rounds 1..{top}")
+    print(f"_FRONT_GENERATED_FROM_ROUND = {top}")
+    print("_FRONT_OF_REGISTRY: tuple[str, ...] = (")
+    for name in front:
+        r = latest.get(name, 0)
+        tag = f"r{r}" if r else "never sampled"
+        print(f'    "{name}",  # {tag}')
+    print(")")
+
+
+if __name__ == "__main__":
+    _main()
