@@ -1825,6 +1825,38 @@ def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q20)
 
 
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an events subset as XML (Spark 4's NATIVE xml source —
+    no external package), read it back with an explicit schema,
+    aggregate — the interchange format enterprise feeds still arrive
+    in, completing the source surface (parquet, CSV, JSONL, ORC, XML).
+    The oracle aggregates the original table, proving the round-trip
+    lossless. Scale note: one row element per record, schema supplied
+    on read (no sampling inference pass), the same
+    write-partition-parallel shape as the other roundtrips."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(_scratch_path(sf_dir, "xml"), "events_xml")
+    (
+        events.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(out)
+    )
+    back = (
+        spark.read.schema("event_id bigint, event_type string, value double")
+        .format("xml")
+        .option("rowTag", "event")
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        r2(F.sum("value")).alias("sum_value"),
+    )
+
+
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an events subset as ORC, read it back with an explicit
     schema, aggregate — the third columnar/row format of the source
@@ -3030,6 +3062,7 @@ QUERIES = {
     "agg_distinct": agg_distinct,
     "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
+    "scan_xml_roundtrip": scan_xml_roundtrip,
     "write_partitioned_pruned": write_partitioned_pruned,
     "export_range_partitioned": export_range_partitioned,
     "scan_schema_evolution": scan_schema_evolution,
@@ -3224,6 +3257,10 @@ ORACLES = {
         FROM events GROUP BY event_type
     """,
     "scan_orc_roundtrip": """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "scan_xml_roundtrip": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY event_type
     """,
