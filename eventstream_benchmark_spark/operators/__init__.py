@@ -13,18 +13,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (DRIVER_WINDOW=50 of 211 per round), so registry order decides which
+# (DRIVER_WINDOW=50 of 212 per round), so registry order decides which
 # queries earn a CORRECTNESS row this round.  Round-8 rotation, now
 # MECHANIZED (VERDICT r7 items 1/2/5): this tuple is the output of
 # ``rotation.compute_front`` over merged CORRECTNESS_r1-r7 — never-
 # sampled additions first (this round's `generate_stream_dataframe`,
-# `sample_cluster_aware_split`, and `scan_xml_roundtrip`),
+# `multimodal_binaryfile_ingest`, `sample_cluster_aware_split`, and
+# `scan_xml_roundtrip`),
 # then ascending latest-green round, alphabetical within a round — and
 # ``tests/test_rotation.py`` asserts literal == computation, so the
 # round-7 failure mode (51 names hand-counted into a 50-slot window,
 # silently starving `embed_quantize_int8`) can no longer happen.  This
-# window fronts the three round-8 additions, all 16 r3-stale entries,
-# and the 31 alphabetically first r4 entries, completing the freshness
+# window fronts the four round-8 additions, all 16 r3-stale entries,
+# and the 30 alphabetically first r4 entries, completing the freshness
 # cycle: after round 8 every registered query has a driver-green row
 # within the last four rounds.
 # The CORRECTNESS history round this front list was generated from
@@ -34,8 +35,9 @@ from pyspark.sql import DataFrame, SparkSession
 _FRONT_GENERATED_FROM_ROUND = 7
 
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
-    # never sampled (round-8 additions, 3 of the ≤5 gap-closure cap)
+    # never sampled (round-8 additions, 4 of the ≤5 gap-closure cap)
     "generate_stream_dataframe",
+    "multimodal_binaryfile_ingest",
     "sample_cluster_aware_split",
     "scan_xml_roundtrip",
     # r3-green — 4 rounds stale, the cycle's last pack (all 16)
@@ -55,7 +57,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "text_repetition_score",
     "udf_surface",
     "vocab_oov_rate",
-    # r4-green re-checks, alphabetical (first 31 of 44 fill the window)
+    # r4-green re-checks, alphabetical (first 30 of 44 fill the window)
     "agg_cube",
     "agg_histogram",
     "agg_percentiles",
@@ -86,7 +88,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "sql_tpch_q13",
     "sql_tpch_q15",
     "sql_tpch_q16",
-    "sql_tpch_q17",
 )
 
 

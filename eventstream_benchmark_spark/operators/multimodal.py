@@ -20,6 +20,7 @@ loop.
 
 from __future__ import annotations
 
+import os
 import struct
 from collections.abc import Iterator
 
@@ -451,7 +452,88 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BINLAKE_FILES = 24  # fixture-lake size: deterministic, tiny, per-sf-dir
+
+
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest a directory of raw image FILES through Spark's
+    ``binaryFile`` source — the lake-ingestion step every multimodal
+    pipeline starts with (the other multimodal queries consume binary
+    COLUMNS; this one proves the files-on-disk → DataFrame hop).
+
+    Fixture materialization: the first ``BINLAKE_FILES`` documents are
+    rendered to ``img_<doc_id>.bmp`` files with the SAME deterministic
+    codec and sizing rules as ``media_table`` (w = n_chars%56+8,
+    h = n_chars*3%40+8, pixel(i) = (doc_id·31+7i)%256), driver-side —
+    24 tiny files, fixture setup rather than a data path; the scratch
+    dir is cleared first so the glob can never pick up stale files.
+    The ingest itself is distributed: ``binaryFile`` lists and reads
+    the files partition-parallel, and the content audit (length, BMP
+    magic, pixel checksum skipping the 1078-byte header — padding
+    bytes are zeros, so the stride-padded sum equals the pixel sum)
+    runs Arrow-batched in ``mapInPandas``, the lane's standard shape.
+
+    The DuckDB oracle never opens a file: sizes and pixel checksums
+    replay in SQL from ``documents`` alone (file size = 1078 +
+    stride·h; checksum = Σ (doc_id·31+7i) mod 256), so a byte lost or
+    reordered anywhere in write → list → read → decode fails the hash.
+    At 100 TB this is the pattern for petabyte image lakes: file
+    listing scales with the driver's listing parallelism, content
+    never transits the driver."""
+    import shutil
+
+    from eventstream_benchmark_spark.operators.relational import _scratch_path
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("doc_id") <= BINLAKE_FILES)
+    )
+    lake = os.path.join(_scratch_path(sf_dir, "binlake"), "images")
+    shutil.rmtree(lake, ignore_errors=True)
+    os.makedirs(lake, exist_ok=True)
+    for row in docs.collect():  # fixture setup: <= 24 tiny rows
+        w = row["n_chars"] % 56 + 8
+        h = row["n_chars"] * 3 % 40 + 8
+        with open(os.path.join(lake, f"img_{row['doc_id']:05d}.bmp"), "wb") as fh:
+            fh.write(_bmp_bytes(int(row["doc_id"]), w, h))
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                b = bytes(content)
+                px = np.frombuffer(b, np.uint8, count=len(b) - 1078, offset=1078)
+                out.append(
+                    (
+                        os.path.basename(path),
+                        len(b),
+                        int(px.sum(dtype=np.int64)),
+                        b[:2].hex().upper(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["file", "n_bytes", "pixel_sum", "header_hex"]
+            )
+
+    ingested = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(lake)
+        .select("path", "content")
+    )
+    return (
+        ingested.mapInPandas(
+            audit, "file string, n_bytes bigint, pixel_sum bigint, header_hex string"
+        )
+        .orderBy("file")
+    )
+
+
 QUERIES = {
+    "multimodal_binaryfile_ingest": multimodal_binaryfile_ingest,
     "multimodal_extract": multimodal_extract,
     "multimodal_image_phash": multimodal_image_phash,
     "multimodal_resize": multimodal_resize,
@@ -465,6 +547,26 @@ QUERIES = {
 # independently check that the Spark side both GENERATED and DECODED
 # the real byte formats correctly.
 ORACLES: dict[str, str] = {
+    # replays the fixture-lake bytes WITHOUT reading a file: size =
+    # 1078 + stride*h, checksum = sum of (doc_id*31+7i) mod 256 over
+    # the w*h pixels (stride padding is zeros on the Spark side)
+    "multimodal_binaryfile_ingest": f"""
+        WITH d AS (
+            SELECT doc_id, n_chars % 56 + 8 AS w, n_chars * 3 % 40 + 8 AS h
+            FROM documents WHERE doc_id <= {BINLAKE_FILES}
+        ),
+        px AS (
+            SELECT doc_id, w, h,
+                   sum((doc_id * 31 + 7 * i) % 256) AS pixel_sum
+            FROM d, LATERAL unnest(range(0, w * h)) AS t(i)
+            GROUP BY doc_id, w, h
+        )
+        SELECT printf('img_%05d.bmp', doc_id) AS file,
+               CAST(1078 + ((w + 3) // 4 * 4) * h AS BIGINT) AS n_bytes,
+               CAST(pixel_sum AS BIGINT) AS pixel_sum,
+               '424D' AS header_hex
+        FROM px ORDER BY file
+    """,
     # hashes regenerated from the pixel law; identical band join +
     # bit_count(xor) verify — exact integers end to end
     "multimodal_image_phash": f"""
