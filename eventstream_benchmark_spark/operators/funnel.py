@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from eventstream_benchmark_spark.io import load_table
+from eventstream_benchmark_spark.operators._cache import scoped_persist
 from eventstream_benchmark_spark.operators._util import (
     bigint,
     duck_fmt_date,
@@ -353,37 +354,81 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — recency (days since the customer's
     last order, against the corpus max date), frequency (order count),
     monetary (lifetime spend in exact cents) — each scored into
-    quartiles by ``ntile``, then the segment grid with customer counts
-    and per-segment spend. The classic CRM rollup, all exact integers.
+    quartiles, then the segment grid with customer counts and
+    per-segment spend. The classic CRM rollup, all exact integers.
 
-    Determinism: ntile's output depends only on the ORDER, so every
-    ranking orders by (metric, custkey) — a total order both engines
-    share; spend is integer cents. One fact shuffle (per-customer
-    aggregate); the three ntile windows and the final grid ride the
-    customer-sized aggregate."""
+    Scoring is by DISTRIBUTED quartile cut points, not ``ntile``
+    (round-8 verdict #1): the earlier three global ``ntile(4)``
+    windows each forced the whole per-customer aggregate through ONE
+    window task — billions of rows on a single executor at 100 TB,
+    the same pattern ``export_range_partitioned`` retired in round 7.
+    Instead the three 25/50/75 cut points per metric come from one
+    scalar ``percentile`` aggregate (map-side partial, exact), get
+    broadcast as a 1-row frame, and every customer scores itself by
+    three comparisons — fully parallel, no window anywhere in the
+    plan (pinned by ``tests/test_plans.py``).
+
+    Semantics vs ntile: ties now share a bucket (cut-point bucketing)
+    instead of being split to equalize counts — the oracle switches to
+    the identical cut-point rule. Determinism: the metrics are exact
+    integers (days / counts / cents) and the interpolated quantile at
+    p ∈ {.25, .5, .75} is exact double arithmetic (index fraction is a
+    binary fraction; operands < 2⁵³), so Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` produce bit-identical cut values.
+    Score direction matches the old ntile ranks: r_score 1 = most
+    recent quartile, f/m_score 1 = top-frequency/top-spend quartile."""
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(F.col("o_orderdate")).alias("last_order"),
-        F.count("*").alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
-            "spend_cents"
-        ),
+    # persisted: the customer-sized aggregate feeds three consumers
+    # (max-date scalar, cut-point aggregate, the scoring pass) — one
+    # orders scan + one shuffle instead of three
+    per_cust = scoped_persist(
+        orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max(F.col("o_orderdate")).alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "spend_cents"
+            ),
+        )
     )
     max_date = F.broadcast(per_cust.agg(F.max("last_order").alias("maxd")))
     scored = per_cust.crossJoin(max_date).withColumn(
         "recency_days",
         F.datediff(F.to_date("maxd"), F.to_date("last_order")),
     )
-    # lower recency = better → rank ascending; higher freq/spend = better
-    w_r = W.orderBy("recency_days", "custkey")
-    w_f = W.orderBy(F.desc("frequency"), "custkey")
-    w_m = W.orderBy(F.desc("spend_cents"), "custkey")
-    tiles = scored.select(
+    cuts = F.broadcast(
+        scored.agg(
+            *[
+                F.percentile(metric, F.lit(p)).alias(f"{metric[:1]}q{i}")
+                for metric in ("recency_days", "frequency", "spend_cents")
+                for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+            ]
+        )
+    )
+
+    def _bucket_asc(m: str, q: str) -> F.Column:
+        # lower metric = better (recency): bucket 1 below q1, 4 above q3
+        return (
+            F.lit(1)
+            + (F.col(m) > F.col(f"{q}1")).cast("int")
+            + (F.col(m) > F.col(f"{q}2")).cast("int")
+            + (F.col(m) > F.col(f"{q}3")).cast("int")
+        )
+
+    def _bucket_desc(m: str, q: str) -> F.Column:
+        # higher metric = better (frequency/spend): bucket 1 above q3
+        return (
+            F.lit(1)
+            + (F.col(m) <= F.col(f"{q}3")).cast("int")
+            + (F.col(m) <= F.col(f"{q}2")).cast("int")
+            + (F.col(m) <= F.col(f"{q}1")).cast("int")
+        )
+
+    tiles = scored.crossJoin(cuts).select(
         "custkey",
         "spend_cents",
-        F.ntile(RFM_BUCKETS).over(w_r).alias("r_score"),
-        F.ntile(RFM_BUCKETS).over(w_f).alias("f_score"),
-        F.ntile(RFM_BUCKETS).over(w_m).alias("m_score"),
+        _bucket_asc("recency_days", "rq").alias("r_score"),
+        _bucket_desc("frequency", "fq").alias("f_score"),
+        _bucket_desc("spend_cents", "sq").alias("m_score"),
     )
     return (
         tiles.groupBy("r_score", "f_score", "m_score")
@@ -501,15 +546,30 @@ ORACLES = {
                              CAST(maxd AS DATE)) AS recency_days
             FROM per_cust CROSS JOIN m
         ),
+        cuts AS (
+            SELECT quantile_cont(recency_days, 0.25) AS rq1,
+                   quantile_cont(recency_days, 0.50) AS rq2,
+                   quantile_cont(recency_days, 0.75) AS rq3,
+                   quantile_cont(frequency, 0.25) AS fq1,
+                   quantile_cont(frequency, 0.50) AS fq2,
+                   quantile_cont(frequency, 0.75) AS fq3,
+                   quantile_cont(spend_cents, 0.25) AS sq1,
+                   quantile_cont(spend_cents, 0.50) AS sq2,
+                   quantile_cont(spend_cents, 0.75) AS sq3
+            FROM scored
+        ),
         tiles AS (
             SELECT custkey, spend_cents,
-                   ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days, custkey)
-                       AS r_score,
-                   ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, custkey)
-                       AS f_score,
-                   ntile({RFM_BUCKETS}) OVER (ORDER BY spend_cents DESC, custkey)
-                       AS m_score
-            FROM scored
+                   1 + CAST(recency_days > rq1 AS INT)
+                     + CAST(recency_days > rq2 AS INT)
+                     + CAST(recency_days > rq3 AS INT) AS r_score,
+                   1 + CAST(frequency <= fq3 AS INT)
+                     + CAST(frequency <= fq2 AS INT)
+                     + CAST(frequency <= fq1 AS INT) AS f_score,
+                   1 + CAST(spend_cents <= sq3 AS INT)
+                     + CAST(spend_cents <= sq2 AS INT)
+                     + CAST(spend_cents <= sq1 AS INT) AS m_score
+            FROM scored CROSS JOIN cuts
         )
         SELECT CAST(r_score AS BIGINT) AS r_score,
                CAST(f_score AS BIGINT) AS f_score,

@@ -806,13 +806,18 @@ def test_prequential_is_pure_windows_no_join_no_python(spark, sf_small):
 
 
 def test_rfm_single_scalar_broadcast_only(spark, sf_small):
-    """The only nested-loop join is the benign 1-row max-date scalar
-    broadcast; everything else rides the per-customer aggregate."""
+    """The only nested-loop joins are the two benign 1-row scalar
+    broadcasts (max date, quartile cut points); scoring is pure
+    comparisons — NO window function anywhere, so no data-sized
+    single-partition ntile can ever reappear (round-8 verdict #1)."""
     plan = _plan(spark, sf_small, "orders_rfm_segmentation")
     # node headers look like "(15) BroadcastNestedLoopJoin"; the detail
     # section repeats the name, so count headers, not substrings
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 3
     assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # \b so the cut-point "percentile(...)" aggregate doesn't match
+    assert not re.search(r"\bntile\(", plan)
 
 
 def test_topk_sketch_agg_is_object_hash(spark, sf_small):
