@@ -448,19 +448,26 @@ def _minhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy — the quadratic clique cost moves from the bucket join
     (corpus-sized inputs) to the expansion join (output-sized)."""
     docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(F.lower("text").alias("ltext"), "doc_id")
+    # group-sized frame with NO member array (round-8 verdict #3): a
+    # million-member exact-dup clique must never materialize as one
+    # multi-MB collect_list row — weight is a count, and membership
+    # stays relational as (rep_id, doc_id) rows built by an equi-join
     groups = scoped_persist(
-        docs.groupBy(F.lower("text").alias("ltext")).agg(
+        keyed.groupBy("ltext").agg(
             F.min("doc_id").alias("rep_id"),
-            F.collect_list("doc_id").alias("members"),
+            F.count("*").alias("weight"),
         )
     )
     reps = groups.select(F.col("rep_id").alias("doc_id"), F.col("ltext").alias("text"))
-    weights = groups.select(
-        F.col("rep_id").alias("doc_id"), F.size("members").alias("weight")
-    )
+    weights = groups.select(F.col("rep_id").alias("doc_id"), "weight")
     sh = _capped_shingles_weighted(_shingle_table(reps), weights)
     rep_pairs = _minhash_pairs(sh)
-    copies = groups.select("rep_id", F.explode("members").alias("doc_id"))
+    copies = scoped_persist(
+        keyed.join(groups.select("ltext", "rep_id"), "ltext").select(
+            "rep_id", "doc_id"
+        )
+    )
 
     # within-group pairs: identical texts ⇒ identical shingle sets ⇒
     # J = n/(n+n−n) = 1.0 exactly (the oracle's round(1.0, 6)); emitted
@@ -851,19 +858,21 @@ def _emb_cosine_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    # exact-duplicate collapse: one shuffle on the vector value
+    # exact-duplicate collapse: one shuffle on the vector value; the
+    # group frame carries NO member array (round-8 verdict #3 — a
+    # giant exact-dup clique must never be one collect_list row),
+    # membership is the relational (rep_id, vec_id) join below
     groups = scoped_persist(
-        raw.groupBy("v").agg(
-            F.min("vec_id").alias("rep_id"),
-            F.collect_list("vec_id").alias("members"),
-        )
+        raw.groupBy("v").agg(F.min("vec_id").alias("rep_id"))
     )
     reps = scoped_persist(
         groups.select(F.col("rep_id"), "v").withColumn(
             "nrm", F.sqrt(seq_dot(F.col("v"), F.col("v")))
         )
     )
-    copies = groups.select("rep_id", F.explode("members").alias("vec_id"))
+    copies = scoped_persist(
+        raw.join(groups, "v").select("rep_id", "vec_id")
+    )
 
     bands = reps.select(
         "rep_id", F.posexplode(_emb_band_sigs_udf()("v")).alias("band_id", "band_sig")

@@ -167,17 +167,24 @@ def _flooded_docs() -> pd.DataFrame:
     """A duplicate-flooded mini corpus exercising every collapse path:
     two exact-dup cliques (sizes 4 and 3), a cross-clique near-dup
     (one clique's text one-word-edited — J above threshold), an
-    unrelated singleton, a sub-3-token doc (shingle-filtered), and a
-    case-variant duplicate (collapse keys on lower(text))."""
+    unrelated singleton, a sub-3-token doc (shingle-filtered), a
+    case-variant duplicate (collapse keys on lower(text)), and — the
+    round-9 membership-table pin — one GIANT exact-dup clique (120
+    copies) whose pair set must come out of the relational
+    (rep_id, doc_id) expansion, never a per-group member array."""
     # 12 tokens -> 10 shingles; a last-word edit shares 9 of them on
     # each side: J = 9/(10+10-9) = 9/11 ~ 0.818, above the 0.8 gate
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
     near = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu xi"
+    giant = (
+        "omicron pi rho sigma tau upsilon phi chi psi omega lambda digamma"
+    )
     rows = [(i, base) for i in range(1, 5)]                 # clique A (4 copies)
     rows += [(10 + i, near) for i in range(3)]              # clique B (3 copies)
     rows.append((20, base.upper()))                         # case variant of A
     rows.append((30, "completely different words entirely here now"))
     rows.append((40, "too short"))
+    rows += [(100 + i, giant) for i in range(120)]          # giant clique
     return pd.DataFrame(rows, columns=["doc_id", "text"])
 
 
@@ -223,9 +230,45 @@ def test_collapsed_minhash_equals_uncollapsed(spark, tmp_path):
     )
     # the corpus exercises every path: 4-clique (6 pairs at J=1.0
     # incl. the case variant -> 5-clique = 10 pairs), 3-clique
-    # (3 pairs at 1.0), cross-clique near-dups (5x3 = 15 pairs < 1.0)
+    # (3 pairs at 1.0), the 120-member giant clique (7140 pairs at
+    # 1.0), cross-clique near-dups (5x3 = 15 pairs < 1.0)
     ones = collapsed[collapsed["jaccard"] == 1.0]
     cross = collapsed[collapsed["jaccard"] < 1.0]
-    assert len(ones) == 10 + 3, collapsed
+    assert len(ones) == 10 + 3 + 120 * 119 // 2, len(ones)
     assert len(cross) == 15, collapsed
     assert (cross["jaccard"] >= dedup.JACCARD_THRESHOLD).all()
+
+
+def test_collapse_plans_carry_no_member_array(spark, tmp_path):
+    """Round-9 membership-table pin (round-8 verdict #3): neither
+    collapse stage may build a per-group member array — a
+    million-member exact-dup clique must never be one multi-MB
+    collect_list row. Membership is relational (rep_id, id) rows, so
+    the physical plans of both pair builds contain no collect_list."""
+    pdf = _flooded_docs()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    emb = pd.DataFrame(
+        [(i, [float(i % 3) + 1.0, 2.0, 3.0, 4.0]) for i in range(12)],
+        columns=["vec_id", "embedding"],
+    )
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    sf = str(tmp_path)
+
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        release_shared_persists,
+    )
+
+    release_shared_persists()
+    release_scoped_persists()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for build in (dedup._minhash_pairs_collapsed, dedup._emb_cosine_pairs_build):
+        plan = build(spark, sf)._jdf.queryExecution().explainString(mode)
+        # the shingle-table collect_list (per-DOC shingle sets, bounded
+        # by text length) is allowed; the per-GROUP member arrays are
+        # what must not exist -- they aliased to "members"
+        assert "members" not in plan, plan
+        release_scoped_persists()
+    release_shared_persists()

@@ -110,10 +110,11 @@ def test_scoped_persists_bounded_and_released(spark, sf_small):
     ):
         df = qs[name](spark, sf_small)
         df.count()
-        # minhash persists the exact-dup group table + representative
-        # shingles + capped shingles + signatures (round-8 collapse);
-        # everything else at most one or two tables
-        assert len(_cache._LIVE) <= 4, name
+        # minhash persists the exact-dup group table + the relational
+        # (rep_id, doc_id) membership table (round-9: replaced the
+        # per-group member array) + representative shingles + capped
+        # shingles + signatures; everything else at most one or two
+        assert len(_cache._LIVE) <= 5, name
     _cache.release_scoped_persists()
     assert not _cache._LIVE
 
