@@ -173,6 +173,22 @@ SF1_HEAVY = {
 # multi-sample sf1 item, same as the headline set.
 SF1_EXTRA_HEAVY_RUNS = {"graph_triangle_count": 3, "graph_pagerank": 3}
 
+# the sf1 re-run gate (round-8 verdict #4): a multi-sample item whose
+# spread exceeds its median is noise-bound evidence — take extra
+# passes (to this many total) until the spread drops under the median
+# or the budget is spent. Targets the two chronically ill-conditioned
+# items (triangle_count, embedding_cosine) without taxing quiet runs.
+SF1_MAX_RUNS = int(os.environ.get("SPARK_GRAFT_SF1_MAX_RUNS", "5"))
+
+
+def _median(srt: list[float]) -> float:
+    """True median of a sorted sample — for even n the mean of the two
+    middle values (srt[n//2] alone is the UPPER middle: with n=2 that
+    mislabeled the max as the median, round-8 advice)."""
+    n = len(srt)
+    mid = srt[n // 2] if n % 2 else (srt[n // 2 - 1] + srt[n // 2]) / 2.0
+    return round(mid, 3)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -195,9 +211,15 @@ def main() -> None:
         puredf_events_per_sec,
     )
 
-    extras["generator_events_per_sec"] = generator_events_per_sec(spark)
-    extras["puredf_events_per_sec"] = puredf_events_per_sec(spark)
-    extras["csv_export_rows_per_sec"] = csv_export_rows_per_sec(spark)
+    for key, probe in (
+        ("generator_events_per_sec", generator_events_per_sec),
+        ("puredf_events_per_sec", puredf_events_per_sec),
+        ("csv_export_rows_per_sec", csv_export_rows_per_sec),
+    ):
+        rates = sorted(probe(spark))
+        extras[key] = rates[-1]
+        extras[f"{key}_median"] = _median(rates)
+        extras[f"{key}_n"] = len(rates)
 
     # warm the JVM + parquet footers so per-query numbers measure the
     # queries, not session start
@@ -240,7 +262,7 @@ def main() -> None:
         # rounds swung the headline 21.0->25.0 s on VM scheduling noise
         # alone, so round-over-round regression calls gate on the
         # median, not a single pass (round-6 verdict item 7)
-        extras[f"{name}_median"] = round(srt[len(srt) // 2], 3)
+        extras[f"{name}_median"] = _median(srt)
         extras[f"{name}_n"] = len(srt)
         # storage hygiene between queries: one query's persisted
         # intermediates must not tax the next one's timing (every
@@ -268,7 +290,7 @@ def main() -> None:
             n_runs = SF1_EXTRA_HEAVY_RUNS.get(
                 name, SF1_HEAVY_RUNS if name in SF1_HEAVY else 1
             )
-            for _ in range(n_runs):
+            while True:
                 if name in EMITTER_FAMILIES:
                     release_shared_families(EMITTER_FAMILIES[name])
                 t0 = time.perf_counter()
@@ -279,12 +301,23 @@ def main() -> None:
                 # handoff IS the measurement); everything else is
                 # scoped and released
                 release_scoped_persists()
+                if len(samples) < n_runs:
+                    continue
+                # conditioning gate: spread > median ⇒ the sample is
+                # noise-bound — keep sampling up to SF1_MAX_RUNS
+                srt = sorted(samples)
+                if (
+                    len(srt) < 2
+                    or len(srt) >= SF1_MAX_RUNS
+                    or (srt[-1] - srt[0]) <= _median(srt)
+                ):
+                    break
             srt = sorted(samples)
             extras[f"sf1_{name}"] = round(srt[0], 3)
             extras[f"sf1_{name}_rows"] = n
             if len(srt) > 1:
                 extras[f"sf1_{name}_spread"] = round(srt[-1] - srt[0], 3)
-                extras[f"sf1_{name}_median"] = round(srt[len(srt) // 2], 3)
+                extras[f"sf1_{name}_median"] = _median(srt)
                 extras[f"sf1_{name}_n"] = len(srt)
         release_shared_persists()
         spark.catalog.clearCache()

@@ -34,7 +34,13 @@ from eventstream_benchmark_spark.generator.spark_gen import (
 BENCH_EVENTS = 12_800_000
 
 
-def generator_events_per_sec(spark: SparkSession, n_events: int = BENCH_EVENTS) -> float:
+def generator_events_per_sec(
+    spark: SparkSession, n_events: int = BENCH_EVENTS
+) -> list[float]:
+    """Per-run ev/s rates (3 samples). The caller records max AND the
+    true median — round-8 verdict #4: a single best-of number hid a
+    5.8-10.3M swing across the round, so the per-round record carries
+    the probe's own median alongside the floor-noise-immune max."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     # 2 task waves per core: equal-sized shards finish unequally on
     # this VM (per-vCPU clock spread), and halving the task size lets
@@ -48,18 +54,18 @@ def generator_events_per_sec(spark: SparkSession, n_events: int = BENCH_EVENTS) 
     warm = dataclasses.replace(GOLDEN_STREAM, total_events=shards * 1_000)
     stream_df_sharded(spark, GOLDEN_PATTERNS, warm, n_shards=shards).count()
     cfg = dataclasses.replace(GOLDEN_STREAM, total_events=n_events)
-    # best-of-2 like the query lane: single runs swing with VM clock
-    # ramp, and round-over-round deltas must outrank that noise
-    best = float("inf")
-    for _ in range(2):
+    rates = []
+    for _ in range(3):
         t0 = time.perf_counter()
         n = stream_df_sharded(spark, GOLDEN_PATTERNS, cfg, n_shards=shards).count()
-        best = min(best, time.perf_counter() - t0)
+        rates.append(round(n_events / (time.perf_counter() - t0)))
         assert n == n_events
-    return round(n_events / best)
+    return rates
 
 
-def csv_export_rows_per_sec(spark: SparkSession, n_rows: int = 1_000_000) -> float:
+def csv_export_rows_per_sec(
+    spark: SparkSession, n_rows: int = 1_000_000
+) -> list[float]:
     """A10 CSV sink throughput at the baseline's 1M-row scale
     (reference: ~385k rows/s via np.savetxt — BASELINE.md)."""
     import shutil
@@ -70,19 +76,21 @@ def csv_export_rows_per_sec(spark: SparkSession, n_rows: int = 1_000_000) -> flo
     shards = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     cfg = dataclasses.replace(GOLDEN_STREAM, total_events=n_rows)
     df = stream_df_sharded(spark, GOLDEN_PATTERNS, cfg, n_shards=shards)
-    best = float("inf")
-    for _ in range(2):
+    rates = []
+    for _ in range(3):
         out = tempfile.mkdtemp(prefix="esb_csv_bench_")
         try:
             t0 = time.perf_counter()
             write_csv(df, out)
-            best = min(best, time.perf_counter() - t0)
+            rates.append(round(n_rows / (time.perf_counter() - t0)))
         finally:
             shutil.rmtree(out, ignore_errors=True)
-    return round(n_rows / best)
+    return rates
 
 
-def puredf_events_per_sec(spark: SparkSession, n_events: int = BENCH_EVENTS) -> float:
+def puredf_events_per_sec(
+    spark: SparkSession, n_events: int = BENCH_EVENTS
+) -> list[float]:
     """Throughput of the fully declarative generator (round 8): the
     same event budget as the sharded probe, but produced by one
     Catalyst plan (broadcast schedule + expr samplers + per-shard
@@ -94,10 +102,10 @@ def puredf_events_per_sec(spark: SparkSession, n_events: int = BENCH_EVENTS) -> 
     warm = dataclasses.replace(PUREDF_STREAM, total_events=shards * 1_000)
     stream_df_pure(spark, GOLDEN_PATTERNS, warm, n_shards=shards).count()
     cfg = dataclasses.replace(PUREDF_STREAM, total_events=n_events)
-    best = float("inf")
-    for _ in range(2):
+    rates = []
+    for _ in range(3):
         t0 = time.perf_counter()
         n = stream_df_pure(spark, GOLDEN_PATTERNS, cfg, n_shards=shards).count()
-        best = min(best, time.perf_counter() - t0)
+        rates.append(round(n_events / (time.perf_counter() - t0)))
         assert n == n_events
-    return round(n_events / best)
+    return rates
