@@ -64,6 +64,29 @@ def r6(col: Column) -> Column:
     return F.round(col, 6)
 
 
+def cents(col: Column) -> Column:
+    """``value`` in exact integer cents. The events fixture's value
+    column is 2-decimal money (min 0.01), so ``round(v*100)`` is exact
+    and sums of it are integer-exact at any corpus size."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def money_sum(col: Column) -> Column:
+    """Σ``col`` as an exact integer-cents sum divided ONCE — the
+    round(sum(double), k) replacement (round 9: the precision-boundary
+    class retired from the events.value family). The single /100.0 is
+    the same double op in Spark and DuckDB on the same integer, so the
+    result is bit-identical at any magnitude; the old spelling was
+    only hash-stable while float accumulation noise stayed under the
+    k-dp rounding step. Oracle twin:
+    ``CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0``."""
+    return F.sum(cents(col)) / F.lit(100.0)
+
+
+#: the DuckDB spelling of :func:`money_sum` (format with the column)
+DUCK_MONEY_SUM = "CAST(sum(CAST(round({col} * 100) AS BIGINT)) AS BIGINT) / 100.0"
+
+
 def null_safe_div(num: Column, den: Column) -> Column:
     """``num/den``, NULL when ``den = 0`` — the ANSI alignment guard:
     this environment's Spark 4 default (``ansi.enabled=true``) RAISES

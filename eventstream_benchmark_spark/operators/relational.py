@@ -25,10 +25,12 @@ from eventstream_benchmark_spark.io import load_table
 from eventstream_benchmark_spark.operators._cache import scoped_persist
 from eventstream_benchmark_spark.operators._util import (
     bigint,
+    cents,
     duck_fmt_date,
     duck_fmt_ts,
     fmt_date,
     fmt_ts,
+    money_sum,
     r2,
     r4,
     r6,
@@ -87,7 +89,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).csv(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        r2(F.sum("value")).alias("sum_value"),
+        money_sum(F.col("value")).alias("sum_value"),
     )
 
 
@@ -160,7 +162,7 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        r2(F.sum("value")).alias("sum_value"),
+        money_sum(F.col("value")).alias("sum_value"),
         bigint(F.sum(F.get_json_object("props", "$.k").cast("bigint"))).alias("sum_k"),
     )
 
@@ -1853,7 +1855,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        r2(F.sum("value")).alias("sum_value"),
+        money_sum(F.col("value")).alias("sum_value"),
     )
 
 
@@ -1872,7 +1874,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        r2(F.sum("value")).alias("sum_value"),
+        money_sum(F.col("value")).alias("sum_value"),
     )
 
 
@@ -1899,7 +1901,7 @@ def write_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             bigint(F.count_distinct("user_id")).alias("n_users"),
-            r2(F.sum("value")).alias("sum_value"),
+            money_sum(F.col("value")).alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -2728,7 +2730,7 @@ def win_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        r2(F.sum("value").over(w_run)).alias("running_sum"),
+        (F.sum(cents(F.col("value"))).over(w_run) / F.lit(100.0)).alias("running_sum"),
         r4(F.avg("value").over(w_mov)).alias("moving_avg5"),
     )
 
@@ -2746,7 +2748,7 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         bigint(F.count("*").over(w)).alias("n_last_hour"),
-        r2(F.sum("value").over(w)).alias("sum_last_hour"),
+        (F.sum(cents(F.col("value"))).over(w) / F.lit(100.0)).alias("sum_last_hour"),
     )
 
 
@@ -2974,7 +2976,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(k.alias("k"), "value")
         .groupBy((F.col("k") % 10).alias("k_mod10"))
-        .agg(F.count("*").alias("n"), r2(F.sum("value")).alias("sum_value"))
+        .agg(F.count("*").alias("n"), money_sum(F.col("value")).alias("sum_value"))
     )
 
 
@@ -3247,21 +3249,25 @@ ORACLES = {
         FROM events
     """,
     "scan_csv_roundtrip": """
-        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM events GROUP BY event_type
     """,
     "scan_jsonl_roundtrip": """
-        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
                    AS sum_k
         FROM events GROUP BY event_type
     """,
     "scan_orc_roundtrip": """
-        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM events GROUP BY event_type
     """,
     "scan_xml_roundtrip": """
-        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM events GROUP BY event_type
     """,
     "join_skew_salted": """
@@ -3287,7 +3293,7 @@ ORACLES = {
     "write_partitioned_pruned": f"""
         SELECT event_type, count(*) AS n,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-               round(sum(value), 2) AS sum_value
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM events
         WHERE event_type IN {PRUNED_TYPES!r}
         GROUP BY event_type ORDER BY event_type
@@ -3772,7 +3778,8 @@ ORACLES = {
     "win_frame_range": """
         SELECT event_id, user_id,
                CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
-               round(sum(value) OVER w, 2) AS sum_last_hour
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                    AS BIGINT) / 100.0 AS sum_last_hour
         FROM events
         -- epoch_us // 1e6 FLOORS like Spark's unix_seconds;
         -- date_part('epoch') ROUNDS the fractional second and flipped
@@ -4016,9 +4023,10 @@ ORACLES = {
     """,
     "win_frame_running": """
         SELECT event_id, user_id,
-               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-                   AS running_sum,
+               CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) / 100.0 AS running_sum,
                round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg5
         FROM events
@@ -4141,7 +4149,9 @@ ORACLES = {
     """,
     "scalar_json": """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
-               count(*) AS n, round(sum(value), 2) AS sum_value
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS sum_value
         FROM events
         GROUP BY 1
     """,

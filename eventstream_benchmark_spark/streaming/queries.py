@@ -136,7 +136,7 @@ def streaming_replay_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed = (
             events.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .agg(F.count("*").alias("n"), (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias("sum_value"))
         )
         result = _run_to_memory(windowed, "complete")
     return result.select(
@@ -476,7 +476,7 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -683,7 +683,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema(ev.schema).parquet(src)
         enriched = stream.join(F.broadcast(profile), "user_id")
         agg = enriched.groupBy("event_type", "tier").agg(
-            F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+            F.count("*").alias("n"), (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias("sum_value")
         )
         result = _run_to_memory(agg, "complete")
     return result.orderBy("event_type", "tier")
@@ -754,7 +754,8 @@ ORACLES = {
             FROM prof
         )
         SELECT e.event_type, t.tier, count(*) AS n,
-               round(sum(e.value), 6) AS sum_value
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS sum_value
         FROM events e JOIN tiers t USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -763,7 +764,7 @@ ORACLES = {
     "streaming_foreach_batch_sink": f"""
         SELECT event_type, count(*) AS n,
                min(event_id) AS min_id, max(event_id) AS max_id,
-               round(sum(value), 6) AS sum_value
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM events
         WHERE event_type IN {FOREACH_BATCH_TYPES!r}
         GROUP BY 1 ORDER BY 1
@@ -785,7 +786,8 @@ ORACLES = {
     # hour-tumbling windows align to epoch hours == date_trunc('hour')
     "streaming_replay_tumbling": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
-               count(*) AS n, round(sum(value), 6) AS sum_value
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM events GROUP BY 1, 2
     """,
     # in-order complete replay: streaming join == batch join
