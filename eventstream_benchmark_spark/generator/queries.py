@@ -59,6 +59,18 @@ PUREDF_STREAM = dataclasses.replace(
     density_mode="none",
 )
 
+# Round 9: the closed-form jitter lane widened to gaussian (Box–Muller
+# over two keyed uniforms) and laplace (inverse CDF) — this config
+# exercises BOTH new laws in one pure-DataFrame plan: gaussian noise
+# jitter, laplace pattern jitter, everything else as PUREDF_STREAM.
+PUREDF_JITTER_STREAM = dataclasses.replace(
+    PUREDF_STREAM,
+    rand_jitter="gaussian",
+    rand_jitter_amount=2,
+    pattern_jitter="laplace",
+    pattern_jitter_amount=2,
+)
+
 
 def generate_patterns_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33 — the pattern set as scalar rows (A5/A6).
@@ -142,6 +154,36 @@ def generate_stream_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eventstream_benchmark_spark.operators._util import bigint
 
     df = spark_gen.stream_df_pure(spark, GOLDEN_PATTERNS, PUREDF_STREAM, SCALE_SHARDS)
+    return (
+        df.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_events"),
+            bigint(F.sum(F.col("is_pattern").cast("long"))).alias("n_pattern"),
+            F.max("ts").alias("span_ticks"),
+            bigint(F.sum("ts")).alias("sum_ts"),
+            bigint(F.sum(F.col("event_type").cast("long"))).alias("sum_types"),
+        )
+        .orderBy("shard")
+    )
+
+
+def generate_stream_dataframe_jittered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B34 (pure-DataFrame mode, round-9 jitter extension) — the same
+    one-plan declarative generator as ``generate_stream_dataframe``,
+    but with the two round-9 closed-form jitter laws active: gaussian
+    noise jitter (Box–Muller of two keyed uniforms, A2's
+    ``round(randn·a)`` spelling) and laplace pattern jitter (the
+    inverse-CDF map ``round(-a·sign(u-½)·ln(1-2|u-½|))``). Same
+    per-shard checksum summary; deterministic (hash-keyed draws), so
+    the oracle is the precomputed ``_PUREDF_JITTER_SUMMARY_ROWS``
+    constant, pinned against a fresh run by ``tests/test_generator.py``."""
+    from eventstream_benchmark_spark.operators._util import bigint
+
+    df = spark_gen.stream_df_pure(
+        spark, GOLDEN_PATTERNS, PUREDF_JITTER_STREAM, SCALE_SHARDS
+    )
     return (
         df.groupBy("shard")
         .agg(
@@ -332,6 +374,7 @@ QUERIES = {
     "generate_stream_exact": generate_stream_exact,
     "generate_stream_sharded": generate_stream_sharded,
     "generate_stream_dataframe": generate_stream_dataframe,
+    "generate_stream_dataframe_jittered": generate_stream_dataframe_jittered,
     "udf_surface": udf_surface,
     "udtf_surface": udtf_surface,
     "cogroup_asof_enrich": cogroup_asof_enrich,
@@ -448,6 +491,45 @@ _PUREDF_SUMMARY_ROWS = (
     (31, 10000, 3000, 58298, 290877253, 25155),
 )
 
+# Per-shard summary of PUREDF_JITTER_STREAM (round 9: gaussian noise
+# jitter + laplace pattern jitter through the closed-form column
+# samplers) — precomputed the same way as _PUREDF_SUMMARY_ROWS and
+# pinned against a fresh Spark run by tests/test_generator.py.
+_PUREDF_JITTER_SUMMARY_ROWS = (
+    (0, 10000, 3000, 58847, 294831212, 24939),
+    (1, 10000, 3000, 59140, 295045646, 25188),
+    (2, 10000, 3000, 59809, 299929794, 24835),
+    (3, 10000, 3000, 59097, 296305219, 24982),
+    (4, 10000, 3000, 59257, 297131505, 24998),
+    (5, 10000, 3000, 59170, 295112319, 25029),
+    (6, 10000, 3000, 59381, 296445377, 25000),
+    (7, 10000, 3000, 59467, 298983985, 25165),
+    (8, 10000, 3000, 59408, 297035659, 25042),
+    (9, 10000, 3000, 59566, 297537653, 24975),
+    (10, 10000, 3000, 59203, 297435647, 25090),
+    (11, 10000, 3000, 59320, 297099492, 25211),
+    (12, 10000, 3000, 59411, 296638361, 24944),
+    (13, 10000, 3000, 59204, 296010836, 25412),
+    (14, 10000, 3000, 58776, 295612007, 25248),
+    (15, 10000, 3000, 59270, 296342178, 25296),
+    (16, 10000, 3000, 59463, 297484425, 25129),
+    (17, 10000, 3000, 59154, 295755038, 24770),
+    (18, 10000, 3000, 58920, 293997997, 25259),
+    (19, 10000, 3000, 58883, 293363956, 25069),
+    (20, 10000, 3000, 59253, 296312814, 25076),
+    (21, 10000, 3000, 59222, 295759131, 25203),
+    (22, 10000, 3000, 59010, 295408523, 25052),
+    (23, 10000, 3000, 59151, 297555504, 25414),
+    (24, 10000, 3000, 59175, 296366110, 25277),
+    (25, 10000, 3000, 59052, 294321072, 25061),
+    (26, 10000, 3000, 59376, 297376601, 25221),
+    (27, 10000, 3000, 58969, 294156080, 25095),
+    (28, 10000, 3000, 58971, 294893780, 25130),
+    (29, 10000, 3000, 59203, 295771674, 25149),
+    (30, 10000, 3000, 59492, 296450782, 24870),
+    (31, 10000, 3000, 58899, 293634919, 25155),
+)
+
 ORACLES: dict[str, str] = {
     "generate_stream_dataframe": (
         "SELECT CAST(c0 AS INTEGER) AS shard,"
@@ -459,6 +541,19 @@ ORACLES: dict[str, str] = {
         + ", ".join(
             f"({s}, {n}, {p}, {sp}, {st}, {ty})"
             for s, n, p, sp, st, ty in _PUREDF_SUMMARY_ROWS
+        )
+        + ") v(c0, c1, c2, c3, c4, c5) ORDER BY shard"
+    ),
+    "generate_stream_dataframe_jittered": (
+        "SELECT CAST(c0 AS INTEGER) AS shard,"
+        " CAST(c1 AS BIGINT) AS n_events,"
+        " CAST(c2 AS BIGINT) AS n_pattern,"
+        " CAST(c3 AS BIGINT) AS span_ticks,"
+        " CAST(c4 AS BIGINT) AS sum_ts,"
+        " CAST(c5 AS BIGINT) AS sum_types FROM (VALUES "
+        + ", ".join(
+            f"({s}, {n}, {p}, {sp}, {st}, {ty})"
+            for s, n, p, sp, st, ty in _PUREDF_JITTER_SUMMARY_ROWS
         )
         + ") v(c0, c1, c2, c3, c4, c5) ORDER BY shard"
     ),

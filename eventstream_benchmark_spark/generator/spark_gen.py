@@ -147,13 +147,13 @@ def stream_df_sharded(
     )
 
 
-#: closed-form samplers exist for these laws only (inverse-CDF /
-#: affine maps of one uniform); poisson has no closed-form inverse and
-#: gaussian/laplace jitters would need transcendental inverses the
-#: distributional contract doesn't require — those configs use the
-#: sharded applyInPandas path instead.
+#: closed-form samplers exist for these laws only: inverse-CDF /
+#: affine maps of keyed uniforms (uniform, geometric, laplace) or the
+#: Box–Muller map of two keyed uniforms (gaussian, round 9). Poisson
+#: intervals have no closed-form inverse (sequential acceptance loop)
+#: — those configs use the sharded applyInPandas path instead.
 _PURE_INTERVALS = ("fixed", "uniform", "geometric")
-_PURE_JITTERS = ("none", "uniform")
+_PURE_JITTERS = ("none", "uniform", "gaussian", "laplace")
 
 _U53 = float(1 << 53)
 
@@ -190,15 +190,50 @@ def _pure_interval_expr(scfg: StreamConfig, u: F.Column) -> F.Column:
     raise ValueError(f"interval dist {d!r} has no closed-form column sampler")
 
 
-def _pure_jitter_expr(base: F.Column, dist: str, amount: int, u: F.Column) -> F.Column:
+def _pure_jitter_expr(
+    base: F.Column,
+    dist: str,
+    amount: int,
+    u: F.Column,
+    u2: F.Column | None = None,
+) -> F.Column:
     """Closed-form symmetric jitter (A2, clamp ≥ 1 — reference
-    ``eventstream.py:31-60``): uniform delta in [-a, a] from one
-    uniform draw."""
+    ``eventstream.py:31-60``) as a column expression of keyed
+    uniforms. Fidelity is distributional (the §4.2 contract): the same
+    law ``core.jittered`` draws, rounded to an integer delta and
+    clamped identically.
+
+    - ``uniform``: integer delta in [-a, a] from one uniform.
+    - ``gaussian`` (round 9): Box–Muller of TWO keyed uniforms,
+      z = √(-2·ln(1-u))·cos(2πu₂) ~ N(0,1), delta = round(z·a).
+      ln(1-u) is finite for u ∈ [0,1) (u=0 ⇒ z=0).
+    - ``laplace`` (round 9): the inverse CDF of one uniform,
+      delta = round(-a·sign(u-½)·ln(1-2|u-½|)); the log argument is
+      clamped to 2⁻⁵³ (one draw's own resolution) so u=0 can't send
+      an ANSI long cast to ±∞.
+    The rounding-tie convention (HALF_UP here vs NumPy's banker's)
+    is distributionally immaterial: both z·a draws are continuous, so
+    exact .5 ties have measure zero."""
     if dist == "none" or amount <= 0:
         return F.greatest(F.lit(1).cast("long"), base.cast("long"))
     if dist == "uniform":
         delta = F.floor(u * F.lit(2 * amount + 1)) - F.lit(amount)
         return F.greatest(F.lit(1).cast("long"), (base + delta).cast("long"))
+    if dist == "gaussian":
+        if u2 is None:
+            raise ValueError("gaussian jitter needs a second keyed uniform")
+        z = F.sqrt(F.lit(-2.0) * F.log1p(-u)) * F.cos(
+            F.lit(2.0 * float(np.pi)) * u2
+        )
+        delta = F.round(z * F.lit(float(amount)), 0).cast("long")
+        return F.greatest(F.lit(1).cast("long"), base.cast("long") + delta)
+    if dist == "laplace":
+        c = u - F.lit(0.5)
+        mag = F.greatest(F.lit(2.0**-53), F.lit(1.0) - F.lit(2.0) * F.abs(c))
+        delta = F.round(
+            F.lit(-float(amount)) * F.signum(c) * F.log(mag), 0
+        ).cast("long")
+        return F.greatest(F.lit(1).cast("long"), base.cast("long") + delta)
     raise ValueError(f"jitter dist {dist!r} has no closed-form column sampler")
 
 
@@ -256,8 +291,10 @@ def stream_df_pure(
     Supported closed-form laws: ``density_mode="none"`` (the clock is a
     plain prefix sum — sin density's gap↔clock recurrence is the one
     thing no window function expresses, §4.2), interval ∈ {fixed,
-    uniform, geometric}, jitter ∈ {none, uniform}; anything else raises
-    and belongs to the sharded path. Fidelity is distributional (same
+    uniform, geometric}, jitter ∈ {none, uniform, gaussian, laplace}
+    (gaussian via Box–Muller over two keyed uniforms, laplace via its
+    inverse CDF — round 9); poisson intervals and sin density raise
+    and belong to the sharded path. Fidelity is distributional (same
     laws, clamps, schedule, tie/pad/truncation semantics as
     ``build_stream_fast``), determinism is exact: same (config, seed,
     n_shards) → identical output, because every draw is
@@ -322,6 +359,7 @@ def stream_df_pure(
         scfg.rand_jitter,
         scfg.rand_jitter_amount,
         _u01(seed, F.lit("rj"), F.col("shard"), F.col("slot_id")),
+        _u01(seed, F.lit("rj2"), F.col("shard"), F.col("slot_id")),
     )
     rand_type = F.floor(
         _u01(seed, F.lit("rt"), F.col("shard"), F.col("slot_id")) * F.lit(scfg.n_types)
@@ -366,6 +404,13 @@ def stream_df_pure(
             _u01(
                 seed,
                 F.lit("pj"),
+                F.col("shard"),
+                F.col("slot_id"),
+                F.col("pos_in_slot"),
+            ),
+            _u01(
+                seed,
+                F.lit("pj2"),
                 F.col("shard"),
                 F.col("slot_id"),
                 F.col("pos_in_slot"),

@@ -13,89 +13,89 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (DRIVER_WINDOW=50 of 212 per round), so registry order decides which
-# queries earn a CORRECTNESS row this round.  Round-8 rotation, now
-# MECHANIZED (VERDICT r7 items 1/2/5): this tuple is the output of
-# ``rotation.compute_front`` over merged CORRECTNESS_r1-r7 — never-
-# sampled additions first (this round's `generate_stream_dataframe`,
-# `multimodal_binaryfile_ingest`, `sample_cluster_aware_split`, and
-# `scan_xml_roundtrip`),
-# then ascending latest-green round, alphabetical within a round — and
-# ``tests/test_rotation.py`` asserts literal == computation, so the
-# round-7 failure mode (51 names hand-counted into a 50-slot window,
-# silently starving `embed_quantize_int8`) can no longer happen.  This
-# window fronts the four round-8 additions, all 16 r3-stale entries,
-# and the 30 alphabetically first r4 entries, completing the freshness
-# cycle: after round 8 every registered query has a driver-green row
-# within the last four rounds.
+# (rotation.DRIVER_WINDOW=50 of 213 per round), so registry order decides
+# which queries earn a CORRECTNESS row this round.  This tuple is the
+# output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r8 —
+# never-sampled additions first (round 9's single gap-closure addition
+# `generate_stream_dataframe_jittered`), then ascending latest-green
+# round, alphabetical within a round — and ``tests/test_rotation.py``
+# asserts literal == computation, so the round-7 failure mode (51 names
+# hand-counted into a 50-slot window, silently starving
+# `embed_quantize_int8`) can no longer happen.  This window retires the
+# whole r4-stale tranche (14 names) plus the 35 alphabetically first
+# r5 entries; after round 9 every registered query has a driver-green
+# row within the last four rounds.
 # The CORRECTNESS history round this front list was generated from
 # (tests recompute staleness over rounds 1..this and assert equality;
 # bump it when regenerating the list at the start of the next round —
 # rotation.compute_front(all_queries(), repo_root, upto=<new round>)).
-_FRONT_GENERATED_FROM_ROUND = 7
-
+_FRONT_GENERATED_FROM_ROUND = 8
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
-    # never sampled (round-8 additions, 4 of the ≤5 gap-closure cap)
-    "generate_stream_dataframe",
-    "multimodal_binaryfile_ingest",
-    "sample_cluster_aware_split",
-    "scan_xml_roundtrip",
-    # r3-green — 4 rounds stale, the cycle's last pack (all 16)
-    "decontaminate_ngram_overlap",
-    "embed_quantize_int8",
-    "generate_patterns_spark",
-    "generate_stream_exact",
-    "pack_sequences_chunked",
-    "pattern_recovery_scored",
-    "sample_topn_per_stratum",
-    "sample_weighted_hash",
-    "streaming_foreach_batch_sink",
-    "streaming_left_outer_join",
-    "streaming_rate_replay",
-    "streaming_session_window",
-    "text_bigram_surprisal",
-    "text_repetition_score",
-    "udf_surface",
-    "vocab_oov_rate",
-    # r4-green re-checks, alphabetical (first 30 of 44 fill the window)
-    "agg_cube",
-    "agg_histogram",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_skew_salted",
-    "ann_ivf_cosine",
-    "cogroup_asof_enrich",
-    "corpus_mix_rebalance",
-    "dedup_keep_latest",
-    "docs_chunk_overlap",
-    "generate_stream_sharded",
-    "graph_pagerank",
-    "join_full_outer",
-    "multimodal_extract",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pipeline_dedup_ordered",
-    "scalar_datetime",
-    "scalar_decimal",
-    "scalar_math",
-    "scalar_math_density",
-    "scalar_string",
-    "scalar_string_distance",
-    "set_ops",
-    "sort_limit_topk",
-    "sql_tpch_q11",
-    "sql_tpch_q13",
-    "sql_tpch_q15",
-    "sql_tpch_q16",
+    "generate_stream_dataframe_jittered",  # never sampled
+    "sql_tpch_q17",  # r4
+    "sql_tpch_q2",  # r4
+    "sql_tpch_q20",  # r4
+    "sql_tpch_q21",  # r4
+    "sql_tpch_q22",  # r4
+    "sql_tpch_q8",  # r4
+    "stream_sessionize",  # r4
+    "stream_type_drift",  # r4
+    "text_tfidf_topterms",  # r4
+    "topk_per_group",  # r4
+    "udtf_surface",  # r4
+    "win_frame_running",  # r4
+    "win_lag_inter_arrival",  # r4
+    "win_value_functions",  # r4
+    "agg_approx_quantiles",  # r5
+    "agg_distinct_approx",  # r5
+    "agg_hll_merge_daily",  # r5
+    "ann_lsh_query_topk",  # r5
+    "ann_recall_eval",  # r5
+    "corpus_bpe_pair_counts",  # r5
+    "corpus_ngram_topk",  # r5
+    "corpus_source_topp",  # r5
+    "corpus_temperature_resample",  # r5
+    "dedup_containment_ngram",  # r5
+    "dedup_ngram_jaccard",  # r5
+    "dedup_recall_eval",  # r5
+    "dedup_simhash",  # r5
+    "dedup_url_normalize",  # r5
+    "embed_pq_encode",  # r5
+    "events_cusum_shift",  # r5
+    "events_downsample_lttb",  # r5
+    "events_ewma_smooth",  # r5
+    "events_gap_fill_locf",  # r5
+    "events_markov_transitions",  # r5
+    "events_ohlc_candles",  # r5
+    "events_resample_interp",  # r5
+    "export_shard_manifest",  # r5
+    "graph_triangle_count",  # r5
+    "join_asof_nearest",  # r5
+    "join_interval_overlap",  # r5
+    "join_null_safe",  # r5
+    "join_runtime_filtered",  # r5
+    "multimodal_audio_features",  # r5
+    "multimodal_image_hist",  # r5
+    "pipeline_pretrain_corpus",  # r5
+    "quality_logreg_filter",  # r5
+    "reshape_unpivot",  # r5
+    "scalar_conditional",  # r5
+    "scalar_map",  # r5
 )
 
 
 def _ordered(merged: dict) -> dict:
-    assert len(_FRONT_OF_REGISTRY) <= 50, (
-        f"{len(_FRONT_OF_REGISTRY)} front names for the driver's 50-slot "
-        "per-round window — entries past slot 50 silently miss the round "
-        "(the round-7 embed_quantize_int8 overflow)"
+    # single source of truth for the window size (round-8 advice):
+    # rotation.DRIVER_WINDOW is the measured driver budget; hardcoding
+    # 50 here too would let the two constants drift if it is ever
+    # re-measured
+    from eventstream_benchmark_spark.rotation import DRIVER_WINDOW
+
+    assert len(_FRONT_OF_REGISTRY) <= DRIVER_WINDOW, (
+        f"{len(_FRONT_OF_REGISTRY)} front names for the driver's "
+        f"{DRIVER_WINDOW}-slot per-round window — entries past the last "
+        "slot silently miss the round (the round-7 embed_quantize_int8 "
+        "overflow)"
     )
     missing = [n for n in _FRONT_OF_REGISTRY if n not in merged]
     assert not missing, (

@@ -248,9 +248,10 @@ def test_puredf_deterministic_and_seed_sensitive(spark):
 
 
 def test_puredf_rejects_non_closed_form_laws(spark):
-    """poisson intervals, gaussian/laplace jitters, and sin density
-    have no closed-form column inverse -> the pure mode refuses them
-    (the sharded path owns those configs)."""
+    """poisson intervals and sin density have no closed-form column
+    inverse -> the pure mode refuses them (the sharded path owns those
+    configs). Gaussian/laplace jitters joined the closed-form lane in
+    round 9 and are covered by their own KS law tests."""
     import dataclasses
 
     base = StreamConfig(
@@ -262,8 +263,6 @@ def test_puredf_rejects_non_closed_form_laws(spark):
     )
     for bad in (
         dataclasses.replace(base, rand_interval_dist="poisson"),
-        dataclasses.replace(base, rand_jitter="gaussian", rand_jitter_amount=2),
-        dataclasses.replace(base, pattern_jitter="laplace", pattern_jitter_amount=2),
         dataclasses.replace(base, density_mode="sin"),
     ):
         with pytest.raises(ValueError):
@@ -284,6 +283,22 @@ def test_puredf_summary_constants_pinned(spark):
         for row in generate_stream_dataframe(spark, "").collect()
     )
     assert got == _PUREDF_SUMMARY_ROWS
+
+
+def test_puredf_jitter_summary_constants_pinned(spark):
+    """Same pin for the round-9 jittered variant (gaussian noise +
+    laplace pattern jitter through the closed-form samplers): a fresh
+    run must reproduce the committed VALUES oracle exactly."""
+    from eventstream_benchmark_spark.generator.queries import (
+        _PUREDF_JITTER_SUMMARY_ROWS,
+        generate_stream_dataframe_jittered,
+    )
+
+    got = tuple(
+        tuple(int(v) for v in row)
+        for row in generate_stream_dataframe_jittered(spark, "").collect()
+    )
+    assert got == _PUREDF_JITTER_SUMMARY_ROWS
 
 
 def test_patterns_df_matches_numpy(spark):

@@ -229,6 +229,45 @@ def test_puredf_uniform_interval_with_jitter_law(spark):
     assert chi2 < 40, f"chi2={chi2:.1f}"
 
 
+def test_puredf_gaussian_jitter_ks(spark):
+    """Round-9 closed-form lane: gaussian jitter via Box–Muller over
+    two keyed uniforms. gap = max(1, 10 + round(z·3)), z ~ N(0,1), so
+    CDF(g) = Φ((g - 10 + ½)/3) (the ≥1 clamp folds the lower tail into
+    g=1, which the same formula already measures). KS < 0.01 at n=200k
+    — the bound every other law test uses."""
+    from math import erf, sqrt
+
+    cfg = StreamConfig(n_types=4, total_events=200_000, random_ratio=1.0,
+                       rand_interval_dist="fixed", rand_interval_base=10,
+                       rand_jitter="gaussian", rand_jitter_amount=3,
+                       density_mode="none")
+    gaps = _per_shard_gaps(_pure_arrays(spark, cfg))
+    phi = lambda x: 0.5 * (1.0 + erf(x / sqrt(2.0)))  # noqa: E731
+    d = _ks_distance(gaps, lambda g: phi((g - 10 + 0.5) / 3.0))
+    assert d < 0.01, f"KS distance {d:.4f}"
+
+
+def test_puredf_laplace_jitter_ks(spark):
+    """Round-9 closed-form lane: laplace jitter via its inverse CDF.
+    gap = max(1, 10 + round(L)), L ~ Laplace(0, 3): CDF(g) =
+    F_L(g - 10 + ½) with F_L(x) = ½eˣ̷ᵇ below 0 and 1 - ½e⁻ˣ̷ᵇ above."""
+    from math import exp
+
+    b = 3.0
+    cfg = StreamConfig(n_types=4, total_events=200_000, random_ratio=1.0,
+                       rand_interval_dist="fixed", rand_interval_base=10,
+                       rand_jitter="laplace", rand_jitter_amount=3,
+                       density_mode="none")
+    gaps = _per_shard_gaps(_pure_arrays(spark, cfg))
+
+    def lap_cdf(g: int) -> float:
+        x = g - 10 + 0.5
+        return 0.5 * exp(x / b) if x < 0 else 1.0 - 0.5 * exp(-x / b)
+
+    d = _ks_distance(gaps, lap_cdf)
+    assert d < 0.01, f"KS distance {d:.4f}"
+
+
 def test_puredf_and_fast_agree_distributionally(spark):
     """Pure-DataFrame and NumPy-fast paths at the same closed-form
     config: identical slot schedule (same achieved ratio per shard),
