@@ -122,6 +122,10 @@ SF1_QUERIES = (
     # rides the shared cc_labels + pair set the cc pass leaves behind
     # (consumer semantics — marginal cost of the split-hygiene check)
     "sample_cluster_aware_split",
+    # round-9 probe: the RFM rewrite (global ntile windows -> scalar
+    # percentile cut points + broadcast) under a 10x orders fact —
+    # the exact shape the rewrite exists to survive
+    "orders_rfm_segmentation",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single

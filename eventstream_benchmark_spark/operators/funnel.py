@@ -370,7 +370,15 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Semantics vs ntile: ties now share a bucket (cut-point bucketing)
     instead of being split to equalize counts — the oracle switches to
-    the identical cut-point rule. Determinism: the metrics are exact
+    the identical cut-point rule.
+
+    Memory note: exact ``percentile`` buffers a value→count map per
+    aggregate — bounded by DISTINCT metric values (days are calendar-
+    bounded, frequencies orders-per-customer-bounded; spend_cents is
+    the widest). That is a far weaker hazard class than the row-sized
+    single-task window this replaced; at extreme scale the one-line
+    switch is ``approx_percentile`` with tight accuracy for the cut
+    points only — the bucketing comparisons downstream are unchanged. Determinism: the metrics are exact
     integers (days / counts / cents) and the interpolated quantile at
     p ∈ {.25, .5, .75} is exact double arithmetic (index fraction is a
     binary fraction; operands < 2⁵³), so Spark's ``percentile`` and
