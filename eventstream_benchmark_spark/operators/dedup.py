@@ -553,6 +553,85 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
     return verified.select("d1", "d2", "jaccard")
 
 
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection — today's crawl batch probed
+    against the standing corpus index, the asymmetric join a
+    production dedup pipeline runs daily instead of re-mining all
+    corpus × corpus pairs. The fixture's doc_id parity stands in for
+    the split: odd ids are the incoming batch, even ids the indexed
+    corpus (deterministic, both engines replay it).
+
+    The PLAN SHAPE is the point: band signatures for both sides (at
+    scale the corpus side's signatures and band buckets are the stored
+    index — recomputing them here is fixture pragmatism, documented),
+    then a band-bucket equi-join of batch → corpus ONLY — no
+    corpus × corpus candidate is ever generated and there is no
+    ``d1 < d2`` self-join — exact-Jaccard verification of the
+    cross-side candidates, threshold. Work per increment is
+    O(batch bands + probed buckets), independent of |corpus|², which
+    is what makes daily dedup affordable at 100 TB.
+
+    Output: (batch_doc, corpus_doc, jaccard). Equals the full-pass
+    ``dedup_minhash_lsh`` pair set filtered to opposite-parity pairs
+    and re-oriented batch-first (pinned by a structural test); the
+    DuckDB oracle is the capped-shingle all-pairs Jaccard with the
+    same parity join condition. A production increment would
+    exact-dup-collapse its batch first (the
+    :func:`_minhash_pairs_collapsed` stage); this query keeps the
+    probe uncollapsed so the asymmetric join itself is the measured
+    thing."""
+    release_scoped_persists()
+    sh = _capped_shingles(_doc_shingles(spark, sf_dir))
+    sig = scoped_persist(_minhash_signatures(sh))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda bnd: F.hash(
+                    F.slice(
+                        F.col("mh"),
+                        bnd * (N_PERM // LSH_BANDS) + 1,
+                        N_PERM // LSH_BANDS,
+                    )
+                ),
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    batch = bands.filter(F.col("doc_id") % 2 == 1).alias("b")
+    corpus = bands.filter(F.col("doc_id") % 2 == 0).alias("c")
+    candidates = (
+        batch.join(
+            corpus,
+            (F.col("b.band_id") == F.col("c.band_id"))
+            & (F.col("b.band_sig") == F.col("c.band_sig")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sets_b = sh.select(
+        F.col("doc_id").alias("batch_doc"), F.col("shingles").alias("sh1")
+    )
+    sets_c = sh.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh2")
+    )
+    return (
+        candidates.join(sets_b, "batch_doc")
+        .join(sets_c, "corpus_doc")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            r6(F.col("inter") / (F.size("sh1") + F.size("sh2") - F.col("inter"))),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("batch_doc", "corpus_doc", "jaccard")
+        .orderBy("batch_doc", "corpus_doc")
+    )
+
+
 def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-quality evaluation as a first-class query: run the LSH
     path AND the exact all-pairs path, confusion-join them, and emit
@@ -1090,6 +1169,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment_ngram": dedup_containment_ngram,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_recall_eval": dedup_recall_eval,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1201,6 +1281,15 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": _PAIRS_SQL,
     "dedup_minhash_lsh": _PAIRS_SQL,
+    # same capped-shingle CTEs, with the batch->corpus parity join
+    # replacing the d1<d2 self-join (drift-guarded by asserts below)
+    "dedup_minhash_incremental": _PAIRS_SQL.replace(
+        "ON a.s = b.s AND a.doc_id < b.doc_id",
+        "ON a.s = b.s AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0",
+    ).replace(
+        "SELECT d1, d2,",
+        "SELECT d1 AS batch_doc, d2 AS corpus_doc,",
+    ),
     # same capped-shingle CTEs as _PAIRS_SQL with the min-size
     # containment denominator and its own threshold (drift-guarded by
     # the asserts below the dict)
@@ -1265,6 +1354,9 @@ ORACLES = {
 # the containment oracle is derived from _PAIRS_SQL by string surgery;
 # if _PAIRS_SQL's select/filter lines drift, fail at import instead of
 # shipping a silently-identical (jaccard) oracle
+assert ORACLES["dedup_minhash_incremental"] != _PAIRS_SQL
+assert "batch_doc" in ORACLES["dedup_minhash_incremental"]
+assert "a.doc_id % 2 = 1" in ORACLES["dedup_minhash_incremental"]
 assert ORACLES["dedup_containment_ngram"] != _PAIRS_SQL
 assert "containment" in ORACLES["dedup_containment_ngram"]
 assert "jaccard" not in ORACLES["dedup_containment_ngram"]

@@ -239,6 +239,50 @@ def test_collapsed_minhash_equals_uncollapsed(spark, tmp_path):
     assert (cross["jaccard"] >= dedup.JACCARD_THRESHOLD).all()
 
 
+def test_incremental_equals_parity_filtered_full_pass(spark, tmp_path):
+    """The incremental probe (batch=odd ids → corpus=even ids) must
+    emit exactly the full-pass pair set restricted to opposite-parity
+    pairs, re-oriented batch-first — the structural claim in its
+    docstring, pinned on the duplicate-flooded corpus (which puts
+    exact-dup cliques and near-dup pairs on both sides of the
+    split)."""
+    pdf = _flooded_docs()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf = str(tmp_path)
+
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        release_shared_persists,
+    )
+
+    release_shared_persists()
+    release_scoped_persists()
+    inc = (
+        dedup.dedup_minhash_incremental(spark, sf)
+        .toPandas()
+        .sort_values(["batch_doc", "corpus_doc"])
+        .reset_index(drop=True)
+    )
+    release_scoped_persists()
+    full = dedup._minhash_pairs_collapsed(spark, sf).toPandas()
+    release_scoped_persists()
+    release_shared_persists()
+    cross = full[(full.d1 + full.d2) % 2 == 1]
+    expected = pd.DataFrame(
+        {
+            "batch_doc": cross.apply(
+                lambda r: r.d1 if r.d1 % 2 else r.d2, axis=1
+            ).astype("int64"),
+            "corpus_doc": cross.apply(
+                lambda r: r.d2 if r.d1 % 2 else r.d1, axis=1
+            ).astype("int64"),
+            "jaccard": cross.jaccard,
+        }
+    ).sort_values(["batch_doc", "corpus_doc"]).reset_index(drop=True)
+    assert inc.equals(expected), f"inc:\n{inc}\nexpected:\n{expected}"
+    assert len(inc) > 0  # the flooded corpus has cross-parity dups
+
+
 def test_collapse_plans_carry_no_member_array(spark, tmp_path):
     """Round-9 membership-table pin (round-8 verdict #3): neither
     collapse stage may build a per-group member array — a
