@@ -13,17 +13,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (rotation.DRIVER_WINDOW=50 of 214 per round), so registry order decides
+# (rotation.DRIVER_WINDOW=50 of 215 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
 # output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r8 —
 # never-sampled additions first (round 9 gap-closure additions
 # `generate_stream_dataframe_jittered`,
-# `dedup_minhash_incremental`), then ascending latest-green
+# `dedup_minhash_incremental`, `sample_dsir_weights`), then ascending latest-green
 # round, alphabetical within a round — and ``tests/test_rotation.py``
 # asserts literal == computation, so the round-7 failure mode (51 names
 # hand-counted into a 50-slot window, silently starving
 # `embed_quantize_int8`) can no longer happen.  This window retires the
-# whole r4-stale tranche (14 names) plus the 34 alphabetically first
+# whole r4-stale tranche (14 names) plus the 33 alphabetically first
 # r5 entries; after round 9 every registered query has a driver-green
 # row within the last four rounds.
 # The CORRECTNESS history round this front list was generated from
@@ -34,6 +34,7 @@ _FRONT_GENERATED_FROM_ROUND = 8
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "dedup_minhash_incremental",  # never sampled
     "generate_stream_dataframe_jittered",  # never sampled
+    "sample_dsir_weights",  # never sampled
     "sql_tpch_q17",  # r4
     "sql_tpch_q2",  # r4
     "sql_tpch_q20",  # r4
@@ -81,7 +82,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "pipeline_pretrain_corpus",  # r5
     "quality_logreg_filter",  # r5
     "reshape_unpivot",  # r5
-    "scalar_conditional",  # r5
 )
 
 

@@ -648,6 +648,96 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169 — public): score
+    every document by how much its hashed n-gram profile looks like a
+    TARGET distribution relative to the raw SOURCE distribution, the
+    cheap bag-of-hashed-ngrams stand-in for "sample data that looks
+    like the high-quality set". Target here = the fixture's
+    ``lang = 'en'`` stratum; source = the whole corpus; features =
+    unigrams + word bigrams hashed into DSIR_BUCKETS buckets (48-bit
+    md5 prefix — the engine's cross-engine hash idiom).
+
+    log-importance of a doc = Σ_features n_f · (ln p̂_target(bucket) −
+    ln p̂_source(bucket)) with Laplace smoothing. Determinism: the 64
+    per-bucket log-ratios are quantized to integer MICRO-units once
+    (the working-resolution rule), so every per-doc sum is an exact
+    integer — summation order can't flip a bit, and the only float op
+    the engines must agree on is one ln per bucket (the
+    ``text_bigram_surprisal`` precedent). Output: (doc_id, n_feats,
+    lw_micro); the weights feed the existing weighted samplers — the
+    resampling step is deliberately not fused in.
+
+    Scale shape: one exploded scan → (doc, bucket) counts (map-side
+    combinable), two bucket-sized aggregates, a broadcast 64-row
+    log-ratio table, one keyed groupBy. No window, no self-join; the
+    1-row totals frame rides a scalar broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    bis = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, _SLICE_ALL),
+            lambda x, y: F.concat(x, F.lit("_"), y),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    feats = docs.select(
+        "doc_id", "lang", F.explode(F.concat(toks, bis)).alias("f")
+    )
+    b = (
+        F.conv(F.substring(F.md5("f"), 1, 12), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    bucketed = feats.select("doc_id", "lang", b.alias("b"))
+    is_tgt = (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+    src = bucketed.groupBy("b").agg(
+        F.count("*").alias("cs"), F.sum(is_tgt).alias("ct")
+    )
+    totals = F.broadcast(
+        bucketed.agg(F.count("*").alias("ns"), F.sum(is_tgt).alias("nt"))
+    )
+    grid = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    logr = (
+        grid.join(src, "b", "left")
+        .crossJoin(totals)
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + 1)
+                        / (F.col("nt") + DSIR_BUCKETS)
+                    )
+                    - F.log(
+                        (F.coalesce("cs", F.lit(0)) + 1)
+                        / (F.col("ns") + DSIR_BUCKETS)
+                    )
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    per_doc_bucket = bucketed.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+    return (
+        per_doc_bucket.join(F.broadcast(logr), "b")
+        .groupBy("doc_id")
+        .agg(
+            bigint(F.sum("n")).alias("n_feats"),
+            bigint(F.sum(F.col("n") * F.col("lr_micro"))).alias("lw_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 CHUNK_LEN = 64
 CHUNK_STRIDE = 48
 
@@ -1006,6 +1096,7 @@ QUERIES = {
     "sample_topn_per_stratum": sample_topn_per_stratum,
     "pack_sequences_chunked": pack_sequences_chunked,
     "text_bigram_surprisal": text_bigram_surprisal,
+    "sample_dsir_weights": sample_dsir_weights,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -1033,6 +1124,51 @@ from eventstream_benchmark_spark.operators.dedup import _PAIRS_SQL as _DEDUP_PAI
 
 
 ORACLES = {
+    # DSIR hashed-ngram importance weights: identical 48-bit md5 bucket
+    # hash, Laplace-smoothed per-bucket log-ratios quantized to integer
+    # micro-units ONCE (so the per-doc sums are exact integers in both
+    # engines; the single ln per bucket is the surprisal precedent)
+    "sample_dsir_weights": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, lang, unnest(w) AS f FROM toks
+            UNION ALL
+            SELECT doc_id, lang,
+                   unnest([w[i] || '_' || w[i+1] FOR i IN range(1, len(w))]) AS f
+            FROM toks WHERE len(w) >= 2
+        ),
+        bucketed AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(f), 1, 12))::BIGINT % {DSIR_BUCKETS} AS b
+            FROM feats
+        ),
+        src AS (
+            SELECT b, count(*) AS cs,
+                   sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+            FROM bucketed GROUP BY b
+        ),
+        tot AS (
+            SELECT count(*) AS ns,
+                   sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS nt
+            FROM bucketed
+        ),
+        grid AS (SELECT unnest(range({DSIR_BUCKETS})) AS b),
+        logr AS (
+            SELECT g.b,
+                   CAST(round((ln((coalesce(ct, 0) + 1) * 1.0 / (nt + {DSIR_BUCKETS}))
+                             - ln((coalesce(cs, 0) + 1) * 1.0 / (ns + {DSIR_BUCKETS})))
+                              * 1000000) AS BIGINT) AS lr_micro
+            FROM grid g LEFT JOIN src USING (b) CROSS JOIN tot
+        ),
+        pdb AS (SELECT doc_id, b, count(*) AS n FROM bucketed GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+               CAST(sum(n * lr_micro) AS BIGINT) AS lw_micro
+        FROM pdb JOIN logr USING (b)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
     # weighted-minwise replay: identical ticket hashes (48-bit md5
     # prefix of id:j), identical min-per-doc key, identical bottom-K
     "sample_weighted_reservoir": f"""

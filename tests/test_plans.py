@@ -798,6 +798,31 @@ def test_weekday_contrast_day_dim_broadcasts(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dsir_weights_no_window_no_python_bounded_broadcasts(spark, sf_small):
+    """DSIR importance weights: one exploded scan + keyed aggregates +
+    a broadcast 64-row log-ratio table — no window anywhere (the
+    weights deliberately exclude any global ranking step), no Python,
+    and the only nested-loop join is the 1-row totals scalar."""
+    plan = _plan(spark, sf_small, "sample_dsir_weights")
+    assert "Window" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_incremental_no_self_pairing(spark, sf_small):
+    """The incremental probe never generates a corpus×corpus or
+    batch×batch candidate: the band join's two sides carry the
+    opposite-parity filters, and there is no d1<d2 self-join
+    predicate anywhere in the plan."""
+    plan = _plan(spark, sf_small, "dedup_minhash_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both parity filters must appear as pushed predicates
+    assert "% 2) = 1" in plan and "% 2) = 0" in plan
+
+
 def test_prequential_is_pure_windows_no_join_no_python(spark, sf_small):
     """The test-then-train scorer is lag/frame windows + one aggregate —
     zero joins, zero Python (the whole model state lives in the frame)."""
