@@ -126,6 +126,11 @@ SF1_QUERIES = (
     # percentile cut points + broadcast) under a 10x orders fact —
     # the exact shape the rewrite exists to survive
     "orders_rfm_segmentation",
+    # round-9 addition, flood-probed at birth: the batch-vs-corpus
+    # asymmetric probe under the 10x duplicate flood — the collapse
+    # in front of the band join is what keeps a dup-flooded INCREMENT
+    # from re-creating the quadratic the full pass retired
+    "dedup_minhash_incremental",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single

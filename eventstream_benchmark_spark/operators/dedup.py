@@ -575,13 +575,37 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_lsh`` pair set filtered to opposite-parity pairs
     and re-oriented batch-first (pinned by a structural test); the
     DuckDB oracle is the capped-shingle all-pairs Jaccard with the
-    same parity join condition. A production increment would
-    exact-dup-collapse its batch first (the
-    :func:`_minhash_pairs_collapsed` stage); this query keeps the
-    probe uncollapsed so the asymmetric join itself is the measured
-    thing."""
+    same parity join condition.
+
+    The exact-dup collapse runs here too (a duplicate-flooded
+    INCREMENT would otherwise re-create exactly the hot-band-bucket
+    quadratic the full pass retired): identical texts group to a
+    representative; the asymmetric band join runs between reps whose
+    group contains ≥ 1 batch member and reps whose group contains
+    ≥ 1 corpus member; member pairs come back via output-sized
+    parity-filtered expansion joins — an ordered rep pair (r1, r2)
+    expands to odd(r1) × even(r2), and a MIXED group's own batch ×
+    corpus members pair at J = 1.0 exactly (identical shingle sets),
+    gated on the representative surviving the shingle pipeline, the
+    same rule as the full pass. sf1 flood-probed."""
     release_scoped_persists()
-    sh = _capped_shingles(_doc_shingles(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.lower("text").alias("ltext"),
+        "doc_id",
+        (F.col("doc_id") % 2).alias("par"),
+    )
+    groups = scoped_persist(
+        keyed.groupBy("ltext").agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").alias("weight"),
+            F.max((F.col("par") == 1).cast("int")).alias("has_batch"),
+            F.max((F.col("par") == 0).cast("int")).alias("has_corpus"),
+        )
+    )
+    reps = groups.select(F.col("rep_id").alias("doc_id"), F.col("ltext").alias("text"))
+    weights = groups.select(F.col("rep_id").alias("doc_id"), "weight")
+    sh = _capped_shingles_weighted(_shingle_table(reps), weights)
     sig = scoped_persist(_minhash_signatures(sh))
     bands = sig.select(
         "doc_id",
@@ -597,39 +621,68 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("band_id", "band_sig"),
+    ).join(
+        groups.select(
+            F.col("rep_id").alias("doc_id"), "has_batch", "has_corpus"
+        ),
+        "doc_id",
     )
-    batch = bands.filter(F.col("doc_id") % 2 == 1).alias("b")
-    corpus = bands.filter(F.col("doc_id") % 2 == 0).alias("c")
+    b_side = bands.filter(F.col("has_batch") == 1).alias("b")
+    c_side = bands.filter(F.col("has_corpus") == 1).alias("c")
+    # ordered candidate (r1 = batch-bearing rep, r2 = corpus-bearing
+    # rep); both orientations of a mixed/mixed pair appear, each
+    # expanding to its own disjoint member pairs
     candidates = (
-        batch.join(
-            corpus,
+        b_side.join(
+            c_side,
             (F.col("b.band_id") == F.col("c.band_id"))
-            & (F.col("b.band_sig") == F.col("c.band_sig")),
+            & (F.col("b.band_sig") == F.col("c.band_sig"))
+            & (F.col("b.doc_id") != F.col("c.doc_id")),
         )
-        .select(
-            F.col("b.doc_id").alias("batch_doc"),
-            F.col("c.doc_id").alias("corpus_doc"),
-        )
+        .select(F.col("b.doc_id").alias("r1"), F.col("c.doc_id").alias("r2"))
         .distinct()
     )
-    sets_b = sh.select(
-        F.col("doc_id").alias("batch_doc"), F.col("shingles").alias("sh1")
-    )
-    sets_c = sh.select(
-        F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh2")
-    )
-    return (
-        candidates.join(sets_b, "batch_doc")
-        .join(sets_c, "corpus_doc")
+    sets1 = sh.select(F.col("doc_id").alias("r1"), F.col("shingles").alias("sh1"))
+    sets2 = sh.select(F.col("doc_id").alias("r2"), F.col("shingles").alias("sh2"))
+    rep_pairs = (
+        candidates.join(sets1, "r1")
+        .join(sets2, "r2")
         .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn(
             "jaccard",
             r6(F.col("inter") / (F.size("sh1") + F.size("sh2") - F.col("inter"))),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("batch_doc", "corpus_doc", "jaccard")
-        .orderBy("batch_doc", "corpus_doc")
+        .select("r1", "r2", "jaccard")
     )
+    copies = scoped_persist(
+        keyed.join(groups.select("ltext", "rep_id"), "ltext").select(
+            "rep_id", "doc_id", "par"
+        )
+    )
+    batch_members = copies.filter(F.col("par") == 1).select(
+        "rep_id", F.col("doc_id").alias("batch_doc")
+    )
+    corpus_members = copies.filter(F.col("par") == 0).select(
+        "rep_id", F.col("doc_id").alias("corpus_doc")
+    )
+    across = (
+        rep_pairs.join(
+            batch_members.withColumnRenamed("rep_id", "r1"), "r1"
+        )
+        .join(corpus_members.withColumnRenamed("rep_id", "r2"), "r2")
+        .select("batch_doc", "corpus_doc", "jaccard")
+    )
+    # mixed groups: batch x corpus members of the SAME group pair at
+    # exactly 1.0, emitted only when the representative survives the
+    # shingle pipeline (>= K tokens, >= 1 non-hot shingle) — both
+    # engines drop all-hot/short docs identically
+    within = (
+        batch_members.join(corpus_members, "rep_id")
+        .join(sh.select(F.col("doc_id").alias("rep_id")), "rep_id", "left_semi")
+        .select("batch_doc", "corpus_doc", F.lit(1.0).alias("jaccard"))
+    )
+    return within.unionAll(across).orderBy("batch_doc", "corpus_doc")
 
 
 def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -814,13 +814,16 @@ def test_dsir_weights_no_window_no_python_bounded_broadcasts(spark, sf_small):
 def test_minhash_incremental_no_self_pairing(spark, sf_small):
     """The incremental probe never generates a corpus×corpus or
     batch×batch candidate: the band join's two sides carry the
-    opposite-parity filters, and there is no d1<d2 self-join
-    predicate anywhere in the plan."""
+    side-membership filters (batch-bearing reps vs corpus-bearing
+    reps after the exact-dup collapse), and there is no d1<d2
+    self-join predicate anywhere in the plan."""
     plan = _plan(spark, sf_small, "dedup_minhash_incremental")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # both parity filters must appear as pushed predicates
-    assert "% 2) = 1" in plan and "% 2) = 0" in plan
+    # both side filters must appear (collapse flags, not raw parity)
+    assert "has_batch" in plan and "has_corpus" in plan
+    # the member expansions filter by parity
+    assert "% 2)" in plan
 
 
 def test_prequential_is_pure_windows_no_join_no_python(spark, sf_small):
