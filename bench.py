@@ -180,7 +180,14 @@ SF1_HEAVY = {
 # larger than the min), so it gets a third pass; with min-of-3 the
 # warm floor is real and the median is reported alongside for every
 # multi-sample sf1 item, same as the headline set.
-SF1_EXTRA_HEAVY_RUNS = {"graph_triangle_count": 3, "graph_pagerank": 3}
+SF1_EXTRA_HEAVY_RUNS = {
+    "graph_triangle_count": 3,
+    "graph_pagerank": 3,
+    # round-9: with base n=2 the gate can stop on two slow samples
+    # whose spread happens to sit under their (inflated) median —
+    # the chronically noisy embedding lane gets a third base pass
+    "dedup_embedding_cosine": 3,
+}
 
 # the sf1 re-run gate (round-8 verdict #4): a multi-sample item whose
 # spread exceeds its median is noise-bound evidence — take extra
