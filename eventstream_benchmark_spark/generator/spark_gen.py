@@ -213,7 +213,16 @@ def _pure_jitter_expr(
       an ANSI long cast to ±∞.
     The rounding-tie convention (HALF_UP here vs NumPy's banker's)
     is distributionally immaterial: both z·a draws are continuous, so
-    exact .5 ties have measure zero."""
+    exact .5 ties have measure zero.
+
+    Portability note (round-9 review): the Box–Muller cos/sqrt run on
+    java.lang.Math, which guarantees 1-ulp accuracy, not correct
+    rounding — a different JVM/platform could flip a draw landing
+    within 1 ulp of a .5 tie and change the pinned
+    ``_PUREDF_JITTER_SUMMARY_ROWS`` constants. The pin test fails
+    loudly in that case (regenerate the constants on the new
+    platform); within one platform the draws are exactly
+    reproducible."""
     if dist == "none" or amount <= 0:
         return F.greatest(F.lit(1).cast("long"), base.cast("long"))
     if dist == "uniform":

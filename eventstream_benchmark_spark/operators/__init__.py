@@ -17,24 +17,73 @@ from pyspark.sql import DataFrame, SparkSession
 # which queries earn a CORRECTNESS row this round.  This tuple is the
 # output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r8 —
 # never-sampled additions first (round 9 gap-closure additions
-# `generate_stream_dataframe_jittered`,
-# `dedup_minhash_incremental`, `sample_dsir_weights`), then ascending latest-green
-# round, alphabetical within a round — and ``tests/test_rotation.py``
+# `generate_stream_dataframe_jittered`, `dedup_minhash_incremental`,
+# `sample_dsir_weights`), then `_CHANGED_THIS_ROUND` (rewritten
+# semantics re-verify immediately), then ascending latest-green
+# round, alphabetical within a tier — and ``tests/test_rotation.py``
 # asserts literal == computation, so the round-7 failure mode (51 names
 # hand-counted into a 50-slot window, silently starving
 # `embed_quantize_int8`) can no longer happen.  This window retires the
-# whole r4-stale tranche (14 names) plus the 33 alphabetically first
-# r5 entries; after round 9 every registered query has a driver-green
-# row within the last four rounds.
+# whole r4-stale tranche (14 names), the 17 queries REWRITTEN this
+# round (semantic/plan changes — their stale greens no longer certify
+# the code), and the 16 alphabetically first r5 entries.
 # The CORRECTNESS history round this front list was generated from
 # (tests recompute staleness over rounds 1..this and assert equality;
 # bump it when regenerating the list at the start of the next round —
 # rotation.compute_front(all_queries(), repo_root, upto=<new round>)).
+# Queries whose OUTPUT SEMANTICS or plan were rewritten this round —
+# their last green driver row no longer certifies the current code, so
+# rotation fronts them right after never-sampled additions (round-9
+# self-review finding: the staleness-only ordering left the RFM
+# rewrite and the cents migration without a same-round driver check).
+# Reset this tuple to () when regenerating for a round with no
+# semantic rewrites.
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # ntile -> distributed quartile cut points (oracle switched too)
+    "orders_rfm_segmentation",
+    # events.value integer-cents sum migration (both sides)
+    "rollup_hourly_daily",
+    "stream_tumbling_rate",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_xml_roundtrip",
+    "write_partitioned_pruned",
+    "scalar_json",
+    "win_frame_running",
+    "win_frame_range",
+    "streaming_replay_tumbling",
+    "streaming_foreach_batch_sink",
+    "streaming_static_enrich",
+    # collapse membership tables (plan rewrite; outputs structurally
+    # unchanged but the pair build is new code)
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_cluster_cc",
+)
+
 _FRONT_GENERATED_FROM_ROUND = 8
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "dedup_minhash_incremental",  # never sampled
     "generate_stream_dataframe_jittered",  # never sampled
     "sample_dsir_weights",  # never sampled
+    "dedup_cluster_cc",  # REWRITTEN this round (last green r7)
+    "dedup_embedding_cosine",  # REWRITTEN this round (last green r7)
+    "dedup_minhash_lsh",  # REWRITTEN this round (last green r6)
+    "orders_rfm_segmentation",  # REWRITTEN this round (last green r6)
+    "rollup_hourly_daily",  # REWRITTEN this round (last green r7)
+    "scalar_json",  # REWRITTEN this round (last green r6)
+    "scan_csv_roundtrip",  # REWRITTEN this round (last green r7)
+    "scan_jsonl_roundtrip",  # REWRITTEN this round (last green r7)
+    "scan_orc_roundtrip",  # REWRITTEN this round (last green r7)
+    "scan_xml_roundtrip",  # REWRITTEN this round (last green r8)
+    "stream_tumbling_rate",  # REWRITTEN this round (last green r6)
+    "streaming_foreach_batch_sink",  # REWRITTEN this round (last green r8)
+    "streaming_replay_tumbling",  # REWRITTEN this round (last green r7)
+    "streaming_static_enrich",  # REWRITTEN this round (last green r5)
+    "win_frame_range",  # REWRITTEN this round (last green r5)
+    "win_frame_running",  # REWRITTEN this round (last green r4)
+    "write_partitioned_pruned",  # REWRITTEN this round (last green r7)
     "sql_tpch_q17",  # r4
     "sql_tpch_q2",  # r4
     "sql_tpch_q20",  # r4
@@ -46,7 +95,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "text_tfidf_topterms",  # r4
     "topk_per_group",  # r4
     "udtf_surface",  # r4
-    "win_frame_running",  # r4
     "win_lag_inter_arrival",  # r4
     "win_value_functions",  # r4
     "agg_approx_quantiles",  # r5
@@ -66,22 +114,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "embed_pq_encode",  # r5
     "events_cusum_shift",  # r5
     "events_downsample_lttb",  # r5
-    "events_ewma_smooth",  # r5
-    "events_gap_fill_locf",  # r5
-    "events_markov_transitions",  # r5
-    "events_ohlc_candles",  # r5
-    "events_resample_interp",  # r5
-    "export_shard_manifest",  # r5
-    "graph_triangle_count",  # r5
-    "join_asof_nearest",  # r5
-    "join_interval_overlap",  # r5
-    "join_null_safe",  # r5
-    "join_runtime_filtered",  # r5
-    "multimodal_audio_features",  # r5
-    "multimodal_image_hist",  # r5
-    "pipeline_pretrain_corpus",  # r5
-    "quality_logreg_filter",  # r5
-    "reshape_unpivot",  # r5
 )
 
 

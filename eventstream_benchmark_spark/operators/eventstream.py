@@ -29,7 +29,6 @@ from eventstream_benchmark_spark.operators._util import (
     fmt_ts,
     null_safe_div,
     money_sum,
-    r2,
     r4,
     r6,
 )

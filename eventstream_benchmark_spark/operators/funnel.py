@@ -347,9 +347,6 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RFM_BUCKETS = 4
-
-
 def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — recency (days since the customer's
     last order, against the corpus max date), frequency (order count),

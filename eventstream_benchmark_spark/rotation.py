@@ -15,7 +15,10 @@ ordered by
 
 1. never-sampled queries first (no row in any round — new additions),
    alphabetical;
-2. then ascending latest-green round (stalest first), alphabetical
+2. then queries listed in ``operators._CHANGED_THIS_ROUND`` — their
+   output semantics or plan were rewritten since their last green row,
+   so the stale green no longer certifies them (round-9 addition);
+3. then ascending latest-green round (stalest first), alphabetical
    within a round.
 
 ``operators/__init__._FRONT_OF_REGISTRY`` stays a literal tuple (the
@@ -75,23 +78,45 @@ def latest_green_rounds(
 
 
 def staleness_order(
-    registry_names: list[str], latest: dict[str, int]
+    registry_names: list[str],
+    latest: dict[str, int],
+    changed: tuple[str, ...] = (),
 ) -> list[str]:
     """All registry names, stalest first: never-sampled (round 0)
-    before everything, then ascending latest-green round, alphabetical
-    within a tier."""
-    return sorted(registry_names, key=lambda n: (latest.get(n, 0), n))
+    before everything, then names whose SEMANTICS were rewritten this
+    round (``changed`` — a stale green row no longer certifies them,
+    so they re-verify immediately, round-9 review finding), then
+    ascending latest-green round; alphabetical within a tier."""
+    changed_set = set(changed)
+
+    def key(n: str) -> tuple:
+        r = latest.get(n, 0)
+        if r == 0:
+            return (0, 0, n)  # never sampled
+        if n in changed_set:
+            return (1, 0, n)  # rewritten since its green row
+        return (2, r, n)
+
+    return sorted(registry_names, key=key)
 
 
 def compute_front(
-    registry_names: list[str], repo_root: str | Path, upto: int | None = None
+    registry_names: list[str],
+    repo_root: str | Path,
+    upto: int | None = None,
+    changed: tuple[str, ...] = (),
 ) -> tuple[str, ...]:
     """The DRIVER_WINDOW stalest registry names — the mechanized
     front-of-registry list for the next driver round. Pass ``upto`` =
     the last round whose CORRECTNESS file existed when the list was
-    generated (``operators._FRONT_GENERATED_FROM_ROUND``)."""
+    generated (``operators._FRONT_GENERATED_FROM_ROUND``) and
+    ``changed`` = ``operators._CHANGED_THIS_ROUND`` (queries whose
+    output semantics or plan were rewritten since their last green
+    row)."""
     latest = latest_green_rounds(repo_root, upto=upto)
-    return tuple(staleness_order(registry_names, latest)[:DRIVER_WINDOW])
+    return tuple(
+        staleness_order(registry_names, latest, changed)[:DRIVER_WINDOW]
+    )
 
 
 def _main() -> None:  # pragma: no cover - convenience CLI
@@ -105,19 +130,29 @@ def _main() -> None:  # pragma: no cover - convenience CLI
     """
     import sys
 
-    from eventstream_benchmark_spark.operators import all_queries
+    from eventstream_benchmark_spark.operators import (
+        _CHANGED_THIS_ROUND,
+        all_queries,
+    )
 
     root = sys.argv[1] if len(sys.argv) > 1 else "."
     latest = latest_green_rounds(root)
     top = max(latest.values(), default=0)
     names = list(all_queries().keys())
-    front = compute_front(names, root, upto=top)
+    front = compute_front(names, root, upto=top, changed=_CHANGED_THIS_ROUND)
     print(f"# generated from CORRECTNESS rounds 1..{top}")
     print(f"_FRONT_GENERATED_FROM_ROUND = {top}")
     print("_FRONT_OF_REGISTRY: tuple[str, ...] = (")
+    changed_set = set(_CHANGED_THIS_ROUND)
     for name in front:
         r = latest.get(name, 0)
-        tag = f"r{r}" if r else "never sampled"
+        tag = (
+            "never sampled"
+            if not r
+            else f"REWRITTEN this round (last green r{r})"
+            if name in changed_set
+            else f"r{r}"
+        )
         print(f'    "{name}",  # {tag}')
     print(")")
 

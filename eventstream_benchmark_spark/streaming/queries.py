@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eventstream_benchmark_spark.io import load_table
-from eventstream_benchmark_spark.operators._util import bigint
+from eventstream_benchmark_spark.operators._util import bigint, money_sum
 
 SESSION_GAP = "30 minutes"
 PATTERN_SEQ = ("view", "click", "purchase")
@@ -136,7 +136,7 @@ def streaming_replay_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed = (
             events.withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("n"), (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias("sum_value"))
+            .agg(F.count("*").alias("n"), money_sum(F.col("value")).alias("sum_value"))
         )
         result = _run_to_memory(windowed, "complete")
     return result.select(
@@ -476,7 +476,7 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
-            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias("sum_value"),
+            money_sum(F.col("value")).alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -683,7 +683,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema(ev.schema).parquet(src)
         enriched = stream.join(F.broadcast(profile), "user_id")
         agg = enriched.groupBy("event_type", "tier").agg(
-            F.count("*").alias("n"), (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0)).alias("sum_value")
+            F.count("*").alias("n"), money_sum(F.col("value")).alias("sum_value")
         )
         result = _run_to_memory(agg, "complete")
     return result.orderBy("event_type", "tier")

@@ -35,3 +35,43 @@ def test_gate_budget_sane():
     # the re-run gate must be able to add at least one pass past the
     # heavy lane's base n=2, and stay a small bounded budget
     assert 3 <= SF1_MAX_RUNS <= 9
+
+
+def test_money_cents_always_integer_cast_in_oracles():
+    """The cents invariant across every DuckDB oracle (round-9 review:
+    hand-inlined copies invite drift): any ``round(<col> * 100)`` must
+    be integer-cast BEFORE accumulation — summing the raw round()
+    doubles would reintroduce the float-accumulation boundary the
+    migration retired. DUCK_MONEY_SUM is the canonical full spelling;
+    the salted/weighted variants share its integer-cast core."""
+    import re
+
+    from eventstream_benchmark_spark.operators import all_oracles
+    from eventstream_benchmark_spark.operators._util import DUCK_MONEY_SUM
+
+    core = "CAST(round({col} * 100) AS BIGINT)"
+    assert core.format(col="value") in DUCK_MONEY_SUM.format(col="value")
+    for name, sql in all_oracles().items():
+        flat = " ".join(sql.split())
+        for m in re.finditer(r"round\((\w+\.)?value \* 100\)", flat):
+            tail = flat[m.end() : m.end() + 12]
+            assert tail.startswith(" AS BIGINT)"), (
+                f"{name}: round(value*100) not integer-cast before "
+                f"accumulation near ...{flat[max(0, m.start()-40):m.end()+40]}..."
+            )
+            head = flat[max(0, m.start() - 5) : m.start()]
+            assert head.endswith("CAST("), (
+                f"{name}: round(value*100) missing its CAST( wrapper"
+            )
+
+
+def test_rotation_changed_tier_orders_after_never_sampled():
+    """_CHANGED_THIS_ROUND names sort after never-sampled additions and
+    before every staleness tier, regardless of how recent their last
+    green row is."""
+    from eventstream_benchmark_spark.rotation import staleness_order
+
+    names = ["a_new", "b_changed_recent", "c_stale", "d_changed_old", "e_fresh"]
+    latest = {"b_changed_recent": 8, "c_stale": 2, "d_changed_old": 3, "e_fresh": 8}
+    got = staleness_order(names, latest, changed=("b_changed_recent", "d_changed_old"))
+    assert got == ["a_new", "b_changed_recent", "d_changed_old", "c_stale", "e_fresh"]

@@ -113,8 +113,10 @@ def test_scoped_persists_bounded_and_released(spark, sf_small):
         # minhash persists the exact-dup group table + the relational
         # (rep_id, doc_id) membership table (round-9: replaced the
         # per-group member array) + representative shingles + capped
-        # shingles + signatures; everything else at most one or two
-        assert len(_cache._LIVE) <= 5, name
+        # shingles + signatures; everything else at most FOUR (the
+        # bound stays per-family so a lean query can't silently grow)
+        bound = 5 if name == "dedup_minhash_lsh" else 4
+        assert len(_cache._LIVE) <= bound, name
     _cache.release_scoped_persists()
     assert not _cache._LIVE
 

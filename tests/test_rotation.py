@@ -16,6 +16,7 @@ import pytest
 
 from eventstream_benchmark_spark import rotation
 from eventstream_benchmark_spark.operators import (
+    _CHANGED_THIS_ROUND,
     _FRONT_GENERATED_FROM_ROUND,
     _FRONT_OF_REGISTRY,
 )
@@ -48,7 +49,10 @@ def test_front_list_matches_computed_staleness():
         pytest.skip("no CORRECTNESS artifacts in this checkout")
     names = _registry_names()
     computed = rotation.compute_front(
-        names, REPO_ROOT, upto=_FRONT_GENERATED_FROM_ROUND
+        names,
+        REPO_ROOT,
+        upto=_FRONT_GENERATED_FROM_ROUND,
+        changed=_CHANGED_THIS_ROUND,
     )
     assert _FRONT_OF_REGISTRY == computed, (
         "front-of-registry drifted from the computed staleness order; "
