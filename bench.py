@@ -154,7 +154,14 @@ SF1_HEAVY_RUNS = int(os.environ.get("SPARK_GRAFT_SF1_HEAVY_RUNS", "2"))
 # the recall evals) deliberately ride — that asymmetry is the honest
 # split: emitters report build cost, consumers report marginal cost.
 EMITTER_FAMILIES = {
-    "dedup_minhash_lsh": ("minhash_pairs",),
+    # round 10: the collapsed chain's rep-level blocks became shared
+    # artifacts of their own (CC consumes them directly); the LSH
+    # emitter pays the whole build — blocks AND expansion — per pass
+    "dedup_minhash_lsh": (
+        "minhash_pairs",
+        "minhash_rep_pairs",
+        "minhash_membership",
+    ),
     "dedup_embedding_cosine": ("emb_cosine_pairs",),
     "dedup_semantic_cluster": ("semdedup_victims", "ivf_assigned", "ivf_refined"),
     # round 8: CC labels became a shared artifact (the cluster-aware

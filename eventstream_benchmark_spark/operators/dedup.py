@@ -446,48 +446,33 @@ def _minhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior: a 10× duplicate flood (sf1 lane; million-member exact-dup
     cliques in a 100 TB crawl) no longer multiplies band-bucket
     occupancy — the quadratic clique cost moves from the bucket join
-    (corpus-sized inputs) to the expansion join (output-sized)."""
-    docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.select(F.lower("text").alias("ltext"), "doc_id")
-    # group-sized frame with NO member array (round-8 verdict #3): a
-    # million-member exact-dup clique must never materialize as one
-    # multi-MB collect_list row — weight is a count, and membership
-    # stays relational as (rep_id, doc_id) rows built by an equi-join
-    groups = scoped_persist(
-        keyed.groupBy("ltext").agg(
-            F.min("doc_id").alias("rep_id"),
-            F.count("*").alias("weight"),
-        )
-    )
-    reps = groups.select(F.col("rep_id").alias("doc_id"), F.col("ltext").alias("text"))
-    weights = groups.select(F.col("rep_id").alias("doc_id"), "weight")
-    sh = _capped_shingles_weighted(_shingle_table(reps), weights)
-    rep_pairs = _minhash_pairs(sh)
-    copies = scoped_persist(
-        keyed.join(groups.select("ltext", "rep_id"), "ltext").select(
-            "rep_id", "doc_id"
-        )
-    )
+    (corpus-sized inputs) to the expansion join (output-sized).
+
+    Round 10: steps 1-3 live in :func:`_collapse_family` (family-
+    shared), because the cluster assignment now consumes the
+    REPRESENTATIVE-level pieces directly rather than this expanded
+    pair set — see :func:`_cc_labels_shared`."""
+    rep_pairs, membership = _collapse_family(spark, sf_dir)
+    copies = membership.select("rep_id", "doc_id")
 
     # within-group pairs: identical texts ⇒ identical shingle sets ⇒
     # J = n/(n+n−n) = 1.0 exactly (the oracle's round(1.0, 6)); emitted
     # only when the representative SURVIVES the shingle pipeline (≥ K
     # tokens and ≥ 1 non-hot shingle — all-hot docs drop from pairs on
-    # both engines)
-    c1, c2 = copies.alias("c1"), copies.alias("c2")
+    # both engines; the flag rides the membership table)
+    c1, c2 = membership.alias("c1"), copies.alias("c2")
     within = (
         c1.join(
             c2,
             (F.col("c1.rep_id") == F.col("c2.rep_id"))
             & (F.col("c1.doc_id") < F.col("c2.doc_id")),
         )
+        .filter(F.col("c1.survived"))
         .select(
-            F.col("c1.rep_id").alias("rep_id"),
             F.col("c1.doc_id").alias("d1"),
             F.col("c2.doc_id").alias("d2"),
+            F.lit(1.0).alias("jaccard"),
         )
-        .join(sh.select(F.col("doc_id").alias("rep_id")), "rep_id", "left_semi")
-        .select("d1", "d2", F.lit(1.0).alias("jaccard"))
     )
     # across-group pairs: every member of d1's group × every member of
     # d2's group, oriented by id, carrying the representative jaccard
@@ -509,6 +494,94 @@ def _minhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within.unionAll(across)
 
 
+def _collapse_family(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The exact-dup-collapsed MinHash chain's two family-shared
+    building blocks, built once per (session, fixture):
+
+    - ``rep_pairs`` — (d1, d2, jaccard): verified near-dup pairs over
+      exact-duplicate REPRESENTATIVES only (the full
+      shingle→cap→signature→band→verify chain of
+      :func:`_minhash_pairs`, run on one row per distinct text);
+    - ``membership`` — (rep_id, doc_id, weight, survived): one row per
+      document mapping it to its group's representative, with the
+      group size and whether the representative survived the shingle
+      pipeline (≥ SHINGLE_K tokens and ≥ 1 non-hot shingle).
+
+    Two consumers: :func:`_minhash_pairs_collapsed` expands these to
+    the member-level pair set, and :func:`_cc_labels_shared` runs
+    connected components over the REP-level edges and joins labels out
+    through ``membership`` — the round-10 fix for the sf1 regression
+    the round-9 membership rewrite introduced (CC was iterating over
+    member-expanded pairs, so a 10×-flood clique of m copies re-entered
+    every propagation round as m²/2 edges; at rep level it is one
+    node). Neither frame carries a member ARRAY (round-8 verdict #3):
+    weight is a count, membership is relational rows."""
+    key_base = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    built: dict[str, DataFrame] = {}
+
+    def _build() -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        keyed = docs.select(F.lower("text").alias("ltext"), "doc_id")
+        groups = scoped_persist(
+            keyed.groupBy("ltext").agg(
+                F.min("doc_id").alias("rep_id"),
+                F.count("*").alias("weight"),
+            )
+        )
+        reps = groups.select(
+            F.col("rep_id").alias("doc_id"), F.col("ltext").alias("text")
+        )
+        weights = groups.select(F.col("rep_id").alias("doc_id"), "weight")
+        sh = _capped_shingles_weighted(_shingle_table(reps), weights)
+        built["rep_pairs"] = _minhash_pairs(sh)
+        survived = sh.select(
+            F.col("doc_id").alias("rep_id"), F.lit(True).alias("survived")
+        )
+        built["membership"] = (
+            keyed.join(groups.select("ltext", "rep_id", "weight"), "ltext")
+            .join(survived, "rep_id", "left")
+            .select(
+                "rep_id",
+                "doc_id",
+                "weight",
+                F.coalesce("survived", F.lit(False)).alias("survived"),
+            )
+        )
+
+    def _get(part: str):
+        def builder() -> DataFrame:
+            if part not in built:
+                _build()
+            return built[part]
+
+        return builder
+
+    return (
+        shared_persist(("minhash_rep_pairs", *key_base), _get("rep_pairs")),
+        shared_persist(("minhash_membership", *key_base), _get("membership")),
+    )
+
+
+def _band_sig_explode() -> "F.Column":
+    """The (band_id, band_sig) posexplode over a ``mh`` signature
+    column: LSH_BANDS hashes of consecutive N_PERM//LSH_BANDS-row
+    signature slices. ONE definition shared by the full-pass chain
+    (:func:`_minhash_pairs`) and the incremental probe
+    (:func:`dedup_minhash_incremental`) — the probe bands a batch
+    against what is, at scale, the corpus's STORED band index, so the
+    banding parameters and hash must be structurally unable to drift
+    between the two (round-9 advisor finding)."""
+    rows = N_PERM // LSH_BANDS
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+            lambda bnd: F.hash(F.slice(F.col("mh"), bnd * rows + 1, rows)),
+        )
+    ).alias("band_id", "band_sig")
+
+
 def _minhash_pairs(sh: DataFrame) -> DataFrame:
     """The LSH candidate-generation + exact-verify chain over a
     prepared shingle table — shared by ``dedup_minhash_lsh`` (whole
@@ -516,16 +589,7 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
     # persist the signature table: referenced once per band below, and
     # the barrier keeps the signature aggregate from being re-run 32x
     sig = scoped_persist(_minhash_signatures(sh))
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda bnd: F.hash(F.slice(F.col("mh"), bnd * (N_PERM // LSH_BANDS) + 1,
-                                           N_PERM // LSH_BANDS)),
-            )
-        ).alias("band_id", "band_sig"),
-    )
+    bands = sig.select("doc_id", _band_sig_explode())
     left = bands.alias("l")
     right = bands.alias("r")
     candidates = (
@@ -607,21 +671,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = groups.select(F.col("rep_id").alias("doc_id"), "weight")
     sh = _capped_shingles_weighted(_shingle_table(reps), weights)
     sig = scoped_persist(_minhash_signatures(sh))
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda bnd: F.hash(
-                    F.slice(
-                        F.col("mh"),
-                        bnd * (N_PERM // LSH_BANDS) + 1,
-                        N_PERM // LSH_BANDS,
-                    )
-                ),
-            )
-        ).alias("band_id", "band_sig"),
-    ).join(
+    bands = sig.select("doc_id", _band_sig_explode()).join(
         groups.select(
             F.col("rep_id").alias("doc_id"), "has_batch", "has_corpus"
         ),
@@ -1102,14 +1152,56 @@ def _cc_labels_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     gained a second registered consumer (``sample_cluster_aware_split``
     keys the train/eval split on them), so the CC iteration joins the
     pair table and IVF model as a shared artifact. Output-sized (one
-    row per doc that has a dup edge)."""
+    row per doc that has a dup edge).
+
+    Round 10 (r9 verdict #2): the iteration runs over REPRESENTATIVE-
+    level edges, not the member-expanded pair set — under a duplicate
+    flood an exact-dup clique of m copies is m²/2 expanded edges
+    re-shuffled by EVERY propagation round, but one rep node. Label
+    equivalence is exact, not approximate: ``rep_id`` is its group's
+    minimum doc_id, members of a group are mutually connected in the
+    expanded graph (J = 1.0 within-pairs), and a member pair crosses
+    two groups iff the rep pair exists, so the member-level component
+    of any doc is exactly the union of the groups in its rep-level
+    component — whose minimum member id IS the minimum rep_id, i.e.
+    the rep-level CC label. Members inherit it through one
+    output-sized membership join. Groups with ≥ 2 members and no
+    cross-group edge are their own clique in the expanded graph
+    (provided the rep survived the shingle pipeline — the same gate
+    the expansion applies to within-pairs): their label is the rep_id
+    itself."""
     return shared_persist(
         (
             "cc_labels",
             spark.sparkContext.applicationId,
             os.path.abspath(sf_dir),
         ),
-        lambda: _min_label_cc(_lsh_pairs_shared(spark, sf_dir).select("d1", "d2")),
+        lambda: _cc_labels_build(spark, sf_dir),
+    )
+
+
+def _cc_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep_pairs, membership = _collapse_family(spark, sf_dir)
+    rep_labels = _min_label_cc(rep_pairs.select("d1", "d2")).select(
+        F.col("doc_id").alias("rep_id"), "label"
+    )
+    # groups that form a clique without any cross-group edge: ≥ 2
+    # identical members and a shingle-surviving representative. The
+    # representative is itself a member (doc_id == rep_id), so the
+    # group table needs no distinct — it's a filter of membership.
+    solo = (
+        membership.filter(
+            (F.col("weight") >= 2)
+            & F.col("survived")
+            & (F.col("doc_id") == F.col("rep_id"))
+        )
+        .join(rep_labels.select("rep_id"), "rep_id", "left_anti")
+        .select("rep_id", F.col("rep_id").alias("label"))
+    )
+    return (
+        membership.select("rep_id", "doc_id")
+        .join(rep_labels.unionAll(solo), "rep_id")
+        .select("doc_id", "label")
     )
 
 
@@ -1140,8 +1232,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     same truncation bounds both plan size and recovery cost per round.
     Each round shuffles only (node, label) pairs; for graphs too deep
     for fixed unrolling, checkpoint per round and loop to fixpoint —
-    same join shapes. Oracle: DuckDB recursive-CTE transitive closure
-    over the same pairs."""
+    same join shapes. Round 10: the iteration runs over
+    REPRESENTATIVE-level edges with member labels joined out post-hoc
+    (exactly equivalent — see :func:`_cc_labels_shared`), so duplicate
+    floods no longer multiply per-round edge volume. Oracle: DuckDB
+    recursive-CTE transitive closure over the member-level pairs."""
     release_scoped_persists()
     labels = _cc_labels_shared(spark, sf_dir)
     from pyspark.sql import Window as W

@@ -105,11 +105,19 @@ def test_dedup_family_shares_one_pair_build(spark, sf_small):
     qs = all_queries()
     release_shared_persists()
     cold = sorted(map(tuple, qs["dedup_cluster_cc"](spark, sf_small).collect()))
-    assert len(_family_keys("minhash_pairs")) == 1
-    # a second consumer must NOT register a second build for the fixture
+    # round 10: cluster CC consumes the REP-level building blocks, not
+    # the member-expanded pair set — it registers exactly one build of
+    # each block and none of the expansion
+    assert len(_family_keys("minhash_rep_pairs")) == 1
+    assert len(_family_keys("minhash_membership")) == 1
+    assert len(_family_keys("minhash_pairs")) == 0
+    # the expansion consumers must ride the SAME block builds and one
+    # shared expansion — no second build of anything for the fixture
     qs["dedup_minhash_lsh"](spark, sf_small).count()
     qs["dedup_recall_eval"](spark, sf_small).count()
     assert len(_family_keys("minhash_pairs")) == 1
+    assert len(_family_keys("minhash_rep_pairs")) == 1
+    assert len(_family_keys("minhash_membership")) == 1
     shared = sorted(map(tuple, qs["dedup_cluster_cc"](spark, sf_small).collect()))
     assert shared == cold
     release_shared_persists()
