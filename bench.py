@@ -63,6 +63,15 @@ HEAVY = {"dedup_minhash_lsh", "pipeline_corpus_prep", "dedup_cluster_cc",
 # single-pass sf1 subset: one per family; the LSH lane is the
 # interesting one (10x exact duplicates make every band bucket hot)
 SF1_QUERIES = (
+    # round-10 (r9 verdict #3): the graph pair runs FIRST IN LANE —
+    # isolated from the LSH/CC heavyweights' storage-memory pressure
+    # and disk churn that kept its spread noise-bound for two rounds
+    # (r9: triangle spread 11.9 s > median 8.0 s at n=5). triangle
+    # still pays the one-time co-purchase edge aggregate; pagerank
+    # rides the family-shared persist (the round-6 handoff measurement
+    # is the adjacency, not the lane position).
+    "graph_triangle_count",
+    "graph_pagerank",
     "agg_groupby_q1",
     "join_broadcast_dims",
     "join_asof",
@@ -80,12 +89,6 @@ SF1_QUERIES = (
     # 10x probe — banded hyperplane-LSH under duplicate-flooded
     # embeddings, and the iterative numeric loop over a 10x edge set
     "dedup_embedding_cosine",
-    # round-7: triangle_count runs FIRST and pays the one-time
-    # co-purchase edge aggregate; pagerank then rides the
-    # family-shared persist — the measured value of materializing the
-    # edge table once per fixture (round-6 verdict item 3)
-    "graph_triangle_count",
-    "graph_pagerank",
     # round-5 operator additions with corpus-scale shuffles: span-level
     # dedup (the 10x-replicated corpus floods the keep-first window's
     # span-key partitions) and BPE pair counting (its char work should
@@ -131,6 +134,14 @@ SF1_QUERIES = (
     # in front of the band join is what keeps a dup-flooded INCREMENT
     # from re-creating the quadratic the full pass retired
     "dedup_minhash_incremental",
+    # round-10 additions, flood-probed at birth: the 10x flood marks
+    # EVERY span duplicated (maximal intervals become whole documents
+    # — the worst case for the island merge), and the Bloom
+    # decontamination probes a 10x train gram stream against the
+    # unchanged-size filter while its exact contract side re-pays the
+    # full join
+    "text_substring_dedup",
+    "decontaminate_bloom",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single
@@ -181,6 +192,10 @@ SF1_HEAVY = {
     # single-pass 5.4/6.0/19.96 s across three same-code runs — the
     # write+read-back shape is the most disk-contention-sensitive item
     "export_range_partitioned",
+    # round-10 additions: both in the >10 s band at the flood, so they
+    # get the multi-pass median treatment from birth
+    "text_substring_dedup",
+    "decontaminate_bloom",
 }
 # round-8 (verdict item 6): the graph pair was the worst-conditioned
 # sf1 number (triangle min 7.37 s with a 10.7 s spread — the spread
@@ -197,11 +212,27 @@ SF1_EXTRA_HEAVY_RUNS = {
 }
 
 # the sf1 re-run gate (round-8 verdict #4): a multi-sample item whose
-# spread exceeds its median is noise-bound evidence — take extra
-# passes (to this many total) until the spread drops under the median
-# or the budget is spent. Targets the two chronically ill-conditioned
-# items (triangle_count, embedding_cosine) without taxing quiet runs.
+# dispersion exceeds its median is noise-bound evidence — take extra
+# passes (to this many total) until the dispersion drops under the
+# median or the budget is spent. Targets the chronically
+# ill-conditioned items (triangle_count, embedding_cosine) without
+# taxing quiet runs. The gated dispersion is the BEST-3 spread, not
+# max-min (round-9 advice): max-min is monotone nondecreasing as
+# samples accumulate, so one early outlier forced every remaining
+# pass to the cap with no way to converge; the spread of the three
+# fastest samples SHRINKS when new samples land near the floor, which
+# is the convergence the gate is waiting for. Both dispersions are
+# recorded (``_spread`` stays max-min for round-over-round
+# comparability; ``_spread3`` is what the gate saw).
 SF1_MAX_RUNS = int(os.environ.get("SPARK_GRAFT_SF1_MAX_RUNS", "5"))
+
+
+def _core_spread(srt: list[float]) -> float:
+    """Dispersion of the three fastest samples of a SORTED list (all
+    of them when n < 3) — a dispersion that can DECREASE as samples
+    accumulate, unlike max-min."""
+    core = srt[: min(3, len(srt))]
+    return round(core[-1] - core[0], 3)
 
 
 def _median(srt: list[float]) -> float:
@@ -326,13 +357,14 @@ def main() -> None:
                 release_scoped_persists()
                 if len(samples) < n_runs:
                     continue
-                # conditioning gate: spread > median ⇒ the sample is
-                # noise-bound — keep sampling up to SF1_MAX_RUNS
+                # conditioning gate: best-3 spread > median ⇒ the
+                # floor isn't corroborated yet — keep sampling up to
+                # SF1_MAX_RUNS (see _core_spread for why not max-min)
                 srt = sorted(samples)
                 if (
                     len(srt) < 2
                     or len(srt) >= SF1_MAX_RUNS
-                    or (srt[-1] - srt[0]) <= _median(srt)
+                    or _core_spread(srt) <= _median(srt)
                 ):
                     break
             srt = sorted(samples)
@@ -340,6 +372,7 @@ def main() -> None:
             extras[f"sf1_{name}_rows"] = n
             if len(srt) > 1:
                 extras[f"sf1_{name}_spread"] = round(srt[-1] - srt[0], 3)
+                extras[f"sf1_{name}_spread3"] = _core_spread(srt)
                 extras[f"sf1_{name}_median"] = _median(srt)
                 extras[f"sf1_{name}_n"] = len(srt)
         release_shared_persists()
@@ -347,7 +380,9 @@ def main() -> None:
         extras["sf1_total"] = round(
             sum(v for k, v in extras.items()
                 if k.startswith("sf1_")
-                and not k.endswith(("_rows", "_sec", "_spread", "_median", "_n"))),
+                and not k.endswith(
+                    ("_rows", "_sec", "_spread", "_spread3", "_median", "_n")
+                )),
             3,
         )
 

@@ -13,20 +13,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (rotation.DRIVER_WINDOW=50 of 215 per round), so registry order decides
+# (rotation.DRIVER_WINDOW=50 of 217 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
-# output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r8 —
-# never-sampled additions first (round 9 gap-closure additions
-# `generate_stream_dataframe_jittered`, `dedup_minhash_incremental`,
-# `sample_dsir_weights`), then `_CHANGED_THIS_ROUND` (rewritten
-# semantics re-verify immediately), then ascending latest-green
-# round, alphabetical within a tier — and ``tests/test_rotation.py``
-# asserts literal == computation, so the round-7 failure mode (51 names
-# hand-counted into a 50-slot window, silently starving
-# `embed_quantize_int8`) can no longer happen.  This window retires the
-# whole r4-stale tranche (14 names), the 17 queries REWRITTEN this
-# round (semantic/plan changes — their stale greens no longer certify
-# the code), and the 16 alphabetically first r5 entries.
+# output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r9 —
+# never-sampled additions first (round-10 additions
+# `text_substring_dedup`, `decontaminate_bloom`), then
+# `_CHANGED_THIS_ROUND` (rewritten semantics/plans re-verify
+# immediately), then ascending latest-green round, alphabetical within
+# a tier — and ``tests/test_rotation.py`` asserts literal ==
+# computation, so the round-7 failure mode (51 names hand-counted into
+# a 50-slot window, silently starving `embed_quantize_int8`) can no
+# longer happen.  This window clears the ENTIRE 29-name r5-stale
+# backlog the r9 changed-tier deferral created (r9 verdict #1) plus
+# the 15 alphabetically first r6 entries.
 # The CORRECTNESS history round this front list was generated from
 # (tests recompute staleness over rounds 1..this and assert equality;
 # bump it when regenerating the list at the start of the next round —
@@ -39,81 +38,69 @@ from pyspark.sql import DataFrame, SparkSession
 # Reset this tuple to () when regenerating for a round with no
 # semantic rewrites.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # ntile -> distributed quartile cut points (oracle switched too)
-    "orders_rfm_segmentation",
-    # events.value integer-cents sum migration (both sides)
-    "rollup_hourly_daily",
-    "stream_tumbling_rate",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "scan_orc_roundtrip",
-    "scan_xml_roundtrip",
-    "write_partitioned_pruned",
-    "scalar_json",
-    "win_frame_running",
-    "win_frame_range",
-    "streaming_replay_tumbling",
-    "streaming_foreach_batch_sink",
-    "streaming_static_enrich",
-    # collapse membership tables (plan rewrite; outputs structurally
-    # unchanged but the pair build is new code)
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
+    # round-10 CC rewrite (r9 verdict #2): connected components now
+    # iterate over representative-level edges with a post-hoc
+    # membership join, and the collapsed MinHash chain's building
+    # blocks became family-shared frames — every query whose EXECUTED
+    # plan contains the rewritten subtree re-verifies this round
     "dedup_cluster_cc",
+    "dedup_minhash_lsh",
+    "dedup_recall_eval",
+    "sample_cluster_aware_split",
 )
 
-_FRONT_GENERATED_FROM_ROUND = 8
+_FRONT_GENERATED_FROM_ROUND = 9
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
-    "dedup_minhash_incremental",  # never sampled
-    "generate_stream_dataframe_jittered",  # never sampled
-    "sample_dsir_weights",  # never sampled
-    "dedup_cluster_cc",  # REWRITTEN this round (last green r7)
-    "dedup_embedding_cosine",  # REWRITTEN this round (last green r7)
-    "dedup_minhash_lsh",  # REWRITTEN this round (last green r6)
-    "orders_rfm_segmentation",  # REWRITTEN this round (last green r6)
-    "rollup_hourly_daily",  # REWRITTEN this round (last green r7)
-    "scalar_json",  # REWRITTEN this round (last green r6)
-    "scan_csv_roundtrip",  # REWRITTEN this round (last green r7)
-    "scan_jsonl_roundtrip",  # REWRITTEN this round (last green r7)
-    "scan_orc_roundtrip",  # REWRITTEN this round (last green r7)
-    "scan_xml_roundtrip",  # REWRITTEN this round (last green r8)
-    "stream_tumbling_rate",  # REWRITTEN this round (last green r6)
-    "streaming_foreach_batch_sink",  # REWRITTEN this round (last green r8)
-    "streaming_replay_tumbling",  # REWRITTEN this round (last green r7)
-    "streaming_static_enrich",  # REWRITTEN this round (last green r5)
-    "win_frame_range",  # REWRITTEN this round (last green r5)
-    "win_frame_running",  # REWRITTEN this round (last green r4)
-    "write_partitioned_pruned",  # REWRITTEN this round (last green r7)
-    "sql_tpch_q17",  # r4
-    "sql_tpch_q2",  # r4
-    "sql_tpch_q20",  # r4
-    "sql_tpch_q21",  # r4
-    "sql_tpch_q22",  # r4
-    "sql_tpch_q8",  # r4
-    "stream_sessionize",  # r4
-    "stream_type_drift",  # r4
-    "text_tfidf_topterms",  # r4
-    "topk_per_group",  # r4
-    "udtf_surface",  # r4
-    "win_lag_inter_arrival",  # r4
-    "win_value_functions",  # r4
-    "agg_approx_quantiles",  # r5
-    "agg_distinct_approx",  # r5
-    "agg_hll_merge_daily",  # r5
-    "ann_lsh_query_topk",  # r5
-    "ann_recall_eval",  # r5
-    "corpus_bpe_pair_counts",  # r5
-    "corpus_ngram_topk",  # r5
-    "corpus_source_topp",  # r5
-    "corpus_temperature_resample",  # r5
-    "dedup_containment_ngram",  # r5
-    "dedup_ngram_jaccard",  # r5
-    "dedup_recall_eval",  # r5
-    "dedup_simhash",  # r5
-    "dedup_url_normalize",  # r5
-    "embed_pq_encode",  # r5
-    "events_cusum_shift",  # r5
-    "events_downsample_lttb",  # r5
+    "decontaminate_bloom",  # never sampled
+    "text_substring_dedup",  # never sampled
+    "dedup_cluster_cc",  # REWRITTEN this round (last green r9)
+    "dedup_minhash_lsh",  # REWRITTEN this round (last green r9)
+    "dedup_recall_eval",  # REWRITTEN this round (last green r9)
+    "sample_cluster_aware_split",  # REWRITTEN this round (last green r8)
+    "events_ewma_smooth",  # r5
+    "events_gap_fill_locf",  # r5
+    "events_markov_transitions",  # r5
+    "events_ohlc_candles",  # r5
+    "events_resample_interp",  # r5
+    "export_shard_manifest",  # r5
+    "graph_triangle_count",  # r5
+    "join_asof_nearest",  # r5
+    "join_interval_overlap",  # r5
+    "join_null_safe",  # r5
+    "join_runtime_filtered",  # r5
+    "multimodal_audio_features",  # r5
+    "multimodal_image_hist",  # r5
+    "pipeline_pretrain_corpus",  # r5
+    "quality_logreg_filter",  # r5
+    "reshape_unpivot",  # r5
+    "scalar_conditional",  # r5
+    "scalar_map",  # r5
+    "scalar_variant",  # r5
+    "scan_csv_permissive",  # r5
+    "sql_tpch_q7",  # r5
+    "sql_tpch_q9",  # r5
+    "stream_sliding_rate",  # r5
+    "streaming_ewma_state",  # r5
+    "streaming_incremental_rollup",  # r5
+    "streaming_pattern_state",  # r5
+    "text_line_dedup",  # r5
+    "text_pii_redact",  # r5
+    "text_quality_score",  # r5
+    "agg_approx_topk_contract",  # r6
+    "agg_groupby_q1",  # r6
+    "agg_grouping_sets",  # r6
+    "agg_kmv_distinct",  # r6
+    "agg_mode_median",  # r6
+    "ann_lsh_cosine",  # r6
+    "audit_referential_integrity",  # r6
+    "basket_association_rules",  # r6
+    "dedup_exact",  # r6
+    "dedup_method_comparison",  # r6
+    "dq_benford_audit",  # r6
+    "dq_null_profile",  # r6
+    "embed_centroid_drift",  # r6
+    "embed_cosine_topk",  # r6
+    "embed_matryoshka_energy",  # r6
 )
 
 

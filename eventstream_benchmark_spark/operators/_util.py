@@ -76,10 +76,18 @@ def money_sum(col: Column) -> Column:
     round(sum(double), k) replacement (round 9: the precision-boundary
     class retired from the events.value family). The single /100.0 is
     the same double op in Spark and DuckDB on the same integer, so the
-    result is bit-identical at any magnitude; the old spelling was
-    only hash-stable while float accumulation noise stayed under the
-    k-dp rounding step. Oracle twin:
-    ``CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0``."""
+    result is bit-identical up to the BIGINT accumulator bound (~9.2e16
+    cents ≈ $9.2e14 per group — round-9 advice: past it, ANSI Spark
+    raises ARITHMETIC_OVERFLOW while DuckDB's sum(BIGINT) promotes to
+    HUGEINT, so the engines diverge as error-vs-value; the loud ANSI
+    failure is the intended behavior at that magnitude, never a wrong
+    number. The same bound applies at ~9.2e12 value-units to the 1e6
+    micro-unit rollups.); the old spelling was only hash-stable while
+    float accumulation noise stayed under the k-dp rounding step.
+    Oracle twin:
+    ``CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0``
+    (the outer CAST pins DuckDB back to BIGINT so a within-bound sum
+    has the identical type both sides)."""
     return F.sum(cents(col)) / F.lit(100.0)
 
 

@@ -419,6 +419,33 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decon_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, split, gram): per-doc DISTINCT word-DECON_N-grams with
+    the deterministic 80/20 train/eval hash split — the shared front
+    end of both decontamination queries (exact-join and Bloom). The
+    grams are built with the same zip-with-shifted-slices idiom as
+    ``dedup._shingles`` — ``split`` stays outside the lambdas so
+    Catalyst's projection collapse can't inline a re-tokenize per
+    element."""
+    bucket = _split_bucket()
+    split = F.when(bucket < 80, "train").otherwise("eval")
+    toks = _tokens(F.col("text"))
+    gram = toks
+    for off in range(2, DECON_N + 1):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, off, _SLICE_ALL),
+            lambda acc, nxt: F.concat(acc, F.lit("_"), nxt),
+        )
+    return docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(
+            F.array_distinct(F.filter(gram, lambda g: g.isNotNull()))
+        ).alias("gram"),
+    )
+
+
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag training docs that share any
     word-5-gram with a held-out doc (the eval-leak check every LLM data
@@ -434,24 +461,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     list to the driver at 100 TB; a production pipeline with a truly
     fixed held-out set can re-add the hint. Output is the
     contamination report (shared grams + how many eval docs are hit)."""
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = _split_bucket()
-    split = F.when(bucket < 80, "train").otherwise("eval")
-    toks = _tokens(F.col("text"))
-    gram = toks
-    for off in range(2, DECON_N + 1):
-        gram = F.zip_with(
-            gram,
-            F.slice(toks, off, _SLICE_ALL),
-            lambda acc, nxt: F.concat(acc, F.lit("_"), nxt),
-        )
-    grams = docs.select(
-        "doc_id",
-        split.alias("split"),
-        F.explode(
-            F.array_distinct(F.filter(gram, lambda g: g.isNotNull()))
-        ).alias("gram"),
-    )
+    grams = _decon_grams(load_table(spark, sf_dir, "documents"))
     train = grams.filter(F.col("split") == "train").select("doc_id", "gram")
     held_out = grams.filter(F.col("split") == "eval").select(
         F.col("gram"), F.col("doc_id").alias("eval_doc_id")
@@ -462,6 +472,124 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             bigint(F.count_distinct("gram")).alias("n_shared_grams"),
             bigint(F.count_distinct("eval_doc_id")).alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BLOOM_M_BITS = 1 << 22  # filter size in bits (512 KiB packed)
+BLOOM_K = 7  # hash probes per gram
+_HEX = "0123456789abcdef"
+
+
+def _bloom_positions(df: DataFrame) -> DataFrame:
+    """One (…, pos) row per gram × BLOOM_K probe: Kirsch-Mitzenmacher
+    double hashing pos_j = (h1 + j·h2) mod M over two 32-bit halves of
+    md5(gram) — the same md5-as-portable-hash trick as
+    ``dedup_simhash``, so DuckDB replays the filter BIT-FOR-BIT (max
+    value h1 + 6·h2 < 2^35, no bigint overflow on either engine).
+
+    The (h1, h2) projection sits BELOW the probe-index explode so the
+    md5 runs once per gram, not once per probe — the first spelling
+    (a ``transform`` array whose lambda referenced h1/h2) let
+    Catalyst's projection collapse inline the md5+conv into every
+    element, 14 digests per gram (the ``dedup._doc_shingles`` trap),
+    measured ~3× the whole query's useful work at the sf1 flood."""
+    md5g = F.md5(F.col("gram"))
+    hashed = df.select(
+        "*",
+        F.conv(F.substring(md5g, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5g, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    return hashed.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    ).select(
+        *df.columns,
+        ((F.col("h1") + F.col("j").cast("long") * F.col("h2"))
+         % F.lit(BLOOM_M_BITS).cast("long")).alias("pos"),
+    )
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the GPT-3-style scale path for
+    the eval-leak check, with a measured accuracy contract against the
+    exact join (``decontaminate_ngram_overlap``).
+
+    Why a Bloom filter: the exact check's held-out gram table grows
+    with the eval corpus, so its equi-join always shuffles the full
+    train gram stream against an unbounded build side. The Bloom side
+    is bounded by the FILTER, not the data: eval grams hash to
+    BLOOM_K positions in a BLOOM_M_BITS space, and the filter is the
+    DISTINCT set-bit table — at most M rows (4.2M longs ≈ 32 MB)
+    whatever the eval size — which BROADCASTS onto the exploded train
+    positions as a hash join (hash-indexed O(1) probes; the packed
+    single-row map representation was measured 17× slower because
+    Spark's ``element_at`` on MapType is a LINEAR scan per lookup, so
+    65k-entry maps × 1.75M probes is quadratic work hiding in an
+    expression). A gram hits iff all BLOOM_K of its position rows
+    match (inner join + count), aggregated map-side per (doc, gram)
+    before any shuffle — explode keeps a gram's positions in one task,
+    so the partial aggregate collapses them locally. At 100 TB this is
+    the decontamination pass whose build side doesn't grow with the
+    eval corpus.
+
+    Accuracy contract, hash-checked rather than asserted: Bloom
+    filters have NO false negatives by construction, and the md5
+    double-hashing makes the filter deterministic and engine-portable,
+    so the DuckDB oracle rebuilds the IDENTICAL filter and replays
+    even the false positives. Output: one row per train doc flagged by
+    either path — (doc_id, bloom_flagged, exact_flagged, n_hit_grams,
+    n_shared_grams). An exact_flagged row with bloom_flagged = false
+    (a false negative) or any drift in FP behavior fails the driver's
+    value hash loudly. Sizing: k=7 probes in 2^22 bits at the
+    fixtures' ≤ 5·10^4 eval grams gives a per-gram FP rate ≈ 2e-8
+    (doc-level ≈ 250 grams · 2e-8 ≈ 5e-6 — zero FP rows expected and
+    observed at every fixture scale); production sizes M with the
+    eval-gram count, same plan."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        scoped_persist,
+    )
+
+    release_scoped_persists()
+    # three consumers below (filter build, position probe, exact
+    # contract join) — one scan + tokenize instead of three
+    grams = scoped_persist(_decon_grams(load_table(spark, sf_dir, "documents")))
+    evalg = grams.filter(F.col("split") == "eval").select("gram").distinct()
+    # the filter: DISTINCT set-bit positions, ≤ BLOOM_M_BITS rows by
+    # construction whatever the eval corpus size
+    bits = _bloom_positions(evalg).select("pos").distinct()
+    tpos = _bloom_positions(
+        grams.filter(F.col("split") == "train").select("doc_id", "gram")
+    )
+    # inner join keeps matched position rows only; a gram passes the
+    # filter iff all BLOOM_K of its rows matched (duplicate positions
+    # from intra-gram hash collisions still yield BLOOM_K rows)
+    ghit = (
+        tpos.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n_pos"))
+        .filter(F.col("n_pos") == BLOOM_K)
+    )
+    bloom_docs = ghit.groupBy("doc_id").agg(
+        bigint(F.count("*")).alias("n_hit_grams")
+    )
+    exact_docs = (
+        grams.filter(F.col("split") == "train")
+        .join(evalg, "gram")
+        .groupBy("doc_id")
+        .agg(bigint(F.count("*")).alias("n_shared_grams"))
+    )
+    return (
+        bloom_docs.join(exact_docs, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("n_hit_grams").isNotNull().alias("bloom_flagged"),
+            F.col("n_shared_grams").isNotNull().alias("exact_flagged"),
+            F.coalesce("n_hit_grams", F.lit(0).cast("bigint")).alias("n_hit_grams"),
+            F.coalesce("n_shared_grams", F.lit(0).cast("bigint")).alias(
+                "n_shared_grams"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -922,6 +1050,81 @@ def _line_dedup_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+SUBDUP_K = 8  # span length (tokens) for repeated-substring detection
+
+
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated-substring detection — the ExactSubstr pass of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), which removes exact substrings of ≥ N tokens that
+    occur more than once in the corpus, re-expressed as a shuffle plan
+    instead of a suffix array (their single-node implementation; a
+    suffix array over 100 TB doesn't shard, k-token spans do).
+
+    Spark-native approximation, exact for repeats ≥ SUBDUP_K tokens:
+    every OVERLAPPING SUBDUP_K-token span is emitted with its start
+    position (one explode, linear in corpus tokens); a span occurring
+    ≥ 2 times corpus-wide (including twice in one document) is
+    duplicated — any repeated substring of length ≥ K is a run of
+    consecutive duplicated K-spans, so merging duplicated starts into
+    gaps-and-islands intervals (break when the gap exceeds K: spans
+    further apart neither overlap nor touch) recovers the maximal
+    repeated regions. Output: one row per maximal interval
+    (doc_id, tok_start, tok_end, n_tokens), 1-based token indices.
+    Two repeats closer than K tokens merge into one interval — the
+    same over-approximation Lee et al. accept when they extend matches
+    to boundaries.
+
+    Scale shape, the ``text_line_dedup`` skeleton: the duplicated-span
+    mark is a whole-partition count window over the span text (one
+    shuffle; partition sizes are per-span occurrence counts — a
+    boilerplate span repeated a million times is a million-row count
+    partition but never a pair join, so no DOCFREQ-style cap is
+    needed: nothing here fans out quadratically), then the island
+    merge runs per-document (lag + running sum + groupBy over the SAME
+    doc_id-partitioned window — one more shuffle). No all-pairs form,
+    no per-doc-pair work: cost is linear in corpus tokens either side
+    of two shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    gram = toks
+    for off in range(2, SUBDUP_K + 1):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, off, _SLICE_ALL),
+            lambda acc, nxt: F.concat(acc, F.lit("_"), nxt),
+        )
+    # posexplode is 0-based; +1 matches the oracle's 1-based unnest
+    pos = (
+        docs.select("doc_id", F.posexplode(gram).alias("p0", "g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("s"), "g")
+    )
+    marked = (
+        pos.withColumn("df", F.count("*").over(W.partitionBy("g")))
+        .filter(F.col("df") >= 2)
+        .select("doc_id", "s")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("s")
+    prev = F.lag("s").over(wdoc)
+    islands = marked.withColumn(
+        "island",
+        F.sum(
+            F.when(prev.isNull() | (F.col("s") - prev > SUBDUP_K), 1).otherwise(0)
+        ).over(wdoc),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            bigint(F.min("s")).alias("tok_start"),
+            bigint(F.max("s") + (SUBDUP_K - 1)).alias("tok_end"),
+            bigint(F.max("s") + SUBDUP_K - F.min("s")).alias("n_tokens"),
+        )
+        .select("doc_id", "tok_start", "tok_end", "n_tokens")
+        .orderBy("doc_id", "tok_start")
+    )
+
+
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: count and redact email / phone patterns with
     in-plan regexes. The fixture text is letters-and-spaces only, so a
@@ -1089,6 +1292,8 @@ QUERIES = {
     "sample_hash_split": sample_hash_split,
     "sample_cluster_aware_split": sample_cluster_aware_split,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "decontaminate_bloom": decontaminate_bloom,
+    "text_substring_dedup": text_substring_dedup,
     "text_repetition_score": text_repetition_score,
     "vocab_oov_rate": vocab_oov_rate,
     "sample_weighted_hash": sample_weighted_hash,
@@ -1325,6 +1530,39 @@ ORACLES = {
         FROM grams t JOIN grams e ON t.gram = e.gram
         WHERE t.split = 'train' AND e.split = 'eval'
         GROUP BY 1 ORDER BY 1
+    """,
+    # "decontaminate_bloom" is assembled right after this dict — its
+    # SQL needs the _md5_hex_int_sql helper defined below
+    "text_substring_dedup": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS s,
+                   array_to_string(w[i:i+{SUBDUP_K - 1}], '_') AS g
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, len(w) - {SUBDUP_K - 2})) AS i
+                  FROM t)
+        ),
+        marked AS (
+            SELECT doc_id, s FROM (
+                SELECT doc_id, s, count(*) OVER (PARTITION BY g) AS df
+                FROM pos
+            ) WHERE df >= 2
+        ),
+        isl AS (
+            SELECT doc_id, s,
+                   sum(CASE WHEN pv IS NULL OR s - pv > {SUBDUP_K}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s) AS island
+            FROM (SELECT doc_id, s,
+                         lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS pv
+                  FROM marked)
+        )
+        SELECT doc_id, CAST(min(s) AS BIGINT) AS tok_start,
+               CAST(max(s) + {SUBDUP_K - 1} AS BIGINT) AS tok_end,
+               CAST(max(s) + {SUBDUP_K} - min(s) AS BIGINT) AS n_tokens
+        FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start
     """,
     "sample_topn_per_stratum": f"""
         SELECT lang, rk, doc_id FROM (
@@ -1643,3 +1881,74 @@ ORACLES = {
         FROM scored ORDER BY doc_id
     """,
 }
+
+
+def _md5_hex_int_sql(expr: str, start: int) -> str:
+    """BIGINT from 8 hex chars of md5(``expr``) starting at 1-based
+    ``start`` — the DuckDB twin of Spark's
+    ``conv(substring(md5(x), start, 8), 16, 10)`` (DuckDB has no
+    ``conv``; per-hex-digit strpos arithmetic is the same trick as the
+    ``dedup_simhash`` oracle, widened from 4 to 8 digits)."""
+    terms = [
+        f"(strpos('{_HEX}', substr(md5({expr}), {start + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_BLOOM_H1 = _md5_hex_int_sql("gram", 1)
+_BLOOM_H2 = _md5_hex_int_sql("gram", 9)
+
+ORACLES["decontaminate_bloom"] = f"""
+    WITH splitdocs AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD}
+                         % 100 < 80
+                    THEN 'train' ELSE 'eval' END AS split,
+               string_split(lower(text), ' ') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, split,
+               array_to_string(w[i:i+{DECON_N - 1}], '_') AS gram
+        FROM (SELECT doc_id, split, w,
+                     unnest(range(1, len(w) - {DECON_N - 2})) AS i
+              FROM splitdocs)
+    ),
+    egrams AS (SELECT DISTINCT gram FROM grams WHERE split = 'eval'),
+    ebits AS (
+        SELECT DISTINCT ({_BLOOM_H1} + j * {_BLOOM_H2})
+                   % {BLOOM_M_BITS} AS pos
+        FROM egrams CROSS JOIN range({BLOOM_K}) t(j)
+    ),
+    tpos AS (
+        SELECT doc_id, gram,
+               ({_BLOOM_H1} + j * {_BLOOM_H2}) % {BLOOM_M_BITS} AS pos
+        FROM grams CROSS JOIN range({BLOOM_K}) t(j)
+        WHERE split = 'train'
+    ),
+    ghit AS (
+        SELECT doc_id, gram, (count(b.pos) = {BLOOM_K}) AS hit
+        FROM tpos LEFT JOIN ebits b USING (pos)
+        GROUP BY doc_id, gram
+    ),
+    bloomd AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hit_grams
+        FROM ghit GROUP BY doc_id HAVING bool_or(hit)
+    ),
+    exactd AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM grams t JOIN egrams e USING (gram)
+        WHERE t.split = 'train' GROUP BY t.doc_id
+    )
+    SELECT coalesce(b.doc_id, e.doc_id) AS doc_id,
+           (b.doc_id IS NOT NULL) AS bloom_flagged,
+           (e.doc_id IS NOT NULL) AS exact_flagged,
+           coalesce(n_hit_grams, 0) AS n_hit_grams,
+           coalesce(n_shared_grams, 0) AS n_shared_grams
+    FROM bloomd b FULL OUTER JOIN exactd e ON b.doc_id = e.doc_id
+    ORDER BY doc_id
+"""

@@ -316,3 +316,40 @@ def test_collapse_plans_carry_no_member_array(spark, tmp_path):
         assert "members" not in plan, plan
         release_scoped_persists()
     release_shared_persists()
+
+
+def test_cc_rep_level_labels_equal_member_level(spark, tmp_path):
+    """Round-10 rewrite pin: connected components over REPRESENTATIVE
+    edges + one membership join (the production plan — a flooded
+    clique is one node per propagation round) must produce exactly the
+    labels of min-label CC over the member-expanded pair set (the
+    definitionally-correct form), on the corpus that exercises every
+    expansion path: giant exact-dup clique, case-variant member,
+    cross-clique near-dup chains, and weight-1 groups."""
+    pdf = _flooded_docs()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf = str(tmp_path)
+
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        release_shared_persists,
+    )
+
+    release_shared_persists()
+    release_scoped_persists()
+    rep_level = sorted(
+        map(tuple, dedup._cc_labels_build(spark, sf).collect())
+    )
+    release_scoped_persists()
+    member_level = sorted(
+        map(
+            tuple,
+            dedup._min_label_cc(
+                dedup._minhash_pairs_collapsed(spark, sf).select("d1", "d2")
+            ).collect(),
+        )
+    )
+    release_scoped_persists()
+    release_shared_persists()
+    assert rep_level == member_level
+    assert len(rep_level) > 0

@@ -242,14 +242,36 @@ def test_cc_iterations_are_equi_joins_over_checkpoint(spark, sf_small):
     checkpointed edge set — no nested-loop node, and the upstream LSH
     pipeline must NOT be re-planned inside the loop (the lineage
     truncation is what keeps plan size O(rounds) instead of
-    O(rounds x LSH-plan))."""
+    O(rounds x LSH-plan)). Round 10: the full query legitimately scans
+    the documents parquet again — ONCE, outside the loop — for the
+    membership join that propagates rep labels to members, so the
+    no-re-planning property is pinned on the ITERATION OUTPUT (pure
+    RDD scans) and the full plan only bounds the scan count."""
+    from eventstream_benchmark_spark.operators import dedup
+    from eventstream_benchmark_spark.operators._cache import (
+        release_shared_persists,
+    )
+
     plan = _plan(spark, sf_small, "dedup_cluster_cc")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the LSH subtree would reintroduce parquet scans of documents;
-    # after the checkpoint the iterative plan reads only the RDD scan
     assert "Scan ExistingRDD" in plan
-    assert "Scan parquet" not in plan
+    # the labels themselves read ONLY the checkpointed RDD — if the
+    # LSH subtree leaked into the loop, parquet scans would appear here
+    rep_pairs, _membership = dedup._collapse_family(spark, sf_small)
+    labels = dedup._min_label_cc(rep_pairs.select("d1", "d2"))
+    lplan = labels._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Scan ExistingRDD" in lplan
+    assert "Scan parquet" not in lplan
+    # (no scan COUNT pin on the full plan: formatted explain re-prints
+    # every persisted subtree's child plan per reference, so the string
+    # count measures print fan-out, not execution fan-out — the
+    # persists collapse those references to one materialization)
+    release_shared_persists()
 
 
 def test_partitioned_write_prunes_at_scan(spark, sf_small):
@@ -1032,3 +1054,41 @@ def test_range_export_no_global_sort_task(spark, sf_small):
     # within-bucket selection sorts are all local
     sort_args = re.findall(r"\(\d+\) Sort[^(]*?Arguments: [^\n]*", wplan)
     assert sort_args and all(", false, 0" in s for s in sort_args)
+
+
+def test_substring_dedup_joinless_keyed_windows(spark, sf_small):
+    """Maximal repeated-substring detection is a join-free plan: the
+    duplicated-span mark is a whole-partition count WINDOW over the
+    span text (never a pair join — nothing can fan out quadratically,
+    which is why no DOCFREQ-style cap is needed here), and the island
+    merge is lag/sum windows partitioned by doc_id. No Python, no
+    cartesian form anywhere."""
+    plan = _plan(spark, sf_small, "text_substring_dedup")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+    # every Window operator is keyed (g- or doc_id-partitioned)
+    win_args = re.findall(r"\(\d+\) Window[^(]*?Arguments: [^\n]*", plan)
+    assert win_args and all(("g#" in w) or ("doc_id#" in w) for w in win_args)
+
+
+def test_bloom_decontamination_filter_rides_broadcast(spark, sf_small):
+    """The Bloom filter (the distinct set-bit position table, bounded
+    by BLOOM_M_BITS whatever the eval size) reaches the exploded train
+    positions by BROADCAST hash join — hash-indexed O(1) probes, never
+    a nested-loop and never Python — and the probe aggregate partials
+    map-side (a gram's BLOOM_K position rows stay in one task after
+    the explode). The exact contract side remains a keyed join on the
+    gram."""
+    plan = _plan(spark, sf_small, "decontaminate_bloom")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+    # the position probe is a broadcast hash join keyed on pos (the
+    # tree header carries no keys; the detail section does)
+    assert re.findall(r"\(\d+\) BroadcastHashJoin", plan)
+    assert re.search(r"Left keys \[1\]: \[pos#", plan)
+    # the all-K-positions test partial-aggregates before its exchange
+    assert "partial_count" in plan
