@@ -341,8 +341,12 @@ def main() -> None:
         extras["sf1_build_sec"] = round(time.perf_counter() - t0, 3)
         for name in SF1_QUERIES:
             samples = []
+            # round-10 (r9 verdict #6): no sf1 item is single-sample
+            # any more — a lone pass on this VM is a lottery ticket,
+            # and the _median/_n fields are what round-over-round
+            # comparisons gate on, so every item records at least 2
             n_runs = SF1_EXTRA_HEAVY_RUNS.get(
-                name, SF1_HEAVY_RUNS if name in SF1_HEAVY else 1
+                name, SF1_HEAVY_RUNS if name in SF1_HEAVY else 2
             )
             while True:
                 if name in EMITTER_FAMILIES:
@@ -359,15 +363,29 @@ def main() -> None:
                     continue
                 # conditioning gate: best-3 spread > median ⇒ the
                 # floor isn't corroborated yet — keep sampling up to
-                # SF1_MAX_RUNS (see _core_spread for why not max-min)
-                srt = sorted(samples)
+                # SF1_MAX_RUNS (see _core_spread for why not max-min).
+                # Gated over the WARM samples once ≥ 3 exist: the
+                # chronological first pass of the shared-build and
+                # persist-heavy items pays a deliberate one-time build
+                # (the graph edge aggregate) plus lane-cold JIT/page
+                # cache — a structural cost, not noise, so it must not
+                # keep the gate tripped (same first-sample drop the
+                # sf0.1 HEAVY set has used since r4)
+                warm = samples[1:] if len(samples) >= 3 else samples
+                srt = sorted(warm)
                 if (
-                    len(srt) < 2
-                    or len(srt) >= SF1_MAX_RUNS
+                    len(samples) < 2
+                    or len(samples) >= SF1_MAX_RUNS
                     or _core_spread(srt) <= _median(srt)
                 ):
                     break
-            srt = sorted(samples)
+            # recorded stats describe the warm steady state; the cold
+            # first pass is preserved separately as _cold so the build
+            # cost stays visible instead of polluting the spread
+            warm = samples[1:] if len(samples) >= 3 else samples
+            if len(samples) >= 3:
+                extras[f"sf1_{name}_cold"] = round(samples[0], 3)
+            srt = sorted(warm)
             extras[f"sf1_{name}"] = round(srt[0], 3)
             extras[f"sf1_{name}_rows"] = n
             if len(srt) > 1:
@@ -381,7 +399,8 @@ def main() -> None:
             sum(v for k, v in extras.items()
                 if k.startswith("sf1_")
                 and not k.endswith(
-                    ("_rows", "_sec", "_spread", "_spread3", "_median", "_n")
+                    ("_rows", "_sec", "_spread", "_spread3", "_median",
+                     "_n", "_cold")
                 )),
             3,
         )
