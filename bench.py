@@ -142,6 +142,10 @@ SF1_QUERIES = (
     # full join
     "text_substring_dedup",
     "decontaminate_bloom",
+    # third round-10 addition: the removal half of ExactSubstr — under
+    # the flood, 9 of every 10 copies lose all their spans, so the
+    # per-token anti-join and the reassembly run at full tilt
+    "text_substring_removal",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single
@@ -192,10 +196,11 @@ SF1_HEAVY = {
     # single-pass 5.4/6.0/19.96 s across three same-code runs — the
     # write+read-back shape is the most disk-contention-sensitive item
     "export_range_partitioned",
-    # round-10 additions: both in the >10 s band at the flood, so they
+    # round-10 additions: all in the >5 s band at the flood, so they
     # get the multi-pass median treatment from birth
     "text_substring_dedup",
     "decontaminate_bloom",
+    "text_substring_removal",
 }
 # round-8 (verdict item 6): the graph pair was the worst-conditioned
 # sf1 number (triangle min 7.37 s with a 10.7 s spread — the spread

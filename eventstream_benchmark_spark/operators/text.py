@@ -1125,6 +1125,102 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022's ExactSubstr pass — apply
+    :func:`text_substring_dedup`'s detection and keep only the FIRST
+    occurrence of each repeated region, emitting per-doc retained-text
+    stats the way a pipeline would rewrite its corpus.
+
+    Keep-first at span granularity: every occurrence of a duplicated
+    SUBDUP_K-token span except the globally first (row_number over the
+    span text, ordered by (doc_id, start)) marks its K token positions
+    removable; a doc's removed set is the union of its removable
+    spans' positions (DISTINCT — overlapping spans double-mark). Where
+    a kept-first region overlaps a different removable span, the
+    overlap tokens still drop — the same over-removal Lee et al.
+    accept at region boundaries; both engines compute it identically.
+
+    Output: (doc_id, n_tokens, n_removed_tokens, retained_md5) for
+    every document — retained_md5 is the md5 of the surviving tokens
+    joined in original order, the value a rewritten corpus would hash.
+
+    Scale shape: the ``text_line_dedup`` reassembly skeleton — span
+    mark is one row_number window on the span text (per-span
+    partitions, bounded by duplication, no pair join), coverage is an
+    explode + DISTINCT on (doc_id, pos), and the rewrite is a
+    per-token left_anti join against the covered set followed by one
+    groupBy doc_id reassembly (collect + sort bounded by document
+    length, the same per-doc bound the shingle arrays already carry).
+    Everything is linear in corpus tokens around keyed shuffles; no
+    per-token array_contains scan (that inner loop would be quadratic
+    in document length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    gram = toks
+    for off in range(2, SUBDUP_K + 1):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, off, _SLICE_ALL),
+            lambda acc, nxt: F.concat(acc, F.lit("_"), nxt),
+        )
+    pos = (
+        docs.select("doc_id", F.posexplode(gram).alias("p0", "g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("s"), "g")
+    )
+    wspan = W.partitionBy("g").orderBy("doc_id", "s")
+    removable = (
+        pos.withColumn("rn", F.row_number().over(wspan))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "s")
+    )
+    covered = removable.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("s"), F.col("s") + (SUBDUP_K - 1))).alias(
+            "p"
+        ),
+    ).distinct()
+    tokens = docs.select(
+        "doc_id", F.posexplode(toks).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("p"), "tok")
+    retained = tokens.join(covered, ["doc_id", "p"], "left_anti")
+    return (
+        retained.groupBy("doc_id")
+        .agg(
+            bigint(F.count("*")).alias("n_retained"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                        lambda st: st["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("retained_md5"),
+        )
+        .join(
+            docs.select(
+                "doc_id", bigint(F.size(toks)).alias("n_tokens")
+            ),
+            "doc_id",
+            "right",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_retained", F.lit(0))).alias(
+                "n_removed_tokens"
+            ),
+            # a fully-removed doc retains the empty string's md5 on
+            # both engines
+            F.coalesce(
+                "retained_md5", F.lit("d41d8cd98f00b204e9800998ecf8427e")
+            ).alias("retained_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: count and redact email / phone patterns with
     in-plan regexes. The fixture text is letters-and-spaces only, so a
@@ -1294,6 +1390,7 @@ QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "decontaminate_bloom": decontaminate_bloom,
     "text_substring_dedup": text_substring_dedup,
+    "text_substring_removal": text_substring_removal,
     "text_repetition_score": text_repetition_score,
     "vocab_oov_rate": vocab_oov_rate,
     "sample_weighted_hash": sample_weighted_hash,
@@ -1563,6 +1660,51 @@ ORACLES = {
                CAST(max(s) + {SUBDUP_K - 1} AS BIGINT) AS tok_end,
                CAST(max(s) + {SUBDUP_K} - min(s) AS BIGINT) AS n_tokens
         FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start
+    """,
+    "text_substring_removal": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS s,
+                   array_to_string(w[i:i+{SUBDUP_K - 1}], '_') AS g
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, len(w) - {SUBDUP_K - 2})) AS i
+                  FROM t)
+        ),
+        removable AS (
+            SELECT doc_id, s FROM (
+                SELECT doc_id, s,
+                       row_number() OVER (PARTITION BY g
+                           ORDER BY doc_id, s) AS rn
+                FROM pos
+            ) WHERE rn > 1
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, s + j AS p
+            FROM removable CROSS JOIN range({SUBDUP_K}) r(j)
+        ),
+        tokens AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS p, w[i] AS tok
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t)
+        ),
+        retained AS (
+            SELECT tk.doc_id, tk.p, tk.tok
+            FROM tokens tk LEFT JOIN covered c
+                ON tk.doc_id = c.doc_id AND tk.p = c.p
+            WHERE c.p IS NULL
+        ),
+        agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_retained,
+                   md5(string_agg(tok, ' ' ORDER BY p)) AS retained_md5
+            FROM retained GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+               CAST(len(t.w) - coalesce(n_retained, 0) AS BIGINT)
+                   AS n_removed_tokens,
+               coalesce(retained_md5, md5('')) AS retained_md5
+        FROM t LEFT JOIN agg USING (doc_id)
+        ORDER BY t.doc_id
     """,
     "sample_topn_per_stratum": f"""
         SELECT lang, rk, doc_id FROM (

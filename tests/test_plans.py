@@ -1092,3 +1092,20 @@ def test_bloom_decontamination_filter_rides_broadcast(spark, sf_small):
     assert re.search(r"Left keys \[1\]: \[pos#", plan)
     # the all-K-positions test partial-aggregates before its exchange
     assert "partial_count" in plan
+
+
+def test_substring_removal_keyed_joins_no_python(spark, sf_small):
+    """The ExactSubstr removal pass: keep-first mark is a keyed
+    row_number window on the span text, coverage and the per-token
+    rewrite are keyed equi-joins (the left_anti against covered
+    positions — never a per-token array_contains scan, which would be
+    quadratic in document length), reassembly is one groupBy. No
+    cartesian form, no Python anywhere."""
+    plan = _plan(spark, sf_small, "text_substring_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_contains" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+    win_args = re.findall(r"\(\d+\) Window[^(]*?Arguments: [^\n]*", plan)
+    assert win_args and all("g#" in w for w in win_args)
