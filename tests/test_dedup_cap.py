@@ -353,3 +353,34 @@ def test_cc_rep_level_labels_equal_member_level(spark, tmp_path):
     release_shared_persists()
     assert rep_level == member_level
     assert len(rep_level) > 0
+
+
+def test_substring_removal_is_subset_of_detection(spark, tmp_path):
+    """Cross-query invariant on the flood corpus: the removal pass may
+    only delete tokens inside the detection pass's maximal repeated
+    intervals (removal keeps first occurrences, detection marks ALL
+    occurrences — so removed ⊆ detected, strictly for any doc whose
+    first-occurrence region survives), and a doc with zero detected
+    intervals must lose zero tokens."""
+    pdf = _flooded_docs()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf = str(tmp_path)
+
+    from eventstream_benchmark_spark.operators.text import (
+        text_substring_dedup,
+        text_substring_removal,
+    )
+
+    intervals = text_substring_dedup(spark, sf).toPandas()
+    removal = text_substring_removal(spark, sf).toPandas()
+
+    detected_tokens = intervals.groupby("doc_id")["n_tokens"].sum().to_dict()
+    for row in removal.itertuples():
+        assert row.n_removed_tokens <= detected_tokens.get(row.doc_id, 0), (
+            f"doc {row.doc_id}: removed {row.n_removed_tokens} tokens but "
+            f"detection marked only {detected_tokens.get(row.doc_id, 0)}"
+        )
+    # the flood guarantees work for both passes: the 120-member clique
+    # keeps exactly one full copy and strips the rest
+    assert (removal.n_removed_tokens > 0).any()
+    assert (removal.n_removed_tokens == 0).any()  # uniques untouched
