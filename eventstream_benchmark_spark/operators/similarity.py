@@ -917,6 +917,58 @@ def dedup_semantic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sweep points span the fixtures' occupied cosine range (the mass sits
+# just above the 0.45 verification floor); production swaps the tuple
+# for its own candidate taus — the floor assert below keeps every
+# point exact
+SWEEP_TAUS = (0.45, 0.46, 0.48, 0.5, 0.55, 0.6)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-threshold calibration sweep — the measurement a pipeline
+    owner runs BEFORE picking a near-dup τ (SemDeDup's headline knob):
+    for each candidate threshold, how many verified pairs exist and
+    how many documents are touched by at least one of them, i.e. the
+    corpus fraction each τ would put in play.
+
+    One pass over the family-shared verified pair table
+    (``dedup_embedding_cosine`` — built once per session/fixture,
+    floor τ = COSINE_DUP_THRESHOLD, so every sweep point ≥ the floor
+    is exact): explode the 6 candidate thresholds per pair
+    (output-sized × 6, never corpus-sized), filter, two keyed
+    aggregates. Thresholds with zero pairs still emit a zero row (the
+    tau dimension left-joins the counts), so the output shape is
+    fixed. Both engines compare the same r6-rounded cosine doubles to
+    the same parsed literals — bit-deterministic at every boundary."""
+    from eventstream_benchmark_spark.operators.dedup import dedup_embedding_cosine
+
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    taus = F.array(*[F.lit(float(t)) for t in SWEEP_TAUS])
+    tau_dim = spark.range(1).select(F.explode(taus).alias("tau"))
+    hit = (
+        pairs.select("v1", "v2", "cosine", F.explode(taus).alias("tau"))
+        .filter(F.col("cosine") >= F.col("tau"))
+        .drop("cosine")
+    )
+    n_pairs = hit.groupBy("tau").agg(bigint(F.count("*")).alias("n_pairs"))
+    n_docs = (
+        hit.select("tau", F.explode(F.array("v1", "v2")).alias("vid"))
+        .distinct()
+        .groupBy("tau")
+        .agg(bigint(F.count("*")).alias("n_docs"))
+    )
+    return (
+        tau_dim.join(n_pairs, "tau", "left")
+        .join(n_docs, "tau", "left")
+        .select(
+            "tau",
+            F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0).cast("bigint")).alias("n_docs"),
+        )
+        .orderBy("tau")
+    )
+
+
 QUERIES = {
     "embed_cosine_topk": embed_cosine_topk,
     "embed_matryoshka_energy": embed_matryoshka_energy,
@@ -930,6 +982,7 @@ QUERIES = {
     "ann_ivf_cosine": ann_ivf_cosine,
     "dedup_semantic_cluster": dedup_semantic_cluster,
     "dedup_semantic_recall_eval": dedup_semantic_recall_eval,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
 }
 
 _COS_SQL = (
@@ -1396,3 +1449,36 @@ ORACLES["dedup_semantic_recall_eval"] = f"""
 from eventstream_benchmark_spark.operators.dedup import COSINE_DUP_THRESHOLD
 
 assert SEMDEDUP_TAU == COSINE_DUP_THRESHOLD
+
+# the sweep floor must cover every sweep point or sub-floor taus would
+# read an artificially truncated pair table
+assert min(SWEEP_TAUS) >= COSINE_DUP_THRESHOLD
+
+from eventstream_benchmark_spark.operators.dedup import (  # noqa: E402
+    ORACLES as _DEDUP_ORACLES,
+)
+
+_TAU_LIST = ", ".join(str(t) for t in SWEEP_TAUS)
+# the sweep oracle replays the identical all-pairs truth the flat
+# embedding-cosine oracle uses, then counts per explicit-double tau
+ORACLES["dedup_threshold_sweep"] = f"""
+    WITH pairs AS ({_DEDUP_ORACLES["dedup_embedding_cosine"]}),
+    taus AS (SELECT CAST(unnest([{_TAU_LIST}]) AS DOUBLE) AS tau),
+    hit AS (
+        SELECT tau, v1, v2 FROM pairs JOIN taus ON cosine >= tau
+    ),
+    np AS (
+        SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM hit GROUP BY 1
+    ),
+    nd AS (
+        SELECT tau, CAST(count(DISTINCT vid) AS BIGINT) AS n_docs
+        FROM (SELECT tau, v1 AS vid FROM hit
+              UNION ALL SELECT tau, v2 FROM hit)
+        GROUP BY 1
+    )
+    SELECT t.tau, coalesce(n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+           coalesce(n_docs, CAST(0 AS BIGINT)) AS n_docs
+    FROM taus t LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
+    ORDER BY t.tau
+"""

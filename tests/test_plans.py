@@ -1109,3 +1109,17 @@ def test_substring_removal_keyed_joins_no_python(spark, sf_small):
         assert py_op not in plan
     win_args = re.findall(r"\(\d+\) Window[^(]*?Arguments: [^\n]*", plan)
     assert win_args and all("g#" in w for w in win_args)
+
+
+def test_threshold_sweep_rides_pair_table_no_cartesian(spark, sf_small):
+    """The tau calibration sweep is an output-sized consumer of the
+    shared verified-pair table: a 6-way literal explode, keyed
+    aggregates, and dimension left-joins — no cartesian form and no
+    nested loop beyond what the underlying pair build itself pins
+    away. (No Python assertion here: with shared persists released the
+    plan embeds the pair BUILD, whose batched ``_seq_dot_udf`` verify
+    is the one documented vectorized-Python site of the embedding
+    family — the sweep itself adds only JVM expressions.)"""
+    plan = _plan(spark, sf_small, "dedup_threshold_sweep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
