@@ -13,12 +13,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (rotation.DRIVER_WINDOW=50 of 219 per round), so registry order decides
+# (rotation.DRIVER_WINDOW=50 of 220 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
 # output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r9 —
 # never-sampled additions first (round-10 additions
 # `text_substring_dedup`, `text_substring_removal`,
-# `dedup_threshold_sweep`, `decontaminate_bloom`), then
+# `dedup_threshold_sweep`, `dedup_keeper_policies`,
+# `decontaminate_bloom`), then
 # `_CHANGED_THIS_ROUND` (rewritten semantics/plans re-verify
 # immediately), then ascending latest-green round, alphabetical within
 # a tier — and ``tests/test_rotation.py`` asserts literal ==
@@ -26,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 # a 50-slot window, silently starving `embed_quantize_int8`) can no
 # longer happen.  This window clears the ENTIRE 29-name r5-stale
 # backlog the r9 changed-tier deferral created (r9 verdict #1) plus
-# the 13 alphabetically first r6 entries.
+# the 12 alphabetically first r6 entries.
 # The CORRECTNESS history round this front list was generated from
 # (tests recompute staleness over rounds 1..this and assert equality;
 # bump it when regenerating the list at the start of the next round —
@@ -53,6 +54,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 _FRONT_GENERATED_FROM_ROUND = 9
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "decontaminate_bloom",  # never sampled
+    "dedup_keeper_policies",  # never sampled
     "dedup_threshold_sweep",  # never sampled
     "text_substring_dedup",  # never sampled
     "text_substring_removal",  # never sampled
@@ -101,7 +103,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "dedup_method_comparison",  # r6
     "dq_benford_audit",  # r6
     "dq_null_profile",  # r6
-    "embed_centroid_drift",  # r6
 )
 
 

@@ -1250,6 +1250,57 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keeper_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which document should a dup cluster KEEP? The three policies
+    real pipelines apply after clustering — keep-FIRST (minimum id:
+    C4 / Lee et al.'s deterministic default), keep-LONGEST (most
+    content survives; ties to the lower id), keep-LATEST (maximum id:
+    recency-preferring crawls) — compared in one pass: per policy, the
+    cluster count, how many keepers coincide with keep-first's choice,
+    and how many characters of text the policy retains. The deltas
+    between rows are the measured cost of the policy decision.
+
+    Rides the family-shared cluster labels (:func:`_cc_labels_shared`
+    — the rep-level CC artifact); per-policy keeper selection is one
+    row_number window partitioned by cluster (partition size = cluster
+    size, bounded by duplication, never corpus-sized) with fully
+    deterministic orderings (every tiebreak ends at doc_id). Oracle:
+    the recursive-CTE transitive closure replayed with the identical
+    three window orderings."""
+    release_scoped_persists()
+    from pyspark.sql import Window as W
+
+    labels = _cc_labels_shared(spark, sf_dir)
+    members = labels.join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+    ).select("doc_id", F.col("label").alias("cluster_id"), "n_chars")
+    orderings = {
+        "first": (F.col("doc_id").asc(),),
+        "latest": (F.col("doc_id").desc(),),
+        "longest": (F.col("n_chars").desc(), F.col("doc_id").asc()),
+    }
+    per_policy = []
+    for policy, order in orderings.items():
+        w = W.partitionBy("cluster_id").orderBy(*order)
+        keepers = members.withColumn(
+            "rn", F.row_number().over(w)
+        ).filter(F.col("rn") == 1)
+        per_policy.append(
+            keepers.agg(
+                bigint(F.count("*")).alias("n_clusters"),
+                bigint(
+                    F.sum((F.col("doc_id") == F.col("cluster_id")).cast("int"))
+                ).alias("keeper_is_first"),
+                bigint(F.sum("n_chars")).alias("kept_chars"),
+            ).select(F.lit(policy).alias("policy"), "*")
+        )
+    out = per_policy[0]
+    for frame in per_policy[1:]:
+        out = out.unionAll(frame)
+    return out.orderBy("policy")
+
+
 def _min_label_cc(pairs: DataFrame) -> DataFrame:
     """(doc_id, label): min-reachable-id connected components over an
     undirected (d1, d2) pair set — min-label propagation with pointer
@@ -1322,6 +1373,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_keeper_policies": dedup_keeper_policies,
 }
 
 def _pairs_sql(source: str = "documents") -> str:
@@ -1382,6 +1434,49 @@ ORACLES = {
         SELECT doc_id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp ORDER BY doc_id
+    """,
+    "dedup_keeper_policies": f"""
+        WITH RECURSIVE
+        pairs AS (SELECT d1, d2 FROM ({_PAIRS_SQL}) p),
+        edges AS (
+            SELECT d1 AS a, d2 AS b FROM pairs
+            UNION
+            SELECT d2, d1 FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a
+        ),
+        members AS (
+            SELECT c.doc_id, c.cluster_id, d.n_chars
+            FROM comp c JOIN documents d USING (doc_id)
+        ),
+        k AS (
+            SELECT 'first' AS policy, cluster_id, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY doc_id) AS rn
+            FROM members
+            UNION ALL
+            SELECT 'latest', cluster_id, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY doc_id DESC)
+            FROM members
+            UNION ALL
+            SELECT 'longest', cluster_id, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id)
+            FROM members
+        )
+        SELECT policy, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS keeper_is_first,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        FROM k WHERE rn = 1 GROUP BY policy ORDER BY policy
     """,
     # the zero-miss contract: LSH output == exact truth on this corpus,
     # so the confusion matrix degenerates to (|truth|, 0, 0, 1, 1)

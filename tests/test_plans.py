@@ -1123,3 +1123,17 @@ def test_threshold_sweep_rides_pair_table_no_cartesian(spark, sf_small):
     plan = _plan(spark, sf_small, "dedup_threshold_sweep")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keeper_policies_windows_partition_by_cluster(spark, sf_small):
+    """Keeper selection is three row_number windows each PARTITIONED by
+    cluster_id (partition size = cluster size, never corpus-sized) over
+    the shared label table — no cartesian form, no Python, no unkeyed
+    window."""
+    plan = _plan(spark, sf_small, "dedup_keeper_policies")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in plan
+    win_args = re.findall(r"\(\d+\) Window[^(]*?Arguments: [^\n]*", plan)
+    assert win_args and all("cluster_id#" in w for w in win_args)
