@@ -146,6 +146,12 @@ SF1_QUERIES = (
     # the flood, 9 of every 10 copies lose all their spans, so the
     # per-token anti-join and the reassembly run at full tilt
     "text_substring_removal",
+    # round-10 consumer probes (ride the shared artifacts the emitters
+    # leave behind, like sample_cluster_aware_split): keeper-policy
+    # comparison over the cc_labels persist, tau sweep over the
+    # emb_cosine_pairs persist — marginal cost of each decision lane
+    "dedup_keeper_policies",
+    "dedup_threshold_sweep",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single
