@@ -222,6 +222,21 @@ SF1_EXTRA_HEAVY_RUNS = {
     "dedup_embedding_cosine": 3,
 }
 
+# Items whose chronological FIRST sf1 pass pays a structural one-time
+# cost — the family-shared co-purchase edge build (triangle emits it,
+# pagerank cold-reads it when run in a fresh lane) or the lane-cold
+# persist/JIT stack of the embedding pair build. Only for THESE does
+# the recorded min/median/spread drop the first sample (preserved as
+# `_cold`): a round-10 review found the unconditional drop could
+# discard a base item's genuinely fastest pass when a contention
+# spike tripped the gate (samples [2.0, 6.0, 6.1] would record 6.0 as
+# the floor), so everything outside this set keeps full-sample stats.
+SF1_COLD_BUILD = {
+    "graph_triangle_count",
+    "graph_pagerank",
+    "dedup_embedding_cosine",
+}
+
 # the sf1 re-run gate (round-8 verdict #4): a multi-sample item whose
 # dispersion exceeds its median is noise-bound evidence — take extra
 # passes (to this many total) until the dispersion drops under the
@@ -233,8 +248,9 @@ SF1_EXTRA_HEAVY_RUNS = {
 # pass to the cap with no way to converge; the spread of the three
 # fastest samples SHRINKS when new samples land near the floor, which
 # is the convergence the gate is waiting for. Both dispersions are
-# recorded (``_spread`` stays max-min for round-over-round
-# comparability; ``_spread3`` is what the gate saw).
+# recorded: ``_spread`` is max-min and ``_spread3`` the best-3 spread,
+# each over the SAME sample set every other stat uses (full samples;
+# warm samples for SF1_COLD_BUILD items — ``_n`` counts that set).
 SF1_MAX_RUNS = int(os.environ.get("SPARK_GRAFT_SF1_MAX_RUNS", "5"))
 
 
@@ -375,14 +391,17 @@ def main() -> None:
                 # conditioning gate: best-3 spread > median ⇒ the
                 # floor isn't corroborated yet — keep sampling up to
                 # SF1_MAX_RUNS (see _core_spread for why not max-min).
-                # Gated over the WARM samples once ≥ 3 exist: the
-                # chronological first pass of the shared-build and
-                # persist-heavy items pays a deliberate one-time build
-                # (the graph edge aggregate) plus lane-cold JIT/page
-                # cache — a structural cost, not noise, so it must not
-                # keep the gate tripped (same first-sample drop the
-                # sf0.1 HEAVY set has used since r4)
-                warm = samples[1:] if len(samples) >= 3 else samples
+                # For SF1_COLD_BUILD items the gate (like the recorded
+                # stats below) sees only the warm samples — their
+                # first pass pays a structural one-time build, not
+                # noise, and must not keep the gate tripped (the
+                # sf0.1 HEAVY first-sample drop, scoped to the items
+                # where it is justified)
+                warm = (
+                    samples[1:]
+                    if name in SF1_COLD_BUILD and len(samples) >= 3
+                    else samples
+                )
                 srt = sorted(warm)
                 if (
                     len(samples) < 2
@@ -390,11 +409,14 @@ def main() -> None:
                     or _core_spread(srt) <= _median(srt)
                 ):
                     break
-            # recorded stats describe the warm steady state; the cold
-            # first pass is preserved separately as _cold so the build
-            # cost stays visible instead of polluting the spread
-            warm = samples[1:] if len(samples) >= 3 else samples
-            if len(samples) >= 3:
+            # for cold-build items the recorded stats describe the
+            # warm steady state; the first pass is preserved as _cold
+            # so the build cost stays visible instead of polluting the
+            # spread. All other items record full-sample stats — their
+            # min must stay the genuinely fastest pass.
+            cold_drop = name in SF1_COLD_BUILD and len(samples) >= 3
+            warm = samples[1:] if cold_drop else samples
+            if cold_drop:
                 extras[f"sf1_{name}_cold"] = round(samples[0], 3)
             srt = sorted(warm)
             extras[f"sf1_{name}"] = round(srt[0], 3)

@@ -1298,7 +1298,11 @@ def dedup_keeper_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per_policy[0]
     for frame in per_policy[1:]:
         out = out.unionAll(frame)
-    return out.orderBy("policy")
+    # a corpus with zero dup clusters emits ZERO rows, matching the
+    # oracle's GROUP BY over an empty keeper set — without this filter
+    # the global agg still returns one NULL-sum row per policy
+    # (round-10 review finding)
+    return out.filter(F.col("n_clusters") > 0).orderBy("policy")
 
 
 def _min_label_cc(pairs: DataFrame) -> DataFrame:

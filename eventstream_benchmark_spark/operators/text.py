@@ -1053,6 +1053,30 @@ def _line_dedup_agg(docs: DataFrame) -> DataFrame:
 SUBDUP_K = 8  # span length (tokens) for repeated-substring detection
 
 
+def _subdup_positions(base: DataFrame) -> DataFrame:
+    """(doc_id, s, g): every OVERLAPPING SUBDUP_K-token span of the
+    pre-split token-array column ``w`` with its 1-based start
+    position — the shared front end of the detection
+    (:func:`text_substring_dedup`) and removal
+    (:func:`text_substring_removal`) passes. Factored because their
+    removal⊆detection contract requires bit-identical span tables
+    (round-10 review; the same reason ``_decon_grams`` is shared by
+    the decontamination pair)."""
+    gram = F.col("w")
+    for off in range(2, SUBDUP_K + 1):
+        gram = F.zip_with(
+            gram,
+            F.slice(F.col("w"), off, _SLICE_ALL),
+            lambda acc, nxt: F.concat(acc, F.lit("_"), nxt),
+        )
+    # posexplode is 0-based; +1 matches the oracles' 1-based unnest
+    return (
+        base.select("doc_id", F.posexplode(gram).alias("p0", "g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("s"), "g")
+    )
+
+
 def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal repeated-substring detection — the ExactSubstr pass of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language
@@ -1086,19 +1110,8 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-doc-pair work: cost is linear in corpus tokens either side
     of two shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    gram = toks
-    for off in range(2, SUBDUP_K + 1):
-        gram = F.zip_with(
-            gram,
-            F.slice(toks, off, _SLICE_ALL),
-            lambda acc, nxt: F.concat(acc, F.lit("_"), nxt),
-        )
-    # posexplode is 0-based; +1 matches the oracle's 1-based unnest
-    pos = (
-        docs.select("doc_id", F.posexplode(gram).alias("p0", "g"))
-        .filter(F.col("g").isNotNull())
-        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("s"), "g")
+    pos = _subdup_positions(
+        docs.select("doc_id", _tokens(F.col("text")).alias("w"))
     )
     marked = (
         pos.withColumn("df", F.count("*").over(W.partitionBy("g")))
@@ -1153,21 +1166,22 @@ def text_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, the same per-doc bound the shingle arrays already carry).
     Everything is linear in corpus tokens around keyed shuffles; no
     per-token array_contains scan (that inner loop would be quadratic
-    in document length)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    gram = toks
-    for off in range(2, SUBDUP_K + 1):
-        gram = F.zip_with(
-            gram,
-            F.slice(toks, off, _SLICE_ALL),
-            lambda acc, nxt: F.concat(acc, F.lit("_"), nxt),
-        )
-    pos = (
-        docs.select("doc_id", F.posexplode(gram).alias("p0", "g"))
-        .filter(F.col("g").isNotNull())
-        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("s"), "g")
+    in document length). The (doc_id, token-array) base is persisted —
+    three consumers below (span build, per-token explode, n_tokens) —
+    so the corpus is scanned and split ONCE (round-10 review; the same
+    one-scan rule ``decontaminate_bloom`` documents)."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        scoped_persist,
     )
+
+    release_scoped_persists()
+    base = scoped_persist(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", _tokens(F.col("text")).alias("w")
+        )
+    )
+    pos = _subdup_positions(base)
     wspan = W.partitionBy("g").orderBy("doc_id", "s")
     removable = (
         pos.withColumn("rn", F.row_number().over(wspan))
@@ -1180,8 +1194,8 @@ def text_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     ).distinct()
-    tokens = docs.select(
-        "doc_id", F.posexplode(toks).alias("p0", "tok")
+    tokens = base.select(
+        "doc_id", F.posexplode("w").alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("p"), "tok")
     retained = tokens.join(covered, ["doc_id", "p"], "left_anti")
     return (
@@ -1199,9 +1213,7 @@ def text_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retained_md5"),
         )
         .join(
-            docs.select(
-                "doc_id", bigint(F.size(toks)).alias("n_tokens")
-            ),
+            base.select("doc_id", bigint(F.size("w")).alias("n_tokens")),
             "doc_id",
             "right",
         )
@@ -1631,16 +1643,7 @@ ORACLES = {
     # "decontaminate_bloom" is assembled right after this dict — its
     # SQL needs the _md5_hex_int_sql helper defined below
     "text_substring_dedup": f"""
-        WITH t AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-        ),
-        pos AS (
-            SELECT doc_id, CAST(i AS BIGINT) AS s,
-                   array_to_string(w[i:i+{SUBDUP_K - 1}], '_') AS g
-            FROM (SELECT doc_id, w,
-                         unnest(range(1, len(w) - {SUBDUP_K - 2})) AS i
-                  FROM t)
-        ),
+        WITH {{subdup_pos}},
         marked AS (
             SELECT doc_id, s FROM (
                 SELECT doc_id, s, count(*) OVER (PARTITION BY g) AS df
@@ -1662,16 +1665,7 @@ ORACLES = {
         FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start
     """,
     "text_substring_removal": f"""
-        WITH t AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-        ),
-        pos AS (
-            SELECT doc_id, CAST(i AS BIGINT) AS s,
-                   array_to_string(w[i:i+{SUBDUP_K - 1}], '_') AS g
-            FROM (SELECT doc_id, w,
-                         unnest(range(1, len(w) - {SUBDUP_K - 2})) AS i
-                  FROM t)
-        ),
+        WITH {{subdup_pos}},
         removable AS (
             SELECT doc_id, s FROM (
                 SELECT doc_id, s,
@@ -2023,6 +2017,25 @@ ORACLES = {
         FROM scored ORDER BY doc_id
     """,
 }
+
+
+# the shared t/pos span CTE of BOTH substring oracles — one spelling,
+# mirroring the Spark-side _subdup_positions helper, so the
+# removal⊆detection contract cannot be broken by editing one copy
+# (round-10 review)
+_SUBDUP_POS_SQL = f"""t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS s,
+                   array_to_string(w[i:i+{SUBDUP_K - 1}], '_') AS g
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, len(w) - {SUBDUP_K - 2})) AS i
+                  FROM t)
+        )"""
+for _name in ("text_substring_dedup", "text_substring_removal"):
+    ORACLES[_name] = ORACLES[_name].format(subdup_pos=_SUBDUP_POS_SQL)
+del _name
 
 
 def _md5_hex_int_sql(expr: str, start: int) -> str:

@@ -384,3 +384,24 @@ def test_substring_removal_is_subset_of_detection(spark, tmp_path):
     # keeps exactly one full copy and strips the rest
     assert (removal.n_removed_tokens > 0).any()
     assert (removal.n_removed_tokens == 0).any()  # uniques untouched
+
+
+def test_keeper_policies_empty_corpus_emits_no_rows(spark, tmp_path):
+    """Round-10 review pin: on a corpus with zero dup clusters the
+    keeper-policy comparison must emit ZERO rows (matching its
+    oracle's GROUP BY over an empty keeper set) — not one NULL-sum
+    row per policy from the global aggregate."""
+    pdf = pd.DataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(12)), 60 + i)
+         for i in range(20)],
+        columns=["doc_id", "text", "n_chars"],
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    from eventstream_benchmark_spark.operators._cache import (
+        release_shared_persists,
+    )
+
+    release_shared_persists()
+    assert dedup.dedup_keeper_policies(spark, str(tmp_path)).count() == 0
+    release_shared_persists()
