@@ -1261,48 +1261,77 @@ def dedup_keeper_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     between rows are the measured cost of the policy decision.
 
     Rides the family-shared cluster labels (:func:`_cc_labels_shared`
-    — the rep-level CC artifact); per-policy keeper selection is one
-    row_number window partitioned by cluster (partition size = cluster
-    size, bounded by duplication, never corpus-sized) with fully
-    deterministic orderings (every tiebreak ends at doc_id). Oracle:
-    the recursive-CTE transitive closure replayed with the identical
-    three window orderings."""
+    — the rep-level CC artifact). Round 11 (r10 verdict #1): keeper
+    selection is ONE partial-aggregable ``groupBy(cluster_id)``
+    emitting all three keepers as min/max struct aggregates —
+    keep-first = ``min(struct(doc_id, n_chars))``, keep-latest =
+    ``max(struct(doc_id, n_chars))``, keep-longest =
+    ``max(struct(n_chars, -doc_id))`` (lexicographic struct order ==
+    the policy's (n_chars DESC, doc_id ASC) tiebreak) — then one
+    global agg, exploded into the three policy rows. This replaced
+    three ``row_number`` windows partitioned by cluster_id: under a
+    duplicate flood ONE mega-cluster is one unsplittable sort task per
+    window, while the struct aggregates combine map-side, so the
+    flooded cluster reduces before the shuffle. Outputs bit-identical
+    (every ordering ends at the unique doc_id). Oracle: the
+    recursive-CTE transitive closure replayed with the identical three
+    window orderings."""
     release_scoped_persists()
-    from pyspark.sql import Window as W
 
     labels = _cc_labels_shared(spark, sf_dir)
     members = labels.join(
         load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
         "doc_id",
     ).select("doc_id", F.col("label").alias("cluster_id"), "n_chars")
-    orderings = {
-        "first": (F.col("doc_id").asc(),),
-        "latest": (F.col("doc_id").desc(),),
-        "longest": (F.col("n_chars").desc(), F.col("doc_id").asc()),
+    per_cluster = members.groupBy("cluster_id").agg(
+        F.min(F.struct("doc_id", "n_chars")).alias("first_k"),
+        F.max(F.struct("doc_id", "n_chars")).alias("latest_k"),
+        F.max(
+            F.struct(
+                F.col("n_chars").alias("n_chars"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("longest_k"),
+    )
+    keeper = {
+        "first": (F.col("first_k.doc_id"), F.col("first_k.n_chars")),
+        "latest": (F.col("latest_k.doc_id"), F.col("latest_k.n_chars")),
+        "longest": (-F.col("longest_k.neg_id"), F.col("longest_k.n_chars")),
     }
-    per_policy = []
-    for policy, order in orderings.items():
-        w = W.partitionBy("cluster_id").orderBy(*order)
-        keepers = members.withColumn(
-            "rn", F.row_number().over(w)
-        ).filter(F.col("rn") == 1)
-        per_policy.append(
-            keepers.agg(
-                bigint(F.count("*")).alias("n_clusters"),
-                bigint(
-                    F.sum((F.col("doc_id") == F.col("cluster_id")).cast("int"))
-                ).alias("keeper_is_first"),
-                bigint(F.sum("n_chars")).alias("kept_chars"),
-            ).select(F.lit(policy).alias("policy"), "*")
-        )
-    out = per_policy[0]
-    for frame in per_policy[1:]:
-        out = out.unionAll(frame)
+    totals = per_cluster.agg(
+        F.count("*").alias("nc"),
+        *[
+            agg
+            for policy, (kid, kchars) in keeper.items()
+            for agg in (
+                F.sum((kid == F.col("cluster_id")).cast("int")).alias(
+                    f"fi_{policy}"
+                ),
+                F.sum(kchars).alias(f"ch_{policy}"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(policy).alias("policy"),
+                bigint(F.col("nc")).alias("n_clusters"),
+                bigint(F.col(f"fi_{policy}")).alias("keeper_is_first"),
+                bigint(F.col(f"ch_{policy}")).alias("kept_chars"),
+            )
+            for policy in keeper
+        ]
+    )
     # a corpus with zero dup clusters emits ZERO rows, matching the
     # oracle's GROUP BY over an empty keeper set — without this filter
     # the global agg still returns one NULL-sum row per policy
     # (round-10 review finding)
-    return out.filter(F.col("n_clusters") > 0).orderBy("policy")
+    return (
+        totals.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .filter(F.col("n_clusters") > 0)
+        .orderBy("policy")
+    )
 
 
 def _min_label_cc(pairs: DataFrame) -> DataFrame:

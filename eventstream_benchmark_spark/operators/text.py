@@ -1003,11 +1003,17 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each document reports how much of it survived plus an md5 of
     its reassembled kept text.
 
-    Scale shape: one explode (linear in corpus tokens), one shuffle on
-    the span text for the keep-first row_number (partition sizes are
-    per-span docfreq — bounded by duplication, never corpus-sized),
-    one groupBy doc_id to reassemble. No all-pairs form anywhere; at
-    100 TB this is the canonical two-shuffle dedup plan.
+    Scale shape: one explode (linear in corpus tokens), a
+    PARTIAL-AGGREGABLE keep-first — ``groupBy(win_text).agg(min(
+    struct(doc_id, win_idx)))`` + an equi-join back — then one groupBy
+    doc_id to reassemble. Round 11 (r10 verdict #1): this replaced a
+    ``row_number`` window partitioned by the span text. The window had
+    no map-side combine, so a boilerplate span repeated 10⁸-10⁹ times
+    in a web crawl hash-partitions to ONE sort task (AQE cannot split
+    a window partition); the min-struct aggregate combines map-side,
+    and the join back IS AQE-skew-splittable. Output bit-identical
+    (min struct ≡ first row under the same (doc_id, win_idx) order).
+    No all-pairs form anywhere.
     """
     return _line_dedup_agg(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1022,9 +1028,19 @@ def _line_dedup_agg(docs: DataFrame) -> DataFrame:
         lambda i: F.array_join(F.slice(toks, i * LINE_WIN + 1, LINE_WIN), " "),
     )
     exploded = docs.select("doc_id", F.posexplode(wins).alias("win_idx", "win_text"))
-    w = W.partitionBy("win_text").orderBy("doc_id", "win_idx")
-    ranked = exploded.withColumn("rn", F.row_number().over(w))
-    kept = F.col("rn") == 1
+    # keep-first via per-span min(struct): partial-aggregable (the
+    # flood case reduces map-side), and the join back is an equi-join
+    # AQE can skew-split — unlike the span-keyed row_number window it
+    # replaced (r10 verdict #1). The explode is computed twice (agg +
+    # join sides); that is map-only re-work, embarrassingly parallel,
+    # traded for removing the single-task mega-window ceiling.
+    firsts = exploded.groupBy("win_text").agg(
+        F.min(F.struct("doc_id", "win_idx")).alias("first_occ")
+    )
+    ranked = exploded.join(firsts, "win_text")
+    kept = (F.col("doc_id") == F.col("first_occ.doc_id")) & (
+        F.col("win_idx") == F.col("first_occ.win_idx")
+    )
     return (
         ranked.groupBy("doc_id")
         .agg(
@@ -1100,23 +1116,26 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to boundaries.
 
     Scale shape, the ``text_line_dedup`` skeleton: the duplicated-span
-    mark is a whole-partition count window over the span text (one
-    shuffle; partition sizes are per-span occurrence counts — a
-    boilerplate span repeated a million times is a million-row count
-    partition but never a pair join, so no DOCFREQ-style cap is
-    needed: nothing here fans out quadratically), then the island
-    merge runs per-document (lag + running sum + groupBy over the SAME
-    doc_id-partitioned window — one more shuffle). No all-pairs form,
-    no per-doc-pair work: cost is linear in corpus tokens either side
-    of two shuffles."""
+    mark is a PARTIAL-AGGREGABLE ``groupBy(g).count()`` + a left-semi
+    equi-join back (round 11, r10 verdict #1 — this replaced a
+    ``count(*)`` window partitioned by the span text: the window had
+    no map-side combine, so a boilerplate span repeated 10⁸-10⁹ times
+    lands in ONE task, while the count aggregate combines map-side and
+    the semi-join is AQE-skew-splittable; still never a pair join, so
+    no DOCFREQ-style cap is needed — nothing fans out quadratically).
+    The island merge then runs per-document (lag + running sum +
+    groupBy over a doc_id-partitioned window — partition size = one
+    document, bounded). No all-pairs form, no per-doc-pair work: cost
+    is linear in corpus tokens around keyed shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     pos = _subdup_positions(
         docs.select("doc_id", _tokens(F.col("text")).alias("w"))
     )
-    marked = (
-        pos.withColumn("df", F.count("*").over(W.partitionBy("g")))
-        .filter(F.col("df") >= 2)
-        .select("doc_id", "s")
+    dup_spans = (
+        pos.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") >= 2)
+    )
+    marked = pos.join(dup_spans.select("g"), "g", "left_semi").select(
+        "doc_id", "s"
     )
     wdoc = W.partitionBy("doc_id").orderBy("s")
     prev = F.lag("s").over(wdoc)
@@ -1145,10 +1164,11 @@ def text_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats the way a pipeline would rewrite its corpus.
 
     Keep-first at span granularity: every occurrence of a duplicated
-    SUBDUP_K-token span except the globally first (row_number over the
-    span text, ordered by (doc_id, start)) marks its K token positions
-    removable; a doc's removed set is the union of its removable
-    spans' positions (DISTINCT — overlapping spans double-mark). Where
+    SUBDUP_K-token span except the globally first (minimum
+    (doc_id, start) struct per span — the same order the r10
+    row_number window used) marks its K token positions removable; a
+    doc's removed set is the union of its removable spans' positions
+    (DISTINCT — overlapping spans double-mark). Where
     a kept-first region overlaps a different removable span, the
     overlap tokens still drop — the same over-removal Lee et al.
     accept at region boundaries; both engines compute it identically.
@@ -1157,9 +1177,14 @@ def text_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document — retained_md5 is the md5 of the surviving tokens
     joined in original order, the value a rewritten corpus would hash.
 
-    Scale shape: the ``text_line_dedup`` reassembly skeleton — span
-    mark is one row_number window on the span text (per-span
-    partitions, bounded by duplication, no pair join), coverage is an
+    Scale shape: the ``text_line_dedup`` reassembly skeleton — the
+    keep-first mark is a PARTIAL-AGGREGABLE ``groupBy(g).agg(count,
+    min(struct(doc_id, s)))`` + an equi-join back, keeping only spans
+    with ≥ 2 occurrences and dropping each span's first (round 11,
+    r10 verdict #1: this replaced a span-keyed row_number window —
+    no map-side combine, one task per flooded span; the aggregate
+    combines map-side and the join is AQE-skew-splittable; still no
+    pair join), coverage is an
     explode + DISTINCT on (doc_id, pos), and the rewrite is a
     per-token left_anti join against the covered set followed by one
     groupBy doc_id reassembly (collect + sort bounded by document
@@ -1182,10 +1207,19 @@ def text_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pos = _subdup_positions(base)
-    wspan = W.partitionBy("g").orderBy("doc_id", "s")
+    dup_firsts = (
+        pos.groupBy("g")
+        .agg(
+            F.count("*").alias("df"),
+            F.min(F.struct("doc_id", "s")).alias("f"),
+        )
+        .filter(F.col("df") >= 2)
+    )
     removable = (
-        pos.withColumn("rn", F.row_number().over(wspan))
-        .filter(F.col("rn") > 1)
+        pos.join(dup_firsts, "g")
+        .filter(
+            (F.col("doc_id") != F.col("f.doc_id")) | (F.col("s") != F.col("f.s"))
+        )
         .select("doc_id", "s")
     )
     covered = removable.select(

@@ -1,0 +1,156 @@
+"""Adversarial single-span flood probes (r10 verdict #1 'done' bar).
+
+A web crawl's duplication is unbounded: ONE boilerplate span can
+repeat 10⁸-10⁹ times. Round 11 rewrote the four keep-first /
+duplicate-mark plans from span/cluster-keyed windows (whole partition
+= one unsplittable sort task) to partial-aggregable groupBy forms
+(map-side combine + AQE-skew-splittable equi-joins). These tests run
+each rewritten query over a corpus where one span is duplicated
+100 000× — three orders past the fixtures' 10× flood — and pin the
+exact keep-first semantics on it. At this duplication the retired
+window shape already visibly serializes; the aggregate shape reduces
+the flood inside each map task before any shuffle.
+
+(Correctness-at-flood, not a timing assert: wall-clock bounds flake
+under CI contention — the PLAN is pinned in test_plans.py, the
+behavior under flood here, and the sf1 bench lane carries the
+conditioned timings.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from eventstream_benchmark_spark.operators import text as T
+from eventstream_benchmark_spark.operators._cache import (
+    release_scoped_persists,
+    release_shared_persists,
+)
+
+N_FLOOD = 100_000
+
+# exactly LINE_WIN == SUBDUP_K == 8 tokens: each flooded doc is ONE
+# line-window and contributes ONE overlapping K-gram, so the span's
+# corpus frequency equals the doc count exactly
+FLOOD_SPAN = "the quick brown fox jumps over lazy dogs"
+
+UNIQUE_DOCS = {
+    200_000: "entirely different words appear in this document here",
+    200_001: "another singleton text with its own vocabulary tokens inside",
+}
+
+
+@pytest.fixture(scope="module")
+def flood_dir(tmp_path_factory):
+    assert len(FLOOD_SPAN.split(" ")) == T.LINE_WIN == T.SUBDUP_K
+    rows = [(i, FLOOD_SPAN) for i in range(N_FLOOD)]
+    rows += list(UNIQUE_DOCS.items())
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "flood"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path_factory.mktemp("flood")
+    pdf.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_line_dedup_flood_keeps_exactly_first(spark, flood_dir):
+    release_shared_persists()
+    release_scoped_persists()
+    out = (
+        T.text_line_dedup(spark, flood_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == N_FLOOD + len(UNIQUE_DOCS)
+    # doc 0 is the global first occurrence: keeps its single window
+    assert out.loc[0, "n_removed"] == 0
+    assert out.loc[0, "n_tokens_kept"] == T.LINE_WIN
+    # every other flooded doc loses its only window
+    flooded_rest = out.loc[1 : N_FLOOD - 1]
+    assert (flooded_rest["n_removed"] == 1).all()
+    assert (flooded_rest["n_tokens_kept"] == 0).all()
+    # the singletons keep everything
+    for did in UNIQUE_DOCS:
+        assert out.loc[did, "n_removed"] == 0
+
+
+def test_substring_dedup_flood_marks_every_occurrence(spark, flood_dir):
+    release_shared_persists()
+    release_scoped_persists()
+    out = T.text_substring_dedup(spark, flood_dir).toPandas()
+    # one maximal interval per flooded doc covering the whole doc;
+    # singletons emit nothing
+    assert len(out) == N_FLOOD
+    assert set(out["doc_id"]) == set(range(N_FLOOD))
+    assert (out["tok_start"] == 1).all()
+    assert (out["tok_end"] == T.SUBDUP_K).all()
+    assert (out["n_tokens"] == T.SUBDUP_K).all()
+
+
+def test_substring_removal_flood_keeps_exactly_first(spark, flood_dir):
+    release_shared_persists()
+    release_scoped_persists()
+    out = (
+        T.text_substring_removal(spark, flood_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == N_FLOOD + len(UNIQUE_DOCS)
+    assert out.loc[0, "n_removed_tokens"] == 0
+    flooded_rest = out.loc[1 : N_FLOOD - 1]
+    assert (flooded_rest["n_removed_tokens"] == T.SUBDUP_K).all()
+    # a fully-removed doc hashes the empty string on both engines
+    assert (
+        flooded_rest["retained_md5"] == "d41d8cd98f00b204e9800998ecf8427e"
+    ).all()
+    for did in UNIQUE_DOCS:
+        assert out.loc[did, "n_removed_tokens"] == 0
+
+
+def test_keeper_policies_flood_mega_cluster(spark, tmp_path):
+    """Keeper selection over ONE mega exact-dup cluster (200 copies —
+    the largest clique whose shingles stay under the DOCFREQ_CAP=256
+    stop-shingle gate; past the cap the whole clique drops out of the
+    pair pipeline BY DESIGN, identically to the uncollapsed plan) plus
+    a distinct-length near-dup pair on disjoint vocabulary that
+    separates the three policies."""
+    from eventstream_benchmark_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    near = "one two three four five six seven eight nine ten eleven twelve"
+    long2 = near + " extra"  # 13 tokens: J(near, long2) = 10/11 > 0.8
+    rows = [(i, base) for i in range(1, 201)]  # mega clique, keeper id 1
+    rows.append((5000, long2))
+    rows.append((5001, near))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "flood"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    release_shared_persists()
+    release_scoped_persists()
+    out = (
+        D.dedup_keeper_policies(spark, str(tmp_path))
+        .toPandas()
+        .set_index("policy")
+        .sort_index()
+    )
+    release_shared_persists()
+    assert set(out.index) == {"first", "latest", "longest"}
+    # two clusters: {1..200} (equal-length copies) and {5000, 5001}
+    assert (out["n_clusters"] == 2).all()
+    # first picks min id == cluster_id everywhere; latest picks max id
+    # (never the first — both clusters have >= 2 members); longest
+    # picks id 1 in the clique (equal lengths -> min-id tiebreak) and
+    # 5000 (the 13-token doc, which is also the min id) in the pair
+    assert int(out.loc["first", "keeper_is_first"]) == 2
+    assert int(out.loc["latest", "keeper_is_first"]) == 0
+    assert int(out.loc["longest", "keeper_is_first"]) == 2
+    assert int(out.loc["first", "kept_chars"]) == len(base) + len(long2)
+    assert int(out.loc["latest", "kept_chars"]) == len(base) + len(near)
+    assert int(out.loc["longest", "kept_chars"]) == len(base) + len(long2)

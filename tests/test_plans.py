@@ -569,16 +569,23 @@ def test_scrub_and_quality_gate_fuse_into_scan(spark, sf_small, name):
         assert node not in plan, f"{name}: unexpected {node}"
 
 
-def test_line_dedup_two_semantic_shuffles_no_python(spark, sf_small):
-    """C4-style span dedup: one shuffle on the span text (keep-first
-    window), one on doc_id (reassembly), plus the presentation sort —
-    never a join, never Python."""
+def test_line_dedup_partial_agg_keep_first_no_window(spark, sf_small):
+    """C4-style span dedup, the r11 partial-aggregable shape (r10
+    verdict #1): keep-first is a min(struct) AGGREGATE on the span
+    text (map-side combine — a flooded span reduces before the
+    shuffle) plus an equi-join back, NEVER a span-keyed window (a
+    window partition is one unsplittable sort task under flood; AQE
+    cannot split it). Reassembly stays one groupBy doc_id. No
+    cartesian form, no Python."""
     plan = _plan(spark, sf_small, "text_line_dedup")
-    assert plan.count("Exchange (") <= 3
+    # the scale-ceiling shape is gone: zero Window operators anywhere
+    assert not re.findall(r"\(\d+\) Window", plan)
+    # keep-first combines map-side (partial min(struct) below its
+    # exchange)
+    assert "partial_min" in plan
     for node in (
-        "SortMergeJoin",
-        "BroadcastHashJoin",
         "CartesianProduct",
+        "BroadcastNestedLoopJoin",
         "BatchEvalPython",
         "ArrowEvalPython",
         "MapInPandas",
@@ -667,6 +674,12 @@ def test_pretrain_pipeline_one_lazy_plan_no_python(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, f"unexpected {node}"
+    # the embedded span-dedup stage must keep the r11 partial-agg
+    # keep-first shape — no window keyed on the span text
+    assert not any(
+        "win_text#" in w
+        for w in re.findall(r"\(\d+\) Window[^(]*?Arguments: [^\n]*", plan)
+    )
 
 
 def test_asof_nearest_is_window_not_join(spark, sf_small):
@@ -1056,21 +1069,28 @@ def test_range_export_no_global_sort_task(spark, sf_small):
     assert sort_args and all(", false, 0" in s for s in sort_args)
 
 
-def test_substring_dedup_joinless_keyed_windows(spark, sf_small):
-    """Maximal repeated-substring detection is a join-free plan: the
-    duplicated-span mark is a whole-partition count WINDOW over the
-    span text (never a pair join — nothing can fan out quadratically,
-    which is why no DOCFREQ-style cap is needed here), and the island
-    merge is lag/sum windows partitioned by doc_id. No Python, no
-    cartesian form anywhere."""
+def test_substring_dedup_partial_agg_mark_doc_windows_only(spark, sf_small):
+    """Maximal repeated-substring detection, the r11 partial-aggregable
+    shape (r10 verdict #1): the duplicated-span mark is a
+    ``groupBy(g).count()`` (map-side combine — a flooded span reduces
+    before the shuffle) + a left-semi EQUI-join back, never a span-
+    keyed window (one unsplittable task under flood) and never a pair
+    join (nothing fans out quadratically, so no DOCFREQ-style cap is
+    needed). The island merge keeps its lag/sum windows — partitioned
+    by doc_id ONLY (partition size = one document, bounded). No
+    Python, no cartesian form anywhere."""
     plan = _plan(spark, sf_small, "text_substring_dedup")
-    assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert py_op not in plan
-    # every Window operator is keyed (g- or doc_id-partitioned)
+    # the mark combines map-side (partial count below its exchange)
+    assert "partial_count" in plan
+    # remaining Window operators are doc_id-partitioned only — the
+    # span-text-keyed window shape must never come back
     win_args = re.findall(r"\(\d+\) Window[^(]*?Arguments: [^\n]*", plan)
-    assert win_args and all(("g#" in w) or ("doc_id#" in w) for w in win_args)
+    assert win_args and all("doc_id#" in w for w in win_args)
+    assert not any(re.search(r"\[g#\d+\]", w) for w in win_args)
 
 
 def test_bloom_decontamination_filter_rides_broadcast(spark, sf_small):
@@ -1094,12 +1114,15 @@ def test_bloom_decontamination_filter_rides_broadcast(spark, sf_small):
     assert "partial_count" in plan
 
 
-def test_substring_removal_keyed_joins_no_python(spark, sf_small):
-    """The ExactSubstr removal pass: keep-first mark is a keyed
-    row_number window on the span text, coverage and the per-token
-    rewrite are keyed equi-joins (the left_anti against covered
-    positions — never a per-token array_contains scan, which would be
-    quadratic in document length), reassembly is one groupBy. No
+def test_substring_removal_partial_agg_no_window_no_python(spark, sf_small):
+    """The ExactSubstr removal pass, the r11 partial-aggregable shape
+    (r10 verdict #1): keep-first mark is ``groupBy(g).agg(count,
+    min(struct))`` (map-side combine) + an equi-join back — never a
+    span-keyed row_number window (one unsplittable task under flood);
+    coverage and the per-token rewrite stay keyed equi-joins (the
+    left_anti against covered positions — never a per-token
+    array_contains scan, which would be quadratic in document
+    length), reassembly is one groupBy. No windows at all, no
     cartesian form, no Python anywhere."""
     plan = _plan(spark, sf_small, "text_substring_removal")
     assert "CartesianProduct" not in plan
@@ -1107,8 +1130,8 @@ def test_substring_removal_keyed_joins_no_python(spark, sf_small):
     assert "array_contains" not in plan
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert py_op not in plan
-    win_args = re.findall(r"\(\d+\) Window[^(]*?Arguments: [^\n]*", plan)
-    assert win_args and all("g#" in w for w in win_args)
+    assert not re.findall(r"\(\d+\) Window", plan)
+    assert "partial_min" in plan and "partial_count" in plan
 
 
 def test_threshold_sweep_rides_pair_table_no_cartesian(spark, sf_small):
@@ -1125,15 +1148,22 @@ def test_threshold_sweep_rides_pair_table_no_cartesian(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_keeper_policies_windows_partition_by_cluster(spark, sf_small):
-    """Keeper selection is three row_number windows each PARTITIONED by
-    cluster_id (partition size = cluster size, never corpus-sized) over
-    the shared label table — no cartesian form, no Python, no unkeyed
-    window."""
+def test_keeper_policies_struct_aggregates_no_window(spark, sf_small):
+    """Keeper selection, the r11 partial-aggregable shape (r10 verdict
+    #1): all three policies ride ONE ``groupBy(cluster_id)`` of
+    min/max struct aggregates (map-side combine — a flooded
+    mega-cluster reduces before the shuffle) instead of three
+    cluster-keyed row_number windows (each one unsplittable sort task
+    under flood). The policy fan-out is a 3-element literal explode of
+    the 1-row global agg. No window anywhere in the keeper selection,
+    no cartesian form, no Python."""
     plan = _plan(spark, sf_small, "dedup_keeper_policies")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert py_op not in plan
-    win_args = re.findall(r"\(\d+\) Window[^(]*?Arguments: [^\n]*", plan)
-    assert win_args and all("cluster_id#" in w for w in win_args)
+    assert not any(
+        "cluster_id#" in w
+        for w in re.findall(r"\(\d+\) Window[^(]*?Arguments: [^\n]*", plan)
+    )
+    assert "partial_min" in plan or "partial_max" in plan
