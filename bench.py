@@ -152,6 +152,14 @@ SF1_QUERIES = (
     # emb_cosine_pairs persist — marginal cost of each decision lane
     "dedup_keeper_policies",
     "dedup_threshold_sweep",
+    # round-11 additions, flood-probed at birth: fuzzy decontamination
+    # probes the 10x-duplicated eval split against the train split
+    # through the shared asymmetric builder (the collapse in front of
+    # the band join is what keeps the flood from re-creating the hot-
+    # bucket quadratic), and the Gopher battery is the single-scan
+    # floor — its sf1 number should track the corpus scan, nothing else
+    "decontaminate_fuzzy_minhash",
+    "text_quality_gopher",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single
@@ -207,6 +215,10 @@ SF1_HEAVY = {
     "text_substring_dedup",
     "decontaminate_bloom",
     "text_substring_removal",
+    # round-11 addition: the fuzzy decon probe carries the same
+    # collapse+band build as dedup_minhash_incremental (sf1 median
+    # ~6 s there), so it gets multi-pass stats from birth
+    "decontaminate_fuzzy_minhash",
 }
 # round-8 (verdict item 6): the graph pair was the worst-conditioned
 # sf1 number (triangle min 7.37 s with a 10.7 s spread — the spread
@@ -402,10 +414,12 @@ def main() -> None:
                     if name in SF1_COLD_BUILD and len(samples) >= 3
                     else samples
                 )
+                # n_runs >= 2 and the `continue` above guarantee at
+                # least two samples by the time the gate is reached
+                assert len(samples) >= 2
                 srt = sorted(warm)
                 if (
-                    len(samples) < 2
-                    or len(samples) >= SF1_MAX_RUNS
+                    len(samples) >= SF1_MAX_RUNS
                     or _core_spread(srt) <= _median(srt)
                 ):
                     break

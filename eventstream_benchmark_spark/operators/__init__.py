@@ -13,21 +13,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (rotation.DRIVER_WINDOW=50 of 220 per round), so registry order decides
+# (rotation.DRIVER_WINDOW=50 of 222 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
-# output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r9 —
-# never-sampled additions first (round-10 additions
-# `text_substring_dedup`, `text_substring_removal`,
-# `dedup_threshold_sweep`, `dedup_keeper_policies`,
-# `decontaminate_bloom`), then
+# output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r10 —
+# never-sampled additions first (round-11 additions
+# `decontaminate_fuzzy_minhash`, `text_quality_gopher`), then
 # `_CHANGED_THIS_ROUND` (rewritten semantics/plans re-verify
 # immediately), then ascending latest-green round, alphabetical within
 # a tier — and ``tests/test_rotation.py`` asserts literal ==
 # computation, so the round-7 failure mode (51 names hand-counted into
 # a 50-slot window, silently starving `embed_quantize_int8`) can no
-# longer happen.  This window clears the ENTIRE 29-name r5-stale
-# backlog the r9 changed-tier deferral created (r9 verdict #1) plus
-# the 12 alphabetically first r6 entries.
+# longer happen.  This window retires all 34 remaining r6-green rows
+# and the 7 alphabetically first r7 names, finishing the freshness
+# cycle (r10 verdict #2: zero entries older than r7-green after this
+# round's driver pass).
 # The CORRECTNESS history round this front list was generated from
 # (tests recompute staleness over rounds 1..this and assert equality;
 # bump it when regenerating the list at the start of the next round —
@@ -40,69 +39,75 @@ from pyspark.sql import DataFrame, SparkSession
 # Reset this tuple to () when regenerating for a round with no
 # semantic rewrites.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round-10 CC rewrite (r9 verdict #2): connected components now
-    # iterate over representative-level edges with a post-hoc
-    # membership join, and the collapsed MinHash chain's building
-    # blocks became family-shared frames — every query whose EXECUTED
-    # plan contains the rewritten subtree re-verifies this round
-    "dedup_cluster_cc",
-    "dedup_minhash_lsh",
-    "dedup_recall_eval",
-    "sample_cluster_aware_split",
+    # round-11 keep-first rewrites (r10 verdict #1): the span/cluster-
+    # keyed windows became partial-aggregable min/max-struct + count
+    # aggregates — every query whose EXECUTED plan contains one of the
+    # rewritten subtrees re-verifies this round
+    "text_line_dedup",
+    "pipeline_pretrain_corpus",
+    "text_substring_dedup",
+    "text_substring_removal",
+    "dedup_keeper_policies",
+    # round-11 j=0 Bloom pre-filter (r10 verdict #5)
+    "decontaminate_bloom",
+    # round-11: the asymmetric probe chain moved into the shared
+    # `_asymmetric_member_pairs` builder (plan-shape preserved, code
+    # path rewritten)
+    "dedup_minhash_incremental",
 )
 
-_FRONT_GENERATED_FROM_ROUND = 9
+_FRONT_GENERATED_FROM_ROUND = 10
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
-    "decontaminate_bloom",  # never sampled
-    "dedup_keeper_policies",  # never sampled
-    "dedup_threshold_sweep",  # never sampled
-    "text_substring_dedup",  # never sampled
-    "text_substring_removal",  # never sampled
-    "dedup_cluster_cc",  # REWRITTEN this round (last green r9)
-    "dedup_minhash_lsh",  # REWRITTEN this round (last green r9)
-    "dedup_recall_eval",  # REWRITTEN this round (last green r9)
-    "sample_cluster_aware_split",  # REWRITTEN this round (last green r8)
-    "events_ewma_smooth",  # r5
-    "events_gap_fill_locf",  # r5
-    "events_markov_transitions",  # r5
-    "events_ohlc_candles",  # r5
-    "events_resample_interp",  # r5
-    "export_shard_manifest",  # r5
-    "graph_triangle_count",  # r5
-    "join_asof_nearest",  # r5
-    "join_interval_overlap",  # r5
-    "join_null_safe",  # r5
-    "join_runtime_filtered",  # r5
-    "multimodal_audio_features",  # r5
-    "multimodal_image_hist",  # r5
-    "pipeline_pretrain_corpus",  # r5
-    "quality_logreg_filter",  # r5
-    "reshape_unpivot",  # r5
-    "scalar_conditional",  # r5
-    "scalar_map",  # r5
-    "scalar_variant",  # r5
-    "scan_csv_permissive",  # r5
-    "sql_tpch_q7",  # r5
-    "sql_tpch_q9",  # r5
-    "stream_sliding_rate",  # r5
-    "streaming_ewma_state",  # r5
-    "streaming_incremental_rollup",  # r5
-    "streaming_pattern_state",  # r5
-    "text_line_dedup",  # r5
-    "text_pii_redact",  # r5
-    "text_quality_score",  # r5
-    "agg_approx_topk_contract",  # r6
-    "agg_groupby_q1",  # r6
-    "agg_grouping_sets",  # r6
-    "agg_kmv_distinct",  # r6
-    "agg_mode_median",  # r6
-    "ann_lsh_cosine",  # r6
-    "audit_referential_integrity",  # r6
-    "basket_association_rules",  # r6
-    "dedup_exact",  # r6
-    "dedup_method_comparison",  # r6
-    "dq_benford_audit",  # r6
-    "dq_null_profile",  # r6
+    "decontaminate_fuzzy_minhash",  # never sampled
+    "text_quality_gopher",  # never sampled
+    "decontaminate_bloom",  # REWRITTEN this round (last green r10)
+    "dedup_keeper_policies",  # REWRITTEN this round (last green r10)
+    "dedup_minhash_incremental",  # REWRITTEN this round (last green r9)
+    "pipeline_pretrain_corpus",  # REWRITTEN this round (last green r10)
+    "text_line_dedup",  # REWRITTEN this round (last green r10)
+    "text_substring_dedup",  # REWRITTEN this round (last green r10)
+    "text_substring_removal",  # REWRITTEN this round (last green r10)
+    "embed_centroid_drift",  # r6
+    "embed_cosine_topk",  # r6
+    "embed_matryoshka_energy",  # r6
+    "events_acf_lags",  # r6
+    "events_dispersion_index",  # r6
+    "events_forecast_backtest",  # r6
+    "events_holt_trend",  # r6
+    "events_weekday_contrast",  # r6
+    "funnel_time_to_convert",  # r6
+    "graph_bfs_hops",  # r6
+    "graph_edge_churn",  # r6
+    "growth_new_users_daily",  # r6
+    "index_inverted_postings",  # r6
+    "join_asof",  # r6
+    "join_broadcast_dims",  # r6
+    "join_dpp_partition_pruned",  # r6
+    "join_lateral_topn",  # r6
+    "join_range_interval",  # r6
+    "layout_zorder_skipping",  # r6
+    "multimodal_image_phash",  # r6
+    "orders_shipping_lag",  # r6
+    "pattern_match_fixed",  # r6
+    "pattern_match_skip",  # r6
+    "pattern_online_prequential",  # r6
+    "sample_weighted_reservoir",  # r6
+    "scalar_array",  # r6
+    "set_ops_by_name",  # r6
+    "snapshot_diff_report",  # r6
+    "sql_tpch_q3",  # r6
+    "sql_tpch_q5",  # r6
+    "streaming_growth_users",  # r6
+    "subquery_correlated",  # r6
+    "trend_wow_revenue",  # r6
+    "win_ranking",  # r6
+    "agg_distinct",  # r7
+    "agg_hash_global",  # r7
+    "agg_stats_moments",  # r7
+    "attribution_last_touch",  # r7
+    "attribution_linear",  # r7
+    "copurchase_part_pairs",  # r7
+    "dedup_exact_text",  # r7
 )
 
 

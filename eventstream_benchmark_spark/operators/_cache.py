@@ -65,6 +65,33 @@ def shared_persist(key: tuple, builder: Callable[[], DataFrame]) -> DataFrame:
     return df
 
 
+def shared_persist_atomic(
+    keys: tuple[tuple, ...], builder: Callable[[], tuple[DataFrame, ...]]
+) -> tuple[DataFrame, ...]:
+    """All-or-nothing :func:`shared_persist` for artifacts that come
+    out of ONE shared build plan (``builder`` returns one frame per
+    key, in order). If ANY key is missing, every key in the group is
+    dropped and the whole group rebuilt — a selective eviction (e.g.
+    ``release_shared_families`` naming only one of the family tags)
+    can therefore never leave one twin riding a stale upstream persist
+    while a rebuild of the other materializes a duplicate of that same
+    upstream (the r10 advisor's ``_collapse_family`` finding: the twin
+    frames share a persisted ``groups`` aggregate, and a half-evicted
+    group kept two copies of it in storage)."""
+    if not all(k in _SHARED for k in keys):
+        for k in keys:
+            df = _SHARED.pop(k, None)
+            if df is not None:
+                df.unpersist()
+        for k, df in zip(keys, builder()):
+            _SHARED[k] = df
+    out = tuple(_SHARED[k] for k in keys)
+    for df in out:
+        if not df.is_cached:
+            df.persist()
+    return out
+
+
 def release_shared_persists() -> None:
     """Unpersist every family-shared frame (harness boundaries only)."""
     while _SHARED:

@@ -42,6 +42,7 @@ from eventstream_benchmark_spark.operators._cache import (
     release_scoped_persists,
     scoped_persist,
     shared_persist,
+    shared_persist_atomic,
 )
 from eventstream_benchmark_spark.operators._util import bigint, null_safe_div, r6
 
@@ -517,11 +518,17 @@ def _collapse_family(
     member-expanded pairs, so a 10×-flood clique of m copies re-entered
     every propagation round as m²/2 edges; at rep level it is one
     node). Neither frame carries a member ARRAY (round-8 verdict #3):
-    weight is a count, membership is relational rows."""
-    key_base = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    built: dict[str, DataFrame] = {}
+    weight is a count, membership is relational rows.
 
-    def _build() -> None:
+    The two keys are cached ATOMICALLY (round-11, r10 advice): both
+    frames ride one persisted ``groups`` aggregate, so a selective
+    eviction of one key must drop and rebuild both together — the
+    previous per-key builders silently rebuilt BOTH frames on a
+    half-evicted cache and left the surviving twin on the old
+    ``groups`` persist, doubling its storage."""
+    key_base = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+
+    def _build() -> tuple[DataFrame, DataFrame]:
         docs = load_table(spark, sf_dir, "documents")
         keyed = docs.select(F.lower("text").alias("ltext"), "doc_id")
         groups = scoped_persist(
@@ -535,11 +542,11 @@ def _collapse_family(
         )
         weights = groups.select(F.col("rep_id").alias("doc_id"), "weight")
         sh = _capped_shingles_weighted(_shingle_table(reps), weights)
-        built["rep_pairs"] = _minhash_pairs(sh)
+        rep_pairs = _minhash_pairs(sh)
         survived = sh.select(
             F.col("doc_id").alias("rep_id"), F.lit(True).alias("survived")
         )
-        built["membership"] = (
+        membership = (
             keyed.join(groups.select("ltext", "rep_id", "weight"), "ltext")
             .join(survived, "rep_id", "left")
             .select(
@@ -549,18 +556,14 @@ def _collapse_family(
                 F.coalesce("survived", F.lit(False)).alias("survived"),
             )
         )
+        return rep_pairs, membership
 
-    def _get(part: str):
-        def builder() -> DataFrame:
-            if part not in built:
-                _build()
-            return built[part]
-
-        return builder
-
-    return (
-        shared_persist(("minhash_rep_pairs", *key_base), _get("rep_pairs")),
-        shared_persist(("minhash_membership", *key_base), _get("membership")),
+    return shared_persist_atomic(
+        (
+            ("minhash_rep_pairs", *key_base),
+            ("minhash_membership", *key_base),
+        ),
+        _build,
     )
 
 
@@ -651,20 +654,53 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     expands to odd(r1) × even(r2), and a MIXED group's own batch ×
     corpus members pair at J = 1.0 exactly (identical shingle sets),
     gated on the representative surviving the shingle pipeline, the
-    same rule as the full pass. sf1 flood-probed."""
+    same rule as the full pass. sf1 flood-probed.
+
+    Round 11: the whole collapse→band-probe→verify→expand chain is
+    factored into :func:`_asymmetric_member_pairs` — the fuzzy
+    decontamination pass (``text.decontaminate_fuzzy_minhash``) probes
+    the EVAL split against the train corpus with the identical shape,
+    and sharing the builder makes probe-parameter drift between the
+    two structurally impossible (the `_band_sig_explode` rule)."""
     release_scoped_persists()
     docs = load_table(spark, sf_dir, "documents")
+    pairs = _asymmetric_member_pairs(
+        docs,
+        probe=(F.col("doc_id") % 2) == 1,
+        corpus=(F.col("doc_id") % 2) == 0,
+    )
+    return pairs.select(
+        F.col("probe_doc").alias("batch_doc"),
+        F.col("corpus_doc"),
+        "jaccard",
+    ).orderBy("batch_doc", "corpus_doc")
+
+
+def _asymmetric_member_pairs(
+    docs: DataFrame, probe: Column, corpus: Column
+) -> DataFrame:
+    """(probe_doc, corpus_doc, jaccard): verified near-dup pairs from
+    one side of a disjoint document partition (``probe``) against the
+    other (``corpus``) — band buckets joined probe→corpus ONLY, no
+    corpus×corpus candidate ever generated. ``probe``/``corpus`` are
+    boolean expressions over the ``documents`` columns and MUST be
+    disjoint (a doc on both sides would pair with itself at J=1.0).
+    Exact-dup collapse, weighted stop-shingle cap, mixed-group 1.0
+    expansion, and the rep-survival gate all match the full-pass
+    chain; see :func:`dedup_minhash_incremental` for the plan-shape
+    rationale. Not ordered — callers add presentation sorts."""
     keyed = docs.select(
         F.lower("text").alias("ltext"),
         "doc_id",
-        (F.col("doc_id") % 2).alias("par"),
+        probe.cast("int").alias("is_p"),
+        corpus.cast("int").alias("is_c"),
     )
     groups = scoped_persist(
         keyed.groupBy("ltext").agg(
             F.min("doc_id").alias("rep_id"),
             F.count("*").alias("weight"),
-            F.max((F.col("par") == 1).cast("int")).alias("has_batch"),
-            F.max((F.col("par") == 0).cast("int")).alias("has_corpus"),
+            F.max("is_p").alias("has_batch"),
+            F.max("is_c").alias("has_corpus"),
         )
     )
     reps = groups.select(F.col("rep_id").alias("doc_id"), F.col("ltext").alias("text"))
@@ -707,32 +743,32 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     copies = scoped_persist(
         keyed.join(groups.select("ltext", "rep_id"), "ltext").select(
-            "rep_id", "doc_id", "par"
+            "rep_id", "doc_id", "is_p", "is_c"
         )
     )
-    batch_members = copies.filter(F.col("par") == 1).select(
-        "rep_id", F.col("doc_id").alias("batch_doc")
+    probe_members = copies.filter(F.col("is_p") == 1).select(
+        "rep_id", F.col("doc_id").alias("probe_doc")
     )
-    corpus_members = copies.filter(F.col("par") == 0).select(
+    corpus_members = copies.filter(F.col("is_c") == 1).select(
         "rep_id", F.col("doc_id").alias("corpus_doc")
     )
     across = (
         rep_pairs.join(
-            batch_members.withColumnRenamed("rep_id", "r1"), "r1"
+            probe_members.withColumnRenamed("rep_id", "r1"), "r1"
         )
         .join(corpus_members.withColumnRenamed("rep_id", "r2"), "r2")
-        .select("batch_doc", "corpus_doc", "jaccard")
+        .select("probe_doc", "corpus_doc", "jaccard")
     )
-    # mixed groups: batch x corpus members of the SAME group pair at
+    # mixed groups: probe x corpus members of the SAME group pair at
     # exactly 1.0, emitted only when the representative survives the
     # shingle pipeline (>= K tokens, >= 1 non-hot shingle) — both
     # engines drop all-hot/short docs identically
     within = (
-        batch_members.join(corpus_members, "rep_id")
+        probe_members.join(corpus_members, "rep_id")
         .join(sh.select(F.col("doc_id").alias("rep_id")), "rep_id", "left_semi")
-        .select("batch_doc", "corpus_doc", F.lit(1.0).alias("jaccard"))
+        .select("probe_doc", "corpus_doc", F.lit(1.0).alias("jaccard"))
     )
-    return within.unionAll(across).orderBy("batch_doc", "corpus_doc")
+    return within.unionAll(across)
 
 
 def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

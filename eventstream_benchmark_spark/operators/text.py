@@ -101,6 +101,96 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1): the
+# published heuristic-quality rule set a pre-training pipeline applies
+# verbatim. Bounds below are the paper's.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3  # mean word length band, chars
+GOPHER_MAX_MWL = 10
+# the paper's "must contain >= 2 of" stop-word requirement. The
+# paper's list is kept verbatim and extended with "a": the synthetic
+# corpus's vocabulary contains exactly two English function words
+# ("the", "a"), so on the paper's list alone the rule would fail
+# uniformly (n_stop <= 1 everywhere) — the appended word keeps the >=2
+# machinery discriminating on fixture text (63% pass at sf0.01); a
+# production run swaps the verbatim list back, same plan
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher heuristic-quality rule battery (Rae et al. 2021
+    Table A1) as one single-scan query — extends the 3-signal
+    ``text_quality_score`` to the published rule set: word-count
+    bounds, mean-word-length band, symbol-to-word ratio (# and
+    ellipsis), bullet-line and ellipsis-line fractions, alphabetic-
+    word floor, and the ≥2-stopword requirement, each emitted as a
+    per-rule boolean plus the composite verdict.
+
+    Every rule is an INTEGER comparison (10·symbols ≤ n_words instead
+    of symbols/n ≤ 0.1, 3n ≤ chars ≤ 10n instead of a mean, 5·alpha ≥
+    4n, 10·bullet ≤ 9·lines, 10·ellipsis ≤ 3·lines), so both engines
+    compare exact integers — no float ratio ever materializes and the
+    oracle is bit-trivial. Fixture note, documented not hidden: the
+    corpus is [a-z ]-only single-line text, so the symbol/bullet/
+    ellipsis rules pass everywhere (their machinery is still exercised
+    and hash-checked); word-count, mean-word-length and stopword rules
+    vary for real. Scale shape: pure per-row expressions fused into
+    the scan — no shuffle, no Python, embarrassingly parallel at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("bigint")
+    chars_adj = F.length("text").cast("bigint") - (n - 1)  # chars sans separators
+    n_hash = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ).cast("bigint")
+    n_ell = (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        )
+        / F.lit(3)
+    ).cast("bigint")
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines).cast("bigint")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ")
+            | l.startswith("* ")
+            | l.startswith("•"),
+        )
+    ).cast("bigint")
+    ell_lines = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast(
+        "bigint"
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("bigint")
+    n_stop = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    ).cast("bigint")
+    rules = {
+        "r_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (chars_adj >= GOPHER_MIN_MWL * n)
+        & (chars_adj <= GOPHER_MAX_MWL * n),
+        "r_symbol_ratio": (n_hash + n_ell) * 10 <= n,
+        "r_bullet_lines": bullet * 10 <= n_lines * 9,
+        "r_ellipsis_lines": ell_lines * 10 <= n_lines * 3,
+        "r_alpha_words": alpha * 5 >= n * 4,
+        "r_stopwords": n_stop >= 2,
+    }
+    composite = None
+    for expr in rules.values():
+        composite = expr if composite is None else (composite & expr)
+    return docs.select(
+        "doc_id",
+        bigint(n).alias("n_words"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        composite.alias("passes"),
+    )
+
+
 # --------------------------------------------------------------------------
 # language identification (marker scoring)
 # --------------------------------------------------------------------------
@@ -482,6 +572,18 @@ BLOOM_K = 7  # hash probes per gram
 _HEX = "0123456789abcdef"
 
 
+def _bloom_hashed(df: DataFrame) -> DataFrame:
+    """(…, h1, h2): the two 32-bit md5 halves driving the
+    Kirsch-Mitzenmacher double hash — one md5 per gram, factored so
+    the j=0 pre-filter and the full K-position explode share it."""
+    md5g = F.md5(F.col("gram"))
+    return df.select(
+        "*",
+        F.conv(F.substring(md5g, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5g, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+
+
 def _bloom_positions(df: DataFrame) -> DataFrame:
     """One (…, pos) row per gram × BLOOM_K probe: Kirsch-Mitzenmacher
     double hashing pos_j = (h1 + j·h2) mod M over two 32-bit halves of
@@ -495,12 +597,7 @@ def _bloom_positions(df: DataFrame) -> DataFrame:
     Catalyst's projection collapse inline the md5+conv into every
     element, 14 digests per gram (the ``dedup._doc_shingles`` trap),
     measured ~3× the whole query's useful work at the sf1 flood."""
-    md5g = F.md5(F.col("gram"))
-    hashed = df.select(
-        "*",
-        F.conv(F.substring(md5g, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(md5g, 9, 8), 16, 10).cast("long").alias("h2"),
-    )
+    hashed = _bloom_hashed(df)
     return hashed.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
     ).select(
@@ -559,9 +656,25 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the filter: DISTINCT set-bit positions, ≤ BLOOM_M_BITS rows by
     # construction whatever the eval corpus size
     bits = _bloom_positions(evalg).select("pos").distinct()
-    tpos = _bloom_positions(
+    # j=0 pre-filter (round 11, r10 verdict #5): a gram passes the
+    # filter only if ALL K positions are set, so probing position
+    # h1 % M first — one row per train gram, a broadcast left-semi
+    # against the same bit table — discards the mostly-clean corpus
+    # BEFORE the K-way explode multiplies the gram stream. Only
+    # survivors (true hits + the filter's position-0 collisions) pay
+    # the full BLOOM_K probe rows; the j=0 re-probe inside the explode
+    # is one redundant guaranteed-match row per survivor, kept so the
+    # all-K count contract below stays untouched. Output identical:
+    # any gram the pre-filter drops had n_pos < BLOOM_K.
+    th = _bloom_hashed(
         grams.filter(F.col("split") == "train").select("doc_id", "gram")
     )
+    surv = (
+        th.withColumn("pos", F.col("h1") % F.lit(BLOOM_M_BITS).cast("long"))
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .select("doc_id", "gram")
+    )
+    tpos = _bloom_positions(surv)
     # inner join keeps matched position rows only; a gram passes the
     # filter iff all BLOOM_K of its rows matched (duplicate positions
     # from intra-gram hash collisions still yield BLOOM_K rows)
@@ -590,6 +703,57 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared_grams", F.lit(0).cast("bigint")).alias(
                 "n_shared_grams"
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) train/eval decontamination — the third
+    member of the decontamination family: the exact 5-gram join
+    (:func:`decontaminate_ngram_overlap`) and the Bloom pass
+    (:func:`decontaminate_bloom`) catch verbatim leakage; this pass
+    catches PARAPHRASED/lightly-edited leakage the way production
+    pipelines do it (e.g. GPT-3's fuzzy dedup of eval sets against the
+    training corpus): MinHash-LSH of the held-out split probed against
+    the train split, verified with exact Jaccard at the dedup family's
+    threshold.
+
+    The plan is the asymmetric batch→corpus shape
+    ``dedup_minhash_incremental`` proved (r10 verdict #3), through the
+    SAME builder (:func:`dedup._asymmetric_member_pairs`), so banding
+    parameters cannot drift between the incremental dedup and the
+    decontamination probe: exact-dup collapse → weighted stop-shingle
+    cap → signatures → band buckets joined EVAL→TRAIN ONLY (never a
+    train×train candidate — work is O(eval bands + probed buckets),
+    not corpus²) → exact-Jaccard verify. The split is the
+    deterministic 80/20 hash shared by ``_decon_grams``, so all three
+    decontamination passes examine the same boundary.
+
+    Output: one row per CONTAMINATED TRAIN DOC — (doc_id,
+    n_eval_docs, max_jaccard): how many held-out docs it near-matches
+    and the worst overlap. Oracle: the capped-shingle all-pairs
+    Jaccard with the split join condition replacing the d1<d2
+    self-join, aggregated per train doc."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+    )
+    from eventstream_benchmark_spark.operators.dedup import (
+        _asymmetric_member_pairs,
+    )
+
+    release_scoped_persists()
+    bucket = _split_bucket()
+    pairs = _asymmetric_member_pairs(
+        load_table(spark, sf_dir, "documents"),
+        probe=bucket >= 80,
+        corpus=bucket < 80,
+    )
+    return (
+        pairs.groupBy(F.col("corpus_doc").alias("doc_id"))
+        .agg(
+            bigint(F.count("*")).alias("n_eval_docs"),
+            F.max("jaccard").alias("max_jaccard"),
         )
         .orderBy("doc_id")
     )
@@ -1435,6 +1599,7 @@ QUERIES = {
     "sample_cluster_aware_split": sample_cluster_aware_split,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "decontaminate_bloom": decontaminate_bloom,
+    "decontaminate_fuzzy_minhash": decontaminate_fuzzy_minhash,
     "text_substring_dedup": text_substring_dedup,
     "text_substring_removal": text_substring_removal,
     "text_repetition_score": text_repetition_score,
@@ -1447,6 +1612,7 @@ QUERIES = {
     "sample_dsir_weights": sample_dsir_weights,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
+    "text_quality_gopher": text_quality_gopher,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_tokenize_topterms": text_tokenize_topterms,
@@ -2141,3 +2307,80 @@ ORACLES["decontaminate_bloom"] = f"""
     FROM bloomd b FULL OUTER JOIN exactd e ON b.doc_id = e.doc_id
     ORDER BY doc_id
 """
+
+# Gopher Table A1 battery: every rule re-spelled as the identical
+# integer comparison the Spark side uses; the ellipsis count divides a
+# multiple of 3, so the double division is exact on both engines
+_GOPHER_STOP_SUM = " + ".join(
+    f"(CASE WHEN list_contains(w, '{s}') THEN 1 ELSE 0 END)"
+    for s in GOPHER_STOPWORDS
+)
+ORACLES["text_quality_gopher"] = f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split(lower(text), ' ') AS w,
+               string_split(text, chr(10)) AS ln
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n,
+               CAST(length(text) AS BIGINT) - (CAST(len(w) AS BIGINT) - 1)
+                   AS chars_adj,
+               CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+                   AS n_hash,
+               CAST((length(text) - length(replace(text, '...', ''))) / 3
+                    AS BIGINT) AS n_ell,
+               CAST(len(ln) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(ln, l -> starts_with(l, '- ')
+                    OR starts_with(l, '* ') OR starts_with(l, '•')))
+                    AS BIGINT) AS bullet,
+               CAST(len(list_filter(ln, l -> ends_with(l, '...')))
+                    AS BIGINT) AS ell_lines,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                    AS BIGINT) AS alpha,
+               CAST({_GOPHER_STOP_SUM} AS BIGINT) AS n_stop
+        FROM t
+    )
+    SELECT doc_id,
+           n AS n_words,
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+               AS r_word_count,
+           (chars_adj >= {GOPHER_MIN_MWL} * n
+            AND chars_adj <= {GOPHER_MAX_MWL} * n) AS r_mean_word_len,
+           ((n_hash + n_ell) * 10 <= n) AS r_symbol_ratio,
+           (bullet * 10 <= n_lines * 9) AS r_bullet_lines,
+           (ell_lines * 10 <= n_lines * 3) AS r_ellipsis_lines,
+           (alpha * 5 >= n * 4) AS r_alpha_words,
+           (n_stop >= 2) AS r_stopwords,
+           ((n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+            AND (chars_adj >= {GOPHER_MIN_MWL} * n
+                 AND chars_adj <= {GOPHER_MAX_MWL} * n)
+            AND ((n_hash + n_ell) * 10 <= n)
+            AND (bullet * 10 <= n_lines * 9)
+            AND (ell_lines * 10 <= n_lines * 3)
+            AND (alpha * 5 >= n * 4)
+            AND (n_stop >= 2)) AS passes
+    FROM m
+"""
+
+# fuzzy decontamination: dedup's capped-shingle all-pairs Jaccard with
+# the eval→train hash-split join condition replacing the d1<d2
+# self-join (the same string surgery as dedup_minhash_incremental's
+# parity oracle, drift-guarded below), aggregated per train doc
+_FUZZY_PAIRS_SQL = _DEDUP_PAIRS_SQL.replace(
+    "ON a.s = b.s AND a.doc_id < b.doc_id",
+    f"ON a.s = b.s"
+    f" AND (a.doc_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD} % 100 >= 80"
+    f" AND (b.doc_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD} % 100 < 80",
+)
+ORACLES["decontaminate_fuzzy_minhash"] = f"""
+    SELECT d2 AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_eval_docs,
+           max(jaccard) AS max_jaccard
+    FROM ({_FUZZY_PAIRS_SQL})
+    GROUP BY 1
+    ORDER BY doc_id
+"""
+assert _FUZZY_PAIRS_SQL != _DEDUP_PAIRS_SQL
+assert f"% 100 >= 80" in ORACLES["decontaminate_fuzzy_minhash"]

@@ -34,21 +34,26 @@ def test_median_rounding():
 def test_gate_budget_sane():
     """The DEFAULT re-run budget must allow at least one pass past the
     heavy lane's base n=2 and stay small — pinned on the literal
-    default, not the ambient environment (round-9 advice: a legitimate
-    SPARK_GRAFT_SF1_MAX_RUNS override outside [3, 9] was failing this
-    unrelated test)."""
-    import importlib
+    default in the SOURCE, not the ambient environment (round-9
+    advice: a legitimate SPARK_GRAFT_SF1_MAX_RUNS override outside
+    [3, 9] was failing this unrelated test) and not via module reload
+    (round-10 advice: reloading the shared ``bench`` module mid-suite
+    leaves other tests' ``from bench import _median`` references on
+    the pre-reload function objects and re-executes bench's top level
+    — a latent ordering hazard). Parse the default out of the source
+    expression instead."""
+    import inspect
+    import re
 
     import bench
 
-    old = os.environ.pop("SPARK_GRAFT_SF1_MAX_RUNS", None)
-    try:
-        importlib.reload(bench)
-        assert 3 <= bench.SF1_MAX_RUNS <= 9
-    finally:
-        if old is not None:
-            os.environ["SPARK_GRAFT_SF1_MAX_RUNS"] = old
-        importlib.reload(bench)
+    m = re.search(
+        r"SF1_MAX_RUNS = int\(\s*os\.environ\.get\("
+        r"\"SPARK_GRAFT_SF1_MAX_RUNS\", \"(\d+)\"\)\s*\)",
+        inspect.getsource(bench),
+    )
+    assert m, "SF1_MAX_RUNS default expression changed shape"
+    assert 3 <= int(m.group(1)) <= 9
 
 
 def test_core_spread_can_shrink_with_more_samples():

@@ -101,7 +101,17 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small):
     assert "Exchange" not in below_join
 
 
-@pytest.mark.parametrize("name", ["text_token_count", "text_fingerprint", "text_langid"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_token_count",
+        "text_fingerprint",
+        "text_langid",
+        # the Gopher Table A1 battery: integer-comparison rules fused
+        # into the scan, no shuffle, no Python (r11 addition)
+        "text_quality_gopher",
+    ],
+)
 def test_text_ops_are_single_scan_no_python(spark, sf_small, name):
     plan = _plan(spark, sf_small, name)
     assert "Scan parquet" in plan
@@ -859,6 +869,24 @@ def test_minhash_incremental_no_self_pairing(spark, sf_small):
     assert "has_batch" in plan and "has_corpus" in plan
     # the member expansions filter by parity
     assert "% 2)" in plan
+
+
+def test_fuzzy_decontamination_eval_side_probe_only(spark, sf_small):
+    """Fuzzy decontamination rides the SAME asymmetric builder as the
+    incremental probe (shared `_asymmetric_member_pairs`): band
+    buckets join eval-bearing reps against train-bearing reps only —
+    never a train×train candidate, never a d1<d2 self-join, no
+    cartesian form. The split filters are the collapse-level
+    has_batch/has_corpus flags over the deterministic hash bucket."""
+    plan = _plan(spark, sf_small, "decontaminate_fuzzy_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both side-membership filters present (collapse flags over the
+    # 80/20 hash split, not raw doc ids)
+    assert "has_batch" in plan and "has_corpus" in plan
+    assert "2654435761" in plan  # the shared split hash constant
+    # probe-side work only: no symmetric self-join predicate shape
+    assert "d1 < d2" not in plan
 
 
 def test_prequential_is_pure_windows_no_join_no_python(spark, sf_small):
