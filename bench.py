@@ -160,6 +160,10 @@ SF1_QUERIES = (
     # floor — its sf1 number should track the corpus scan, nothing else
     "decontaminate_fuzzy_minhash",
     "text_quality_gopher",
+    # the binary-quant eval's 10-query broadcast scan over the 10x
+    # embedding set — should track the corpus scan like the other
+    # broadcast-kNN probes
+    "embed_binary_quantize",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single

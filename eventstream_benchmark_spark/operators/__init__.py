@@ -13,18 +13,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (rotation.DRIVER_WINDOW=50 of 222 per round), so registry order decides
+# (rotation.DRIVER_WINDOW=50 of 223 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
 # output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r10 —
 # never-sampled additions first (round-11 additions
-# `decontaminate_fuzzy_minhash`, `text_quality_gopher`), then
+# `decontaminate_fuzzy_minhash`, `embed_binary_quantize`,
+# `text_quality_gopher`), then
 # `_CHANGED_THIS_ROUND` (rewritten semantics/plans re-verify
 # immediately), then ascending latest-green round, alphabetical within
 # a tier — and ``tests/test_rotation.py`` asserts literal ==
 # computation, so the round-7 failure mode (51 names hand-counted into
 # a 50-slot window, silently starving `embed_quantize_int8`) can no
 # longer happen.  This window retires all 34 remaining r6-green rows
-# and the 7 alphabetically first r7 names, finishing the freshness
+# and the 6 alphabetically first r7 names, finishing the freshness
 # cycle (r10 verdict #2: zero entries older than r7-green after this
 # round's driver pass).
 # The CORRECTNESS history round this front list was generated from
@@ -59,6 +60,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 _FRONT_GENERATED_FROM_ROUND = 10
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "decontaminate_fuzzy_minhash",  # never sampled
+    "embed_binary_quantize",  # never sampled
     "text_quality_gopher",  # never sampled
     "decontaminate_bloom",  # REWRITTEN this round (last green r10)
     "dedup_keeper_policies",  # REWRITTEN this round (last green r10)
@@ -107,7 +109,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "attribution_last_touch",  # r7
     "attribution_linear",  # r7
     "copurchase_part_pairs",  # r7
-    "dedup_exact_text",  # r7
 )
 
 

@@ -530,6 +530,115 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BQ_K = 10  # Hamming / cosine top-k compared by the binary-quant eval
+
+
+def embed_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) binary quantization with a Hamming-vs-cosine
+    retrieval agreement eval — the third embedding-compression mode
+    alongside int8 (:func:`embed_quantize_int8`) and PQ
+    (:func:`embed_pq_encode`): each 64-dim vector packs to two 32-bit
+    sign words (bit i set iff v[i] > 0; two words because bit 63 of
+    one BIGINT would overflow under ANSI), candidates are ranked by
+    ``bit_count(xor)`` Hamming distance — the cheap first-stage scorer
+    binary-quantized vector stores use — and the eval reports, per
+    query vector, how much of the exact-cosine top-``BQ_K`` the
+    Hamming top-``BQ_K`` recovers (the measured retrieval cost of 64×
+    compression) plus the Hamming band the top-k spans.
+
+    Scale shape: sign words and norms fold once per vector behind a
+    persisted barrier (the ``embed_quantize_int8`` projection-collapse
+    rule), the query side broadcasts (KNN_QUERIES rows), both top-k
+    ranks are ``row_number`` + ``filter`` so Spark 3.5's
+    WindowGroupLimit pushes a partial per-partition top-k below each
+    exchange (the multiprobe-kNN pin's shape), and every downstream
+    join is on (q_id, vec_id) — output-sized. Zero Python. Determinism:
+    Hamming ties break on vec_id; a zero-norm query's cosine is NULL
+    via the ``_cos`` guard and sorts last under DESC in both engines.
+
+    Oracle: DuckDB replays the sign rule as a per-dimension
+    sign-disagreement count (== bit_count(xor) by definition), the
+    same r6 cosine, and both rankings."""
+    release_scoped_persists()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+
+    def word(lo: int):
+        # bits lo..lo+31 of the sign signature as one non-negative long
+        return sum(
+            (F.element_at(F.col("v"), lo + i + 1) > 0.0).cast("long")
+            * F.lit(1 << i).cast("long")
+            for i in range(32)
+        )
+
+    base = scoped_persist(
+        emb.select(
+            "vec_id",
+            "v",
+            word(0).alias("w0"),
+            word(32).alias("w1"),
+            _norm(F.col("v")).alias("nrm"),
+        )
+    )
+    qs = F.broadcast(
+        base.filter(F.col("vec_id") < KNN_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("w0").alias("q0"),
+            F.col("w1").alias("q1"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    scored = (
+        base.crossJoin(qs)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+                + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+            ).cast("bigint").alias("hamming"),
+            r6(
+                _cos(_dot(F.col("v"), F.col("qv")), F.col("nrm"), F.col("qnrm"))
+            ).alias("cosine"),
+        )
+    )
+    wh = W.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    wc = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    top_h = scoped_persist(
+        scored.withColumn("hrk", F.row_number().over(wh))
+        .filter(F.col("hrk") <= BQ_K)
+        .select("q_id", "vec_id", "hamming")
+    )
+    top_c = (
+        scored.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= BQ_K)
+        .select("q_id", "vec_id")
+    )
+    bands = top_h.groupBy("q_id").agg(
+        bigint(F.min("hamming")).alias("min_hamming"),
+        bigint(F.max("hamming")).alias("max_hamming"),
+    )
+    overlap = (
+        top_h.select("q_id", "vec_id")
+        .join(top_c, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(bigint(F.count("*")).alias("overlap_k"))
+    )
+    return (
+        bands.join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("overlap_k", F.lit(0).cast("bigint")).alias("overlap_k"),
+            "min_hamming",
+            "max_hamming",
+        )
+        .orderBy("q_id")
+    )
+
+
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (scale = max|x| / 127)
     with reconstruction-error report — the compression step before
@@ -976,6 +1085,7 @@ QUERIES = {
     "embed_pq_encode": embed_pq_encode,
     "embed_dim_stats": embed_dim_stats,
     "embed_quantize_int8": embed_quantize_int8,
+    "embed_binary_quantize": embed_binary_quantize,
     "knn_bruteforce_topk": knn_bruteforce_topk,
     "ann_lsh_cosine": ann_lsh_cosine,
     "ann_lsh_query_topk": ann_lsh_query_topk,
@@ -1315,6 +1425,49 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("q_id")
     )
 
+
+ORACLES["embed_binary_quantize"] = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               CAST(len([i FOR i IN range(1, 65)
+                         IF (q.v[i] > 0) != (c.v[i] > 0)]) AS BIGINT)
+                   AS hamming,
+               round(list_dot_product(c.v, q.v) /
+                     (sqrt(list_dot_product(c.v, c.v)) *
+                      sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+        FROM e q JOIN e c
+          ON q.vec_id < {KNN_QUERIES} AND c.vec_id != q.vec_id
+    ),
+    th AS (
+        SELECT q_id, vec_id, hamming FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY hamming, vec_id) AS hrk
+            FROM s
+        ) WHERE hrk <= {BQ_K}
+    ),
+    tc AS (
+        SELECT q_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS crk
+            FROM s
+        ) WHERE crk <= {BQ_K}
+    ),
+    ov AS (
+        SELECT th.q_id, count(*) AS o
+        FROM th JOIN tc USING (q_id, vec_id) GROUP BY th.q_id
+    )
+    SELECT th.q_id,
+           CAST(coalesce(max(ov.o), 0) AS BIGINT) AS overlap_k,
+           CAST(min(th.hamming) AS BIGINT) AS min_hamming,
+           CAST(max(th.hamming) AS BIGINT) AS max_hamming
+    FROM th LEFT JOIN ov ON th.q_id = ov.q_id
+    GROUP BY th.q_id
+    ORDER BY th.q_id
+"""
 
 QUERIES["ann_recall_eval"] = ann_recall_eval
 ORACLES["ann_recall_eval"] = f"""

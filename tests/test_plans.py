@@ -91,6 +91,25 @@ def test_knn_broadcasts_queries(spark, sf_small):
     assert "SortMergeJoin" not in plan
 
 
+def test_binary_quantize_rank_pushdown_no_python(spark, sf_small):
+    """The binary-quantization eval (r11): sign words + norms fold once
+    per vector behind the persisted barrier, the KNN_QUERIES-row query
+    side broadcasts onto the corpus (the knn_bruteforce cross-broadcast
+    shape — the only NL form in the plan), BOTH top-k ranks push down
+    as WindowGroupLimit (partial per-partition top-k below the q_id
+    exchange — the shape that keeps a 10-query scan over a 100 TB
+    corpus from sorting corpus-sized window partitions), and the
+    overlap/band joins are keyed. Pure JVM bit_count/xor — no Python
+    anywhere."""
+    plan = _plan(spark, sf_small, "embed_binary_quantize")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                  "MapInPandas"):
+        assert py_op not in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_small):
     plan = _plan(spark, sf_small, "join_bucketed_colocated")
     tree = plan.split("\n\n(1)")[0]
