@@ -83,7 +83,7 @@ def shared_persist_atomic(
             df = _SHARED.pop(k, None)
             if df is not None:
                 df.unpersist()
-        for k, df in zip(keys, builder()):
+        for k, df in zip(keys, builder(), strict=True):
             _SHARED[k] = df
     out = tuple(_SHARED[k] for k in keys)
     for df in out:

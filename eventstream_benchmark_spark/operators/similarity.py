@@ -590,7 +590,12 @@ def embed_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("qnrm"),
         )
     )
-    scored = (
+    # persisted: the Hamming and cosine rankings below each consume
+    # this frame, and without the barrier the broadcast cross-join —
+    # the query's dominant compute (a 64-dim dot per (vector, query))
+    # — would run once per ranking (r11 review). Four scalar columns,
+    # KNN_QUERIES× the corpus row count.
+    scored = scoped_persist(
         base.crossJoin(qs)
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(

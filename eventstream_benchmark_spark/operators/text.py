@@ -2353,9 +2353,13 @@ ORACLES["decontaminate_bloom"] = f"""
 # Gopher Table A1 battery: every rule re-spelled as the identical
 # integer comparison the Spark side uses; the ellipsis count divides a
 # multiple of 3, so the double division is exact on both engines
+# CAST(bool AS INT), not CASE...ELSE 0: the cast propagates a NULL
+# token list (NULL text) exactly like Spark's
+# sum(array_contains(...).cast('int')) does — the ELSE-0 spelling
+# silently coerced the NULL-text row to n_stop=0 while Spark said
+# NULL (r11 review; latent, no fixture has NULL text)
 _GOPHER_STOP_SUM = " + ".join(
-    f"(CASE WHEN list_contains(w, '{s}') THEN 1 ELSE 0 END)"
-    for s in GOPHER_STOPWORDS
+    f"CAST(list_contains(w, '{s}') AS INT)" for s in GOPHER_STOPWORDS
 )
 ORACLES["text_quality_gopher"] = f"""
     WITH t AS (
