@@ -1333,9 +1333,23 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy over a doc_id-partitioned window — partition size = one
     document, bounded). No all-pairs form, no per-doc-pair work: cost
     is linear in corpus tokens around keyed shuffles."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        scoped_persist,
+    )
+
+    release_scoped_persists()
     docs = load_table(spark, sf_dir, "documents")
-    pos = _subdup_positions(
-        docs.select("doc_id", _tokens(F.col("text")).alias("w"))
+    # persisted: the duplicate-mark aggregate AND the semi-join probe
+    # side both consume the span table, and the 8-gram concat chain is
+    # the query's dominant map work — without the barrier the r11
+    # join-back rewrite built it twice (measured sf1 flood 9.1 → 13.3 s;
+    # with the persist the rewrite costs one cache write instead). At
+    # 100 TB this is a corpus-token-sized MEMORY_AND_DISK spill — the
+    # price of replacing the unsplittable span-keyed window, same
+    # trade ``text_substring_removal`` already makes for its base.
+    pos = scoped_persist(
+        _subdup_positions(docs.select("doc_id", _tokens(F.col("text")).alias("w")))
     )
     dup_spans = (
         pos.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") >= 2)
