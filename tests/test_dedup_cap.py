@@ -405,3 +405,104 @@ def test_keeper_policies_empty_corpus_emits_no_rows(spark, tmp_path):
     release_shared_persists()
     assert dedup.dedup_keeper_policies(spark, str(tmp_path)).count() == 0
     release_shared_persists()
+
+
+def test_fuzzy_decon_equals_split_filtered_full_pass(spark, tmp_path):
+    """The fuzzy decontamination probe rides the SAME asymmetric
+    builder as the incremental probe (r11's `_asymmetric_member_pairs`
+    factoring) — so its per-train-doc report must equal the full-pass
+    pair set restricted to cross-split pairs, aggregated train-side.
+    Pinned on the flood corpus, which the 80/20 hash split cuts
+    through every clique."""
+    import math
+
+    from eventstream_benchmark_spark.operators import text as T
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        release_shared_persists,
+    )
+
+    pdf = _flooded_docs()
+    pdf["lang"] = "en"
+    pdf["source"] = "flood"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf = str(tmp_path)
+
+    release_shared_persists()
+    release_scoped_persists()
+    fuzzy = (
+        T.decontaminate_fuzzy_minhash(spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    release_scoped_persists()
+    full = dedup._minhash_pairs_collapsed(spark, sf).toPandas()
+    release_scoped_persists()
+    release_shared_persists()
+
+    def bucket(doc_id: int) -> int:
+        return (doc_id * 2654435761) % 4294967296 % 100
+
+    def split(doc_id: int) -> str:
+        return "train" if bucket(doc_id) < 80 else "eval"
+
+    rows = []
+    for r in full.itertuples():
+        s1, s2 = split(r.d1), split(r.d2)
+        if {s1, s2} == {"train", "eval"}:
+            train_doc = r.d1 if s1 == "train" else r.d2
+            rows.append((train_doc, r.jaccard))
+    expected = (
+        pd.DataFrame(rows, columns=["doc_id", "jaccard"])
+        .groupby("doc_id")
+        .agg(n_eval_docs=("jaccard", "size"), max_jaccard=("jaccard", "max"))
+        .reset_index()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(fuzzy) > 0  # the flood split has cross-split near-dups
+    assert list(fuzzy.doc_id) == list(expected.doc_id)
+    assert list(fuzzy.n_eval_docs) == list(expected.n_eval_docs)
+    assert all(
+        math.isclose(a, b, rel_tol=0, abs_tol=0)
+        for a, b in zip(fuzzy.max_jaccard, expected.max_jaccard)
+    )
+
+
+def test_shared_persist_atomic_rebuilds_group_together(spark):
+    """`shared_persist_atomic` (r11, r10 advice): evicting ONE key of
+    an atomic group must rebuild BOTH keys through one builder call —
+    never leave the surviving twin on the old build while the evicted
+    key rebuilds a duplicate of the shared upstream."""
+    from eventstream_benchmark_spark.operators._cache import (
+        _SHARED,
+        release_shared_families,
+        release_shared_persists,
+        shared_persist_atomic,
+    )
+
+    release_shared_persists()
+    calls = []
+
+    def build():
+        calls.append(1)
+        a = spark.range(3).withColumnRenamed("id", "a")
+        b = spark.range(4).withColumnRenamed("id", "b")
+        return a, b
+
+    keys = (("atomic_test_a", "k"), ("atomic_test_b", "k"))
+    a1, b1 = shared_persist_atomic(keys, build)
+    assert len(calls) == 1
+    # fully cached: no rebuild
+    a2, b2 = shared_persist_atomic(keys, build)
+    assert len(calls) == 1 and a2 is a1 and b2 is b1
+    # selective eviction of ONE key -> whole group rebuilds, both
+    # frames are fresh objects, and nothing is stranded in _SHARED
+    release_shared_families(("atomic_test_a",))
+    a3, b3 = shared_persist_atomic(keys, build)
+    assert len(calls) == 2
+    assert a3 is not a1 and b3 is not b1
+    assert _SHARED[keys[0]] is a3 and _SHARED[keys[1]] is b3
+    release_shared_persists()
