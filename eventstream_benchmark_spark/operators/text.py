@@ -584,26 +584,24 @@ def _bloom_hashed(df: DataFrame) -> DataFrame:
     )
 
 
-def _bloom_positions(df: DataFrame, hashed: bool = False) -> DataFrame:
+def _bloom_positions(df: DataFrame) -> DataFrame:
     """One (…, pos) row per gram × BLOOM_K probe: Kirsch-Mitzenmacher
     double hashing pos_j = (h1 + j·h2) mod M over two 32-bit halves of
     md5(gram) — the same md5-as-portable-hash trick as
     ``dedup_simhash``, so DuckDB replays the filter BIT-FOR-BIT (max
     value h1 + 6·h2 < 2^35, no bigint overflow on either engine).
+    Since the r11 bitmap probe this runs only on the EVAL side (the
+    filter build); the train side tests positions in-row against the
+    packed bitmap and never explodes.
 
     The (h1, h2) projection sits BELOW the probe-index explode so the
     md5 runs once per gram, not once per probe — the first spelling
     (a ``transform`` array whose lambda referenced h1/h2) let
     Catalyst's projection collapse inline the md5+conv into every
     element, 14 digests per gram (the ``dedup._doc_shingles`` trap),
-    measured ~3× the whole query's useful work at the sf1 flood.
-    ``hashed=True`` means ``df`` already carries h1/h2 (the j=0
-    pre-filter threads them through its semi join so survivors are
-    never re-digested); h1/h2 are dropped from the output either
-    way."""
-    out_cols = [c for c in df.columns if c not in ("h1", "h2")]
-    hdf = df if hashed else _bloom_hashed(df)
-    return hdf.select(
+    measured ~3× the whole query's useful work at the sf1 flood."""
+    out_cols = list(df.columns)
+    return _bloom_hashed(df).select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
     ).select(
         *out_cols,
@@ -621,19 +619,24 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the eval corpus, so its equi-join always shuffles the full
     train gram stream against an unbounded build side. The Bloom side
     is bounded by the FILTER, not the data: eval grams hash to
-    BLOOM_K positions in a BLOOM_M_BITS space, and the filter is the
-    DISTINCT set-bit table — at most M rows (4.2M longs ≈ 32 MB)
-    whatever the eval size — which BROADCASTS onto the exploded train
-    positions as a hash join (hash-indexed O(1) probes; the packed
-    single-row map representation was measured 17× slower because
-    Spark's ``element_at`` on MapType is a LINEAR scan per lookup, so
-    65k-entry maps × 1.75M probes is quadratic work hiding in an
-    expression). A gram hits iff all BLOOM_K of its position rows
-    match (inner join + count), aggregated map-side per (doc, gram)
-    before any shuffle — explode keeps a gram's positions in one task,
-    so the partial aggregate collapses them locally. At 100 TB this is
-    the decontamination pass whose build side doesn't grow with the
-    eval corpus.
+    BLOOM_K positions in a BLOOM_M_BITS space, and the probe is a
+    PACKED BITMAP — M/32 bigint words of 32 bits each (bit 63 of a
+    64-bit word would overflow under ANSI), 131 072 longs ≈ 1 MB at
+    M = 2²², materialized on the driver (the collect is bounded by
+    the CONSTANT M, never by data size — exactly how Spark's own
+    runtime Bloom filters ship: driver-aggregated, broadcast as a
+    value) and cross-joined as one broadcast row. Each train gram
+    tests all BLOOM_K positions as an AND-chain of
+    ``element_at(bitmap, pos/32 + 1) & (1 << pos%32)`` — array access
+    BY INDEX is O(1) (the r10 lesson was MapType ``element_at`` BY
+    KEY being a linear scan; an ArrayType subscript is a direct
+    offset) — so the probe is a pure map-side filter: no 7× explode,
+    no join, no per-(doc, gram) count shuffle. This round first
+    shipped the probe as an exploded broadcast HASH JOIN (14M
+    position rows at the sf1 flood) plus a j=0 semi-join pre-filter;
+    the bitmap form replaces ~10 s of explode+join+aggregate with
+    in-row arithmetic. At 100 TB this is the decontamination pass
+    whose build side doesn't grow with the eval corpus.
 
     Accuracy contract, hash-checked rather than asserted: Bloom
     filters have NO false negatives by construction, and the md5
@@ -661,51 +664,54 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the filter: DISTINCT set-bit positions, ≤ BLOOM_M_BITS rows by
     # construction whatever the eval corpus size
     bits = _bloom_positions(evalg).select("pos").distinct()
-    # j=0 pre-filter (round 11, r10 verdict #5): a gram passes the
-    # filter only if ALL K positions are set, so probing position
-    # h1 % M first — one row per train gram, a broadcast left-semi
-    # against the same bit table — discards the mostly-clean corpus
-    # BEFORE the K-way explode multiplies the gram stream. Only
-    # survivors (true hits + the filter's position-0 collisions) pay
-    # the full BLOOM_K probe rows; (h1, h2) thread through the semi
-    # join so survivors are never re-digested, and the j=0 re-probe
-    # inside the explode is one redundant guaranteed-match row per
-    # survivor, kept so the all-K count contract below stays
-    # untouched. Output identical: any gram the pre-filter drops had
-    # n_pos < BLOOM_K.
-    #
-    # Measured honestly (r11 A/B at both scales, 2 passes each): on
-    # THESE fixtures the pre-filter is a wash — the eval split is a
-    # hash-carved 20% of the same corpus, so at the sf1 10× flood
-    # every train gram also occurs eval-side (survivor rate 100%,
-    # measured: 2,005,211 of 2,005,211) and even at sf0.1 the overlap
-    # saturates the probe; the r10 verdict's ≤12 s flood bar is
-    # unreachable by ANY probe-side cut because the flood query's
-    # floor is gram GENERATION (11.4 of ~19 s), not the probe. The
-    # pre-filter is kept for the workload the query exists for — a
-    # fixed eval suite against a 100 TB mostly-clean crawl, where the
-    # bit-table fill is ~0 and the semi join drops ~all of the 7×
-    # explode — at a measured ~zero cost on the saturated fixture.
+    # the packed bitmap (round 11, second attempt at the r10 verdict's
+    # probe-cost item after the j=0 semi-join pre-filter measured out
+    # a wash on the contamination-saturated fixtures): dense M/32
+    # 32-bit words in bigints. The collect is bounded by the constant
+    # M — 131 072 rows, ~1 MB — a FILTER is metadata, not data (the
+    # same driver hop Spark's own BloomFilterAggregate makes); it runs
+    # the eval-side subplan once at plan-build time, like the
+    # documented scalar count() that picks the triangle closing-join
+    # strategy.
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    words = (
+        bits.select(
+            F.floor(F.col("pos") / 32).cast("int").alias("wd"),
+            F.element_at(pow2, (F.col("pos") % 32).cast("int") + 1).alias("b"),
+        )
+        .groupBy("wd")
+        .agg(F.bit_or("b").alias("mask"))
+        .collect()
+    )
+    dense = [0] * (BLOOM_M_BITS // 32)
+    for r in words:
+        dense[r["wd"]] = r["mask"]
+    bitmap = F.broadcast(
+        spark.createDataFrame([(dense,)], "bitmap array<bigint>")
+    )
+    # per-gram test: ALL BLOOM_K positions set, as an AND-chain of
+    # O(1) array subscripts — one md5 per gram (h1/h2 are plain
+    # columns here, and each position is arithmetic on them; no
+    # explode, so there is no Generate collapse barrier to protect)
     th = _bloom_hashed(
         grams.filter(F.col("split") == "train").select("doc_id", "gram")
-    )
-    surv = (
-        th.withColumn("pos", F.col("h1") % F.lit(BLOOM_M_BITS).cast("long"))
-        .join(F.broadcast(bits), "pos", "left_semi")
-        .drop("pos")
-    )
-    tpos = _bloom_positions(surv, hashed=True)
-    # inner join keeps matched position rows only; a gram passes the
-    # filter iff all BLOOM_K of its rows matched (duplicate positions
-    # from intra-gram hash collisions still yield BLOOM_K rows)
-    ghit = (
-        tpos.join(F.broadcast(bits), "pos")
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("n_pos"))
-        .filter(F.col("n_pos") == BLOOM_K)
-    )
-    bloom_docs = ghit.groupBy("doc_id").agg(
-        bigint(F.count("*")).alias("n_hit_grams")
+    ).crossJoin(bitmap)
+    hit = None
+    for j in range(BLOOM_K):
+        pos = (F.col("h1") + F.lit(j).cast("long") * F.col("h2")) % F.lit(
+            BLOOM_M_BITS
+        ).cast("long")
+        test = (
+            F.element_at(
+                F.col("bitmap"), (F.floor(pos / 32) + 1).cast("int")
+            ).bitwiseAND(F.element_at(pow2, (pos % 32).cast("int") + 1))
+            != 0
+        )
+        hit = test if hit is None else (hit & test)
+    bloom_docs = (
+        th.filter(hit)
+        .groupBy("doc_id")
+        .agg(bigint(F.count("*")).alias("n_hit_grams"))
     )
     exact_docs = (
         grams.filter(F.col("split") == "train")
