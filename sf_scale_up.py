@@ -72,13 +72,32 @@ def _src_fingerprint(src: str) -> str:
     return hashlib.md5(repr(parts).encode()).hexdigest()
 
 
+# Bumped whenever the WRITER's output layout changes (folded into the
+# completion marker next to the source fingerprint) so a cached scaled
+# dir built by an older writer is rebuilt instead of silently served.
+_LAYOUT_VERSION = "v2-32files"
+
+# fact tables are written as this many part files. One 10x-replicated
+# fact lands in a SINGLE ~1-44 MB parquet file otherwise (the
+# broadcast-crossJoin replicate inherits the source scan's one
+# partition), i.e. ONE row group — and a one-row-group file is
+# unsplittable, so every sf1 consumer's map side (tokenize, gram
+# build, md5 probes, explodes) serialized onto one core no matter what
+# maxPartitionBytes says. A real 100 TB table has ~800k row groups
+# (SCALE.md "Scan layer"); 32 files per fact is the local[32] stand-in
+# for that, fixed at WRITE time where it costs one build-time shuffle
+# — never a query-side repartition, which would shuffle the full
+# corpus at production scale just to undo a fixture artifact.
+_FACT_FILES = 32
+
+
 def ensure_scaled_dir(spark: SparkSession, src: str, copies: int = 10,
                       out_root: str = "/tmp/spark_graft_scaled") -> str:
     out = os.path.join(
         out_root, f"{os.path.basename(src.rstrip('/'))}_x{copies}"
     )
     marker = os.path.join(out, "_ALL_TABLES_OK")
-    fp = _src_fingerprint(src)
+    fp = f"{_LAYOUT_VERSION}:{_src_fingerprint(src)}"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == fp:
@@ -102,6 +121,9 @@ def ensure_scaled_dir(spark: SparkSession, src: str, copies: int = 10,
                 ).collect()[0]
                 ts_span_us = int(hi - lo) + 3_600_000_000  # +1h inter-copy gap
             df = _replicate(spark, df, keys, int(offset), copies, ts_span_us)
+            # see _FACT_FILES: splittable multi-row-group layout, like
+            # any real table this size; dims stay single-file
+            df = df.repartition(_FACT_FILES)
         df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
     with open(marker, "w") as f:
         f.write(fp)

@@ -53,3 +53,24 @@ def test_scaled_dir_integrity(spark, sf_small):
 
     # idempotent: second call reuses the marker, no rebuild
     assert ensure_scaled_dir(spark, sf_small, copies=3, out_root=out_root) == d
+
+    # facts land as a SPLITTABLE multi-file layout (round 11): a 10x
+    # replicate of a one-partition source otherwise writes ONE parquet
+    # file = one row group, and an unsplittable row group serializes
+    # every downstream map side (tokenize/gram/md5 work) onto one core
+    # — the local stand-in for a real table's many row groups is many
+    # files, fixed at write time, never by a query-side repartition
+    from sf_scale_up import _FACT_FILES
+
+    for t in ("orders", "lineitem", "events", "documents", "embeddings"):
+        parts = [
+            f for f in os.listdir(os.path.join(d, f"{t}.parquet"))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == _FACT_FILES, (t, len(parts))
+    for t in ("customer", "nation"):
+        parts = [
+            f for f in os.listdir(os.path.join(d, f"{t}.parquet"))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, (t, len(parts))
