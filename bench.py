@@ -318,6 +318,16 @@ def main() -> None:
         extras[f"{key}_median"] = _median(rates)
         extras[f"{key}_n"] = len(rates)
 
+    # MEASURED AND REJECTED (round 11): re-staging the sf0.1 headline
+    # fixture into a 32-file splittable copy (the sf1 writer fix,
+    # SCALE.md "Scan layer") before timing. The single-file layout
+    # does serialize every query's pre-shuffle map side onto one core
+    # — but at sf0.1 volumes the headline queries are sub-second, and
+    # 32-way task scheduling overhead beat the freed parallelism:
+    # headline 14.98 → 17.52 s, with the small queries hit hardest
+    # (dedup_exact 0.30 → 0.93, stream_sliding_rate 0.32 → 0.78).
+    # The split layout pays exactly where it was kept: the sf1 lane,
+    # whose 10× CPU-dense map work amortizes the tasks (94 → 70 s).
     # warm the JVM + parquet footers so per-query numbers measure the
     # queries, not session start
     from eventstream_benchmark_spark.io import TABLES, load_table
