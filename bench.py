@@ -164,6 +164,15 @@ SF1_QUERIES = (
     # embedding set — should track the corpus scan like the other
     # broadcast-kNN probes
     "embed_binary_quantize",
+    # second round-11 batch: semantic decontamination probes the 10x
+    # eval-vector flood against the train side — both sides collapse
+    # exact-dup vectors first, so the flood's work is the two
+    # collapse shuffles plus a representative-sized band probe
+    "decontaminate_semantic_embed",
+    # soft-weight consumer rides the cc_labels persist like the
+    # keeper-policy probe: marginal cost = one size groupBy + the
+    # documents left join over the 10x corpus
+    "dedup_soft_weights",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single
@@ -223,6 +232,9 @@ SF1_HEAVY = {
     # collapse+band build as dedup_minhash_incremental (sf1 median
     # ~6 s there), so it gets multi-pass stats from birth
     "decontaminate_fuzzy_minhash",
+    # round-11 second batch: the semantic probe's collapse + band +
+    # verify chain measured ~5.7 s warm at the flood — same band
+    "decontaminate_semantic_embed",
 }
 # round-8 (verdict item 6): the graph pair was the worst-conditioned
 # sf1 number (triangle min 7.37 s with a 10.7 s spread — the spread

@@ -13,11 +13,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (rotation.DRIVER_WINDOW=50 of 223 per round), so registry order decides
+# (rotation.DRIVER_WINDOW=50 of 225 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
 # output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r10 —
-# never-sampled additions first (round-11 additions
-# `decontaminate_fuzzy_minhash`, `embed_binary_quantize`,
+# never-sampled additions first (the five round-11 additions:
+# `decontaminate_fuzzy_minhash`, `decontaminate_semantic_embed`,
+# `dedup_soft_weights`, `embed_binary_quantize`,
 # `text_quality_gopher`), then
 # `_CHANGED_THIS_ROUND` (rewritten semantics/plans re-verify
 # immediately), then ascending latest-green round, alphabetical within
@@ -55,14 +56,20 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # `_asymmetric_member_pairs` builder (plan-shape preserved, code
     # path rewritten)
     "dedup_minhash_incremental",
+    # round-11 second batch: cluster_size became a partial-aggregable
+    # groupBy + join (the last cluster-keyed count window retired)
+    "dedup_cluster_cc",
 )
 
 _FRONT_GENERATED_FROM_ROUND = 10
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "decontaminate_fuzzy_minhash",  # never sampled
+    "decontaminate_semantic_embed",  # never sampled (2nd r11 batch)
+    "dedup_soft_weights",  # never sampled (2nd r11 batch)
     "embed_binary_quantize",  # never sampled
     "text_quality_gopher",  # never sampled
     "decontaminate_bloom",  # REWRITTEN this round (last green r10)
+    "dedup_cluster_cc",  # REWRITTEN this round (2nd batch; last green r10)
     "dedup_keeper_policies",  # REWRITTEN this round (last green r10)
     "dedup_minhash_incremental",  # REWRITTEN this round (last green r9)
     "pipeline_pretrain_corpus",  # REWRITTEN this round (last green r10)
@@ -106,9 +113,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "agg_distinct",  # r7
     "agg_hash_global",  # r7
     "agg_stats_moments",  # r7
-    "attribution_last_touch",  # r7
-    "attribution_linear",  # r7
-    "copurchase_part_pairs",  # r7
 )
 
 

@@ -1275,13 +1275,20 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure over the member-level pairs."""
     release_scoped_persists()
     labels = _cc_labels_shared(spark, sf_dir)
-    from pyspark.sql import Window as W
-
+    members = labels.select("doc_id", F.col("label").alias("cluster_id"))
+    # cluster_size as a partial-aggregable groupBy + an output-sized
+    # join, NOT a count(*) window over cluster_id (round 11, the same
+    # r10-verdict-#1 shape retired from the keep-first family: a
+    # window partition has no map-side combine and AQE cannot split
+    # it, so one 10⁸-member flood cluster serializes into a single
+    # sort task; the aggregate reduces inside each map task and the
+    # join distributes normally). Bit-identical output, same oracle.
+    sizes = members.groupBy("cluster_id").agg(
+        bigint(F.count("*")).alias("cluster_size")
+    )
     return (
-        labels.select("doc_id", F.col("label").alias("cluster_id"))
-        .withColumn(
-            "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
-        )
+        members.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
         .orderBy("doc_id")
     )
 
@@ -1370,6 +1377,50 @@ def dedup_keeper_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style per-document training weights (He et al. 2024,
+    arXiv:2407.06654): instead of DROPPING a dup cluster's losers
+    (:func:`dedup_keeper_policies` compares who to keep), DOWNWEIGHT
+    every member so the cluster contributes one document's worth of
+    gradient in expectation — the reweighting alternative production
+    pipelines reach for when near-duplicates still carry signal.
+    Weight = 1/cluster_size, quantized once to integer micro-units
+    (``1000000 div size`` — exact integer division on both engines, so
+    the oracle replays every weight bit-for-bit); a doc in no cluster
+    keeps weight 1.0 (singleton).
+
+    Fourth consumer of the family-shared cluster labels
+    (:func:`_cc_labels_shared`): cluster sizes are ONE
+    partial-aggregable groupBy over the labels (never a cluster-keyed
+    window — the r10-verdict-#1 flood argument, same as the
+    ``dedup_cluster_cc`` rewrite), singletons join in as a LEFT join
+    from the documents scan, so the whole query is two keyed joins +
+    one aggregate around the shared artifact. Output: (doc_id,
+    cluster_size, w_micro), one row per document."""
+    release_scoped_persists()
+    labels = _cc_labels_shared(spark, sf_dir)
+    sizes = (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(bigint(F.count("*")).alias("sz"))
+        .join(
+            labels.select("doc_id", F.col("label").alias("cluster_id")),
+            "cluster_id",
+        )
+        .select("doc_id", "sz")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    size = F.coalesce("sz", F.lit(1).cast("bigint"))
+    return (
+        docs.join(sizes, "doc_id", "left")
+        .select(
+            "doc_id",
+            bigint(size).alias("cluster_size"),
+            bigint(F.expr("1000000 div coalesce(sz, 1)")).alias("w_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _min_label_cc(pairs: DataFrame) -> DataFrame:
     """(doc_id, label): min-reachable-id connected components over an
     undirected (d1, d2) pair set — min-label propagation with pointer
@@ -1442,6 +1493,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_soft_weights": dedup_soft_weights,
     "dedup_keeper_policies": dedup_keeper_policies,
 }
 
@@ -1546,6 +1598,36 @@ ORACLES = {
                    AS BIGINT) AS keeper_is_first,
                CAST(sum(n_chars) AS BIGINT) AS kept_chars
         FROM k WHERE rn = 1 GROUP BY policy ORDER BY policy
+    """,
+    # SoftDeDup weights: the same transitive closure, sizes per
+    # component, 1e6 // size exact integer division (Spark `div`)
+    "dedup_soft_weights": f"""
+        WITH RECURSIVE
+        pairs AS (SELECT d1, d2 FROM ({_PAIRS_SQL}) p),
+        edges AS (
+            SELECT d1 AS a, d2 AS b FROM pairs
+            UNION
+            SELECT d2, d1 FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a
+        ),
+        sizes AS (
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS sz
+            FROM comp
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size,
+               CAST(1000000 // coalesce(s.sz, 1) AS BIGINT) AS w_micro
+        FROM documents d LEFT JOIN sizes s USING (doc_id)
+        ORDER BY doc_id
     """,
     # the zero-miss contract: LSH output == exact truth on this corpus,
     # so the confusion matrix degenerates to (|truth|, 0, 0, 1, 1)

@@ -785,6 +785,143 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_semantic_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) train/eval decontamination — the
+    fourth and last production decontamination mode, completing the
+    family: the exact 5-gram join (:func:`decontaminate_ngram_overlap`)
+    and Bloom pass (:func:`decontaminate_bloom`) catch verbatim
+    leakage, :func:`decontaminate_fuzzy_minhash` catches lightly-edited
+    lexical leakage, and this pass catches REWORDED leakage that shares
+    no n-grams at all — a train vector whose embedding is
+    near-duplicate (cosine ≥ the dedup family's threshold) of any
+    held-out vector. The split is the family's deterministic 80/20
+    hash (:func:`_split_bucket`'s constants applied to ``vec_id``), so
+    all four passes examine one boundary.
+
+    Plan shape — the asymmetric eval→train probe
+    (``dedup_minhash_incremental`` / ``decontaminate_fuzzy_minhash``'s
+    shape) over ``dedup_embedding_cosine``'s machinery: each side
+    collapses exact-duplicate vectors first (the sf1 flood lesson —
+    10× bit-identical copies otherwise make every LSH bucket and the
+    verify join quadratic in copy count), hyperplane band signatures
+    (the shared deterministic plane family, one BLAS matmul per Arrow
+    batch) bucket the representatives, and candidates come ONLY from
+    eval-rep × train-rep band-bucket equi-joins — never train×train,
+    never a v1<v2 self-join — so probe work is O(eval bands + probed
+    buckets), not corpus². Survivors are verified with the exact
+    fold-order cosine (``_seq_dot_udf``, bit-identical to DuckDB's
+    ``list_dot_product``) and expanded through both membership tables;
+    the expansion join is output-sized. At 100 TB the standing train
+    index is the persisted collapsed rep/band table and each eval
+    refresh pays only its own probe.
+
+    Output: one row per CONTAMINATED TRAIN VECTOR — (vec_id,
+    n_eval_vecs, max_cosine). Oracle: all-pairs cross-split cosine at
+    the same rounding (r6 before thresholding, both engines select
+    identical pairs; candidate recall over the fixtures is exhaustive
+    — any banding miss fails the driver's value hash loudly, the same
+    contract ``dedup_embedding_cosine`` carries)."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        scoped_persist,
+    )
+    from eventstream_benchmark_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        _emb_band_sigs_udf,
+        _seq_dot_udf,
+    )
+
+    release_scoped_persists()
+    seq_dot = _seq_dot_udf()
+    band_sigs = _emb_band_sigs_udf()
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        (
+            (F.col("vec_id") * SPLIT_HASH_MULT) % SPLIT_HASH_MOD % 100 >= 80
+        ).alias("is_eval"),
+    )
+
+    def _side(pred):
+        s = raw.filter(pred)
+        groups = scoped_persist(
+            s.groupBy("v").agg(F.min("vec_id").alias("rep_id"))
+        )
+        reps = scoped_persist(
+            groups.select("rep_id", "v").withColumn(
+                "nrm", F.sqrt(seq_dot(F.col("v"), F.col("v")))
+            )
+        )
+        members = s.join(groups, "v").select("rep_id", "vec_id")
+        bands = reps.select(
+            "rep_id", F.posexplode(band_sigs("v")).alias("band_id", "band_sig")
+        )
+        return reps, members, bands
+
+    t_reps, t_members, t_bands = _side(~F.col("is_eval"))
+    e_reps, e_members, e_bands = _side(F.col("is_eval"))
+
+    candidates = (
+        e_bands.select(
+            F.col("rep_id").alias("e_rep"), "band_id", "band_sig"
+        )
+        .join(
+            t_bands.select(
+                F.col("rep_id").alias("t_rep"), "band_id", "band_sig"
+            ),
+            ["band_id", "band_sig"],
+        )
+        .select("t_rep", "e_rep")
+        .distinct()
+    )
+    rep_pairs = (
+        candidates.join(
+            t_reps.select(
+                F.col("rep_id").alias("t_rep"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "t_rep",
+        )
+        .join(
+            e_reps.select(
+                F.col("rep_id").alias("e_rep"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "e_rep",
+        )
+        .select(
+            "t_rep",
+            "e_rep",
+            # null_safe_div: an all-zero vector's norm product is 0 —
+            # NULL fails the threshold in both engines instead of
+            # raising DIVIDE_BY_ZERO under ANSI Spark
+            r6(
+                null_safe_div(
+                    seq_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+                )
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+    return (
+        rep_pairs.join(t_members.select(F.col("rep_id").alias("t_rep"), "vec_id"), "t_rep")
+        .join(
+            e_members.select(
+                F.col("rep_id").alias("e_rep"), F.col("vec_id").alias("e_vec")
+            ),
+            "e_rep",
+        )
+        .groupBy("vec_id")
+        .agg(
+            bigint(F.count("*")).alias("n_eval_vecs"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted Bernoulli sampling: keep a document with
     probability n_chars / max(n_chars) — the quality/size-weighted
@@ -1662,6 +1799,7 @@ QUERIES = {
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "decontaminate_bloom": decontaminate_bloom,
     "decontaminate_fuzzy_minhash": decontaminate_fuzzy_minhash,
+    "decontaminate_semantic_embed": decontaminate_semantic_embed,
     "text_substring_dedup": text_substring_dedup,
     "text_substring_removal": text_substring_removal,
     "text_repetition_score": text_repetition_score,
@@ -1697,6 +1835,9 @@ def _marker_score_sql(lang: str) -> str:
 # import text, so the top of the module stays dependency-light)
 from eventstream_benchmark_spark.operators.dedup import SHINGLE_K as _DEDUP_SHINGLE_K  # noqa: E402
 from eventstream_benchmark_spark.operators.dedup import _PAIRS_SQL as _DEDUP_PAIRS_SQL  # noqa: E402
+from eventstream_benchmark_spark.operators.dedup import (  # noqa: E402
+    COSINE_DUP_THRESHOLD as _COSINE_DUP_THRESHOLD_SQL,
+)
 
 
 ORACLES = {
@@ -2450,3 +2591,32 @@ ORACLES["decontaminate_fuzzy_minhash"] = f"""
 """
 assert _FUZZY_PAIRS_SQL != _DEDUP_PAIRS_SQL
 assert f"% 100 >= 80" in ORACLES["decontaminate_fuzzy_minhash"]
+
+# semantic decontamination: the all-pairs cross-split cosine —
+# dedup_embedding_cosine's oracle arithmetic (fold-order
+# list_dot_product, r6 round BEFORE thresholding so both engines
+# select identical pairs) with the eval→train hash-split join
+# condition replacing the v1<v2 self-join
+ORACLES["decontaminate_semantic_embed"] = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               (vec_id * {SPLIT_HASH_MULT}) % {SPLIT_HASH_MOD} % 100 >= 80
+                   AS is_eval
+        FROM embeddings
+    ),
+    p AS (
+        SELECT t.vec_id AS vec_id,
+               round(list_dot_product(t.v, h.v) /
+                     (sqrt(list_dot_product(t.v, t.v)) *
+                      sqrt(list_dot_product(h.v, h.v))), 6) AS cosine
+        FROM e t JOIN e h ON t.is_eval = false AND h.is_eval = true
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_eval_vecs,
+           max(cosine) AS max_cosine
+    FROM p
+    WHERE cosine >= {_COSINE_DUP_THRESHOLD_SQL}
+    GROUP BY vec_id
+    ORDER BY vec_id
+"""

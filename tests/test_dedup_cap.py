@@ -407,6 +407,30 @@ def test_keeper_policies_empty_corpus_emits_no_rows(spark, tmp_path):
     release_shared_persists()
 
 
+def test_soft_weights_all_singletons_on_dupfree_corpus(spark, tmp_path):
+    """`dedup_soft_weights` on a corpus with zero dup clusters: every
+    document is a singleton — one row per doc, cluster_size 1, weight
+    exactly 1.0 (1 000 000 micro-units). Pins the LEFT-join singleton
+    path, which the oracle reaches through an EMPTY recursive CTE."""
+    pdf = pd.DataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(12)), 60 + i)
+         for i in range(20)],
+        columns=["doc_id", "text", "n_chars"],
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    from eventstream_benchmark_spark.operators._cache import (
+        release_shared_persists,
+    )
+
+    release_shared_persists()
+    out = dedup.dedup_soft_weights(spark, str(tmp_path)).toPandas()
+    release_shared_persists()
+    assert len(out) == 20
+    assert (out.cluster_size == 1).all()
+    assert (out.w_micro == 1_000_000).all()
+
+
 def test_fuzzy_decon_equals_split_filtered_full_pass(spark, tmp_path):
     """The fuzzy decontamination probe rides the SAME asymmetric
     builder as the incremental probe (r11's `_asymmetric_member_pairs`
@@ -468,6 +492,86 @@ def test_fuzzy_decon_equals_split_filtered_full_pass(spark, tmp_path):
     assert all(
         math.isclose(a, b, rel_tol=0, abs_tol=0)
         for a, b in zip(fuzzy.max_jaccard, expected.max_jaccard)
+    )
+
+
+def test_semantic_decon_equals_split_filtered_full_pass(spark, tmp_path):
+    """Semantic decontamination (r11 second batch) must equal the
+    FULL symmetric pair set (`dedup_embedding_cosine`) restricted to
+    cross-split pairs, aggregated train-side — the same structural
+    contract the fuzzy lexical probe carries vs its full pass. Pinned
+    on a synthetic embedding flood: 8 near-orthogonal base directions
+    replicated 5× each as EXACT copies, so the 80/20 hash split cuts
+    through every exact-dup clique and the per-side collapse +
+    expansion paths all carry weight."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eventstream_benchmark_spark.operators import dedup
+    from eventstream_benchmark_spark.operators import text as T
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        release_shared_persists,
+    )
+
+    dim, n_base, copies = 64, 8, 5
+    vecs = []
+    for i in range(n_base * copies):
+        k = i % n_base
+        v = np.zeros(dim, dtype=np.float32)
+        # 8 disjoint coordinate blocks -> cosine 1.0 within a clique,
+        # exactly 0.0 across cliques (both sides of the threshold)
+        v[k * 8 : (k + 1) * 8] = np.float32(1.0 + k)
+        vecs.append(v)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    sf = str(tmp_path)
+
+    release_shared_persists()
+    release_scoped_persists()
+    got = (
+        T.decontaminate_semantic_embed(spark, sf)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    release_scoped_persists()
+    full = dedup.dedup_embedding_cosine(spark, sf).toPandas()
+    release_scoped_persists()
+    release_shared_persists()
+
+    def is_eval(vec_id: int) -> bool:
+        return (vec_id * 2654435761) % 4294967296 % 100 >= 80
+
+    rows = []
+    for r in full.itertuples():
+        if is_eval(r.v1) != is_eval(r.v2):
+            train_vec = r.v2 if is_eval(r.v1) else r.v1
+            rows.append((train_vec, r.cosine))
+    expected = (
+        pd.DataFrame(rows, columns=["vec_id", "cosine"])
+        .groupby("vec_id")
+        .agg(n_eval_vecs=("cosine", "size"), max_cosine=("cosine", "max"))
+        .reset_index()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0  # the hash split cuts through the cliques
+    assert list(got.vec_id) == list(expected.vec_id)
+    assert list(got.n_eval_vecs) == list(expected.n_eval_vecs)
+    assert all(
+        math.isclose(a, b, rel_tol=0, abs_tol=0)
+        for a, b in zip(got.max_cosine, expected.max_cosine)
     )
 
 

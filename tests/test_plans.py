@@ -908,6 +908,24 @@ def test_fuzzy_decontamination_eval_side_probe_only(spark, sf_small):
     assert "d1 < d2" not in plan
 
 
+def test_semantic_decontamination_asymmetric_probe_only(spark, sf_small):
+    """Semantic decontamination's candidates come only from eval-rep ×
+    train-rep band-bucket EQUI-joins: no cartesian/NL node anywhere,
+    the split-hash filters reach both scans as pushed-down predicates
+    (one < 80 side, one >= 80 side), and there is no symmetric
+    self-join orientation predicate — the two sides are disjoint by
+    construction, so the train×train candidate space never exists."""
+    plan = _plan(spark, sf_small, "decontaminate_semantic_embed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "2654435761" in plan  # the shared split hash constant
+    # both split sides present as scan-level filters
+    assert "% 100) < 80" in plan and "% 100) >= 80" in plan
+    # band-bucket equi-join keys, not a pair self-join
+    assert "band_sig" in plan
+    assert not re.search(r"vec_id#\d+L? < vec_id#\d+L?", plan)
+
+
 def test_prequential_is_pure_windows_no_join_no_python(spark, sf_small):
     """The test-then-train scorer is lag/frame windows + one aggregate —
     zero joins, zero Python (the whole model state lives in the frame)."""
