@@ -26,9 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 # computation, so the round-7 failure mode (51 names hand-counted into
 # a 50-slot window, silently starving `embed_quantize_int8`) can no
 # longer happen.  This window retires all 34 remaining r6-green rows
-# and the 6 alphabetically first r7 names, finishing the freshness
-# cycle (r10 verdict #2: zero entries older than r7-green after this
-# round's driver pass).
+# and the 3 alphabetically first r7 names (the second-batch additions
+# and the cluster_cc rewrite displaced the other three r7 names —
+# attribution_last_touch, attribution_linear, copurchase_part_pairs —
+# to the next round), leaving zero entries older than r6-green after
+# this round's driver pass (r10 verdict #2 asked for zero older than
+# r7; those three r7 rows re-verify in r12).
 # The CORRECTNESS history round this front list was generated from
 # (tests recompute staleness over rounds 1..this and assert equality;
 # bump it when regenerating the list at the start of the next round —

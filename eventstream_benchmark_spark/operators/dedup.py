@@ -1274,22 +1274,26 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     floods no longer multiply per-round edge volume. Oracle: DuckDB
     recursive-CTE transitive closure over the member-level pairs."""
     release_scoped_persists()
-    labels = _cc_labels_shared(spark, sf_dir)
+    return _cluster_sizes(_cc_labels_shared(spark, sf_dir)).orderBy("doc_id")
+
+
+def _cluster_sizes(labels: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) over a (doc_id, label) CC
+    label frame — cluster_size as a partial-aggregable groupBy + an
+    output-sized join, NOT a count(*) window over cluster_id (round
+    11, the same r10-verdict-#1 shape retired from the keep-first
+    family: a window partition has no map-side combine and AQE cannot
+    split it, so one 10⁸-member flood cluster serializes into a
+    single sort task; the aggregate reduces inside each map task and
+    the join distributes normally). One spelling shared by
+    ``dedup_cluster_cc`` and ``dedup_soft_weights`` so the
+    flood-safety shape cannot drift between the two consumers."""
     members = labels.select("doc_id", F.col("label").alias("cluster_id"))
-    # cluster_size as a partial-aggregable groupBy + an output-sized
-    # join, NOT a count(*) window over cluster_id (round 11, the same
-    # r10-verdict-#1 shape retired from the keep-first family: a
-    # window partition has no map-side combine and AQE cannot split
-    # it, so one 10⁸-member flood cluster serializes into a single
-    # sort task; the aggregate reduces inside each map task and the
-    # join distributes normally). Bit-identical output, same oracle.
     sizes = members.groupBy("cluster_id").agg(
         bigint(F.count("*")).alias("cluster_size")
     )
-    return (
-        members.join(sizes, "cluster_id")
-        .select("doc_id", "cluster_id", "cluster_size")
-        .orderBy("doc_id")
+    return members.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
     )
 
 
@@ -1398,25 +1402,19 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate around the shared artifact. Output: (doc_id,
     cluster_size, w_micro), one row per document."""
     release_scoped_persists()
-    labels = _cc_labels_shared(spark, sf_dir)
-    sizes = (
-        labels.groupBy(F.col("label").alias("cluster_id"))
-        .agg(bigint(F.count("*")).alias("sz"))
-        .join(
-            labels.select("doc_id", F.col("label").alias("cluster_id")),
-            "cluster_id",
-        )
-        .select("doc_id", "sz")
+    sizes = _cluster_sizes(_cc_labels_shared(spark, sf_dir)).select(
+        "doc_id", "cluster_size"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    size = F.coalesce("sz", F.lit(1).cast("bigint"))
     return (
         docs.join(sizes, "doc_id", "left")
-        .select(
-            "doc_id",
-            bigint(size).alias("cluster_size"),
-            bigint(F.expr("1000000 div coalesce(sz, 1)")).alias("w_micro"),
+        # ONE spelling of the singleton default: w_micro divides the
+        # same materialized cluster_size column the output carries
+        .withColumn(
+            "cluster_size",
+            bigint(F.coalesce("cluster_size", F.lit(1))),
         )
+        .withColumn("w_micro", bigint(F.expr("1000000 div cluster_size")))
         .orderBy("doc_id")
     )
 
