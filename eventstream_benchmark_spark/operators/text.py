@@ -1569,7 +1569,12 @@ def text_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", _tokens(F.col("text")).alias("w")
         )
     )
-    pos = _subdup_positions(base)
+    # persisted like its sibling text_substring_dedup's span table
+    # (round-11 review): TWO consumers below — the keep-first
+    # aggregate and the join-back probe — would otherwise each re-run
+    # the 7-step zip_with gram build + posexplode, the query's
+    # dominant map work
+    pos = scoped_persist(_subdup_positions(base))
     dup_firsts = (
         pos.groupBy("g")
         .agg(
