@@ -26,12 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 # computation, so the round-7 failure mode (51 names hand-counted into
 # a 50-slot window, silently starving `embed_quantize_int8`) can no
 # longer happen.  This window retires all 34 remaining r6-green rows
-# and the 3 alphabetically first r7 names (the second-batch additions
-# and the cluster_cc rewrite displaced the other three r7 names —
-# attribution_last_touch, attribution_linear, copurchase_part_pairs —
-# to the next round), leaving zero entries older than r6-green after
-# this round's driver pass (r10 verdict #2 asked for zero older than
-# r7; those three r7 rows re-verify in r12).
+# and the 2 alphabetically first r7 names (the second-batch additions
+# and rewrites displaced the other four r7 names —
+# agg_stats_moments, attribution_last_touch, attribution_linear,
+# copurchase_part_pairs — to the next round), leaving zero entries
+# older than r6-green after this round's driver pass (r10 verdict #2
+# asked for zero older than r7; those four r7 rows re-verify in r12).
 # The CORRECTNESS history round this front list was generated from
 # (tests recompute staleness over rounds 1..this and assert equality;
 # bump it when regenerating the list at the start of the next round —
@@ -62,6 +62,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-11 second batch: cluster_size became a partial-aggregable
     # groupBy + join (the last cluster-keyed count window retired)
     "dedup_cluster_cc",
+    # round-11 second batch: the TWAP lead segmented per (event_type,
+    # hour-bucket) with a bucket-boundary halo — the bare-event_type
+    # window over raw events retired (fixed ~10-type cardinality =
+    # corpus/10 rows in one sort task at scale)
+    "time_weighted_avg",
 )
 
 _FRONT_GENERATED_FROM_ROUND = 10
@@ -79,6 +84,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "text_line_dedup",  # REWRITTEN this round (last green r10)
     "text_substring_dedup",  # REWRITTEN this round (last green r10)
     "text_substring_removal",  # REWRITTEN this round (last green r10)
+    "time_weighted_avg",  # REWRITTEN this round (2nd batch; segmented lead)
     "embed_centroid_drift",  # r6
     "embed_cosine_topk",  # r6
     "embed_matryoshka_energy",  # r6
@@ -115,7 +121,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "win_ranking",  # r6
     "agg_distinct",  # r7
     "agg_hash_global",  # r7
-    "agg_stats_moments",  # r7
 )
 
 

@@ -311,18 +311,60 @@ def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TWAP_BUCKET_US = 3_600_000_000  # 1h segments for the boundary-halo lead
+
+
 def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of ``value`` per event type (the TWAP
     shape of timeseries engines): each observation holds until the
-    next one of the same type, so its weight is its dwell time. One
-    window shuffle on event_type for the lead(), then a tiny per-type
-    aggregate; the weight arithmetic stays in integer µs until the
-    single final division (epoch values never pass through doubles)."""
+    next one of the same type, so its weight is its dwell time. The
+    weight arithmetic stays in integer µs until the single final
+    division (epoch values never pass through doubles).
+
+    Scale shape (round 11 — the fixed-cardinality-key window audit
+    that retired the span/cluster windows, applied to the timeseries
+    lane): ``lead(ts)`` needs only the NEXT observation, so it
+    segments exactly. The former single window keyed on bare
+    ``event_type`` sorted corpus/|types| rows in ONE task per type —
+    event_type cardinality is FIXED (~10), so partition size grows
+    linearly with the corpus, the same unbounded-key argument as the
+    flood windows. Now: the lead runs per (event_type, hour-bucket) —
+    partition size bounded by one type's events per hour — and each
+    bucket's LAST row takes its successor from the next non-empty
+    bucket's FIRST observation, computed as a partial-aggregable
+    ``min(struct(ts, event_id))`` per bucket plus a lead over the
+    BUCKET-level frame (rows = non-empty hours × types — grows with
+    time, not volume). Order is ts-major, ties share a timestamp and
+    therefore a bucket, so (bucket, ts, event_id) ≡ (ts, event_id)
+    per type and the stitched lead is bit-identical to the global
+    one; the bucket frame broadcasts into the join back. Sequential
+    recurrences with unbounded frames (EWMA, CUSUM) keep the
+    per-series window — their semantics NEED the total order — but a
+    lead-1 never does."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    sel = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.floor(F.unix_micros("ts") / TWAP_BUCKET_US).alias("b"),
+    )
+    wb = W.partitionBy("event_type", "b").orderBy("ts", "event_id")
+    firsts = sel.groupBy("event_type", "b").agg(
+        F.min(F.struct("ts", "event_id")).alias("f")
+    )
+    w_buckets = W.partitionBy("event_type").orderBy("b")
+    nxt = firsts.select(
+        "event_type",
+        "b",
+        F.lead(F.col("f.ts")).over(w_buckets).alias("next_first_ts"),
+    )
     stepped = (
-        ev.select("event_type", "ts", "event_id", "value")
-        .withColumn("next_ts", F.lead("ts").over(w))
+        sel.withColumn("next_in_bucket", F.lead("ts").over(wb))
+        .join(F.broadcast(nxt), ["event_type", "b"])
+        .withColumn(
+            "next_ts", F.coalesce("next_in_bucket", "next_first_ts")
+        )
         .filter(F.col("next_ts").isNotNull())
         .withColumn(
             "dt_us", F.unix_micros("next_ts") - F.unix_micros("ts")

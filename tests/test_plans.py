@@ -908,6 +908,21 @@ def test_fuzzy_decontamination_eval_side_probe_only(spark, sf_small):
     assert "d1 < d2" not in plan
 
 
+def test_twap_lead_is_bucket_segmented(spark, sf_small):
+    """time_weighted_avg's lead runs per (event_type, hour-bucket) —
+    never a window keyed on bare event_type over the raw event scan
+    (fixed ~10-type cardinality would put corpus/10 rows into ONE
+    sort task at scale). The only single-key window sits above the
+    per-bucket min-struct AGGREGATE (the bucket-level next-first
+    frame), whose row count grows with time, not volume."""
+    plan = _plan(spark, sf_small, "time_weighted_avg")
+    # the raw-event lead is keyed (event_type, b)
+    assert re.search(r"windowspecdefinition\(event_type#\d+, b#\d+L?,", plan)
+    # the bucket frame exists as a partial-aggregable groupBy
+    assert re.search(r"Keys \[2\]: \[event_type#\d+, b#\d+L?\]", plan)
+    assert "CartesianProduct" not in plan
+
+
 def test_semantic_decontamination_asymmetric_probe_only(spark, sf_small):
     """Semantic decontamination's candidates come only from eval-rep ×
     train-rep band-bucket EQUI-joins: no cartesian/NL node anywhere,
