@@ -67,6 +67,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # window over raw events retired (fixed ~10-type cardinality =
     # corpus/10 rows in one sort task at scale)
     "time_weighted_avg",
+    # round-11 second batch: the posting fingerprint became a
+    # two-level (term, doc-shard) digest — the top terms' whole-corpus
+    # collect_list retired; posting_md5 VALUES changed (oracle updated
+    # in lockstep)
+    "index_inverted_postings",
 )
 
 _FRONT_GENERATED_FROM_ROUND = 10
@@ -80,6 +85,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "dedup_cluster_cc",  # REWRITTEN this round (2nd batch; last green r10)
     "dedup_keeper_policies",  # REWRITTEN this round (last green r10)
     "dedup_minhash_incremental",  # REWRITTEN this round (last green r9)
+    "index_inverted_postings",  # REWRITTEN this round (2nd batch; sharded digest)
     "pipeline_pretrain_corpus",  # REWRITTEN this round (last green r10)
     "text_line_dedup",  # REWRITTEN this round (last green r10)
     "text_substring_dedup",  # REWRITTEN this round (last green r10)
@@ -97,7 +103,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "graph_bfs_hops",  # r6
     "graph_edge_churn",  # r6
     "growth_new_users_daily",  # r6
-    "index_inverted_postings",  # r6
     "join_asof",  # r6
     "join_broadcast_dims",  # r6
     "join_dpp_partition_pruned",  # r6

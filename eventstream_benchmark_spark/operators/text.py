@@ -1738,6 +1738,7 @@ def _logreg_scored(docs: DataFrame, with_text: bool = False) -> DataFrame:
 
 
 INDEX_TOPK = 20  # posting lists assembled only for the selected terms
+INDEX_SHARD_DOCS = 1024  # doc_ids per posting-shard digest (r11)
 
 
 def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1749,13 +1750,23 @@ def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     index content is hash-checked without shipping the lists.
 
     Scale shape (100 TB): term statistics are one (term) groupBy over
-    the exploded stream with map-side combine; posting ASSEMBLY — the
-    part that concentrates a term's whole corpus footprint on one
-    reducer — happens only after the top-k cut, via a broadcast semi
-    join of the 20 selected terms, so no stop-term posting list is
-    ever materialized. (A full-corpus index build would instead shard
-    postings by (term, doc_id range) — this query pins the
-    select-then-assemble shape.)"""
+    the exploded stream with map-side combine; posting ASSEMBLY
+    happens only after the top-k cut, via a broadcast semi join of the
+    20 selected terms, so no unselected term's posting list is ever
+    materialized — and the selected terms' lists are SHARDED by
+    (term, doc_id range): the fingerprint is a two-level digest, an
+    md5 per ``INDEX_SHARD_DOCS``-doc shard (each shard's collect is
+    bounded by the shard's occurrences) rolled into one md5 over the
+    ordered shard digests. Round 11: the former single-level digest
+    collected a selected term's WHOLE corpus footprint onto one
+    reducer — and a top-by-docfreq term is by definition the corpus's
+    most frequent, so those 20 arrays were the largest possible
+    per-key states. The shard level caps reducer state at shard size;
+    the roll-up row count is occupied-shards per term (corpus/1024 —
+    add a third level, another ÷1024, if that ever matters: the
+    construction generalizes to log_B levels). DuckDB replays the
+    identical two-level digest, so the fingerprint stays value-hashed.
+    """
     docs = load_table(spark, sf_dir, "documents")
     pt = docs.select(
         "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos0", "term")
@@ -1765,9 +1776,10 @@ def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigint(F.count("*")).alias("tf_total"),
     )
     top = stats.orderBy(F.desc("docfreq"), "term").limit(INDEX_TOPK)
-    postings = (
+    shard = F.expr(f"doc_id div {INDEX_SHARD_DOCS}")
+    shards = (
         pt.join(F.broadcast(top.select("term")), "term")
-        .groupBy("term")
+        .groupBy("term", shard.alias("bk"))
         .agg(
             F.md5(
                 F.concat_ws(
@@ -1781,8 +1793,19 @@ def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda s: F.concat_ws(":", s["doc_id"], s["pos"]),
                     ),
                 )
-            ).alias("posting_md5"),
+            ).alias("bmd5"),
         )
+    )
+    postings = shards.groupBy("term").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bk", "bmd5"))),
+                    lambda s: F.concat_ws(":", s["bk"], s["bmd5"]),
+                ),
+            )
+        ).alias("posting_md5"),
     )
     return (
         top.join(postings, "term")
@@ -1930,13 +1953,21 @@ ORACLES = {
             FROM f GROUP BY term
         ),
         top AS (SELECT * FROM stats ORDER BY docfreq DESC, term
-                LIMIT {INDEX_TOPK})
-        SELECT t.term, t.docfreq, t.tf_total,
-               md5(string_agg(f.doc_id || ':' || f.pos, ','
-                              ORDER BY f.doc_id, f.pos)) AS posting_md5
-        FROM top t JOIN f ON f.term = t.term
-        GROUP BY t.term, t.docfreq, t.tf_total
-        ORDER BY t.docfreq DESC, t.term
+                LIMIT {INDEX_TOPK}),
+        shards AS (
+            SELECT t.term, t.docfreq, t.tf_total,
+                   f.doc_id // {INDEX_SHARD_DOCS} AS bk,
+                   md5(string_agg(f.doc_id || ':' || f.pos, ','
+                                  ORDER BY f.doc_id, f.pos)) AS bmd5
+            FROM top t JOIN f ON f.term = t.term
+            GROUP BY t.term, t.docfreq, t.tf_total,
+                     f.doc_id // {INDEX_SHARD_DOCS}
+        )
+        SELECT term, docfreq, tf_total,
+               md5(string_agg(bk || ':' || bmd5, ',' ORDER BY bk))
+                   AS posting_md5
+        FROM shards GROUP BY term, docfreq, tf_total
+        ORDER BY docfreq DESC, term
     """,
     # constants interpolated from the Spark side (the dedup._PAIRS_SQL
     # convention) so a SHINGLE_K / CORPUS_NGRAM_TOPK change can't

@@ -764,10 +764,18 @@ def test_bfs_frontier_joins_stay_equi(spark, sf_small):
 def test_inverted_index_assembles_only_topk(spark, sf_small):
     """Posting assembly must sit behind the broadcast semi join of the
     selected terms: the collect_list aggregate runs on the filtered
-    stream, and the term-stats aggregate keeps its map-side combine."""
+    stream, and the term-stats aggregate keeps its map-side combine.
+    Round 11: the shard-level digest keys on (term, bk) — a selected
+    term's whole corpus footprint never lands on one reducer; the
+    roll-up groups the shard digests only."""
     plan = _plan(spark, sf_small, "index_inverted_postings")
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
+    # first-level digest keyed (term, doc-shard expression)
+    assert re.search(
+        r"Keys \[2\]: \[term#\d+, _groupingexpression#\d+L?\]", plan
+    )
+    assert "AS bk#" in plan
 
 
 def test_association_rules_broadcast_singletons(spark, sf_small):
