@@ -347,7 +347,12 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "value",
-        F.floor(F.unix_micros("ts") / TWAP_BUCKET_US).alias("b"),
+        # integer div, not floor(us / const): epoch-µs must never
+        # transit a double (the repo-wide rule) — any monotone
+        # bucketing is CORRECT here (order by (b, ts) ≡ order by ts
+        # for monotone b), but the integer form is exact by
+        # construction instead of by a 2^53 headroom argument
+        F.expr(f"unix_micros(ts) div {TWAP_BUCKET_US}").alias("b"),
     )
     wb = W.partitionBy("event_type", "b").orderBy("ts", "event_id")
     firsts = sel.groupBy("event_type", "b").agg(
