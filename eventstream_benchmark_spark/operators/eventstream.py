@@ -355,14 +355,31 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"unix_micros(ts) div {TWAP_BUCKET_US}").alias("b"),
     )
     wb = W.partitionBy("event_type", "b").orderBy("ts", "event_id")
-    firsts = sel.groupBy("event_type", "b").agg(
-        F.min(F.struct("ts", "event_id")).alias("f")
+    # the halo needs only each bucket's FIRST ts — min(ts), since ts
+    # is the major sort key (the event_id tiebreak orders equal-ts
+    # rows but cannot change which ts is first). Deliberately a
+    # SECOND 2-column pruned scan rather than a persist of `sel`:
+    # caching a corpus-scale 5-column projection to save a pruned
+    # (event_type, ts) re-read is a bad trade at 100 TB — the re-scan
+    # is embarrassingly parallel and reads ~2 thin columns, while the
+    # cache costs cluster memory/spill proportional to the fact table
+    # (the substring-removal persist is the opposite case: its span
+    # table is derived, CPU-expensive to rebuild, and consumed twice
+    # within one shuffle span).
+    firsts = (
+        ev.select(
+            "event_type",
+            "ts",
+            F.expr(f"unix_micros(ts) div {TWAP_BUCKET_US}").alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.min("ts").alias("first_ts"))
     )
     w_buckets = W.partitionBy("event_type").orderBy("b")
     nxt = firsts.select(
         "event_type",
         "b",
-        F.lead(F.col("f.ts")).over(w_buckets).alias("next_first_ts"),
+        F.lead("first_ts").over(w_buckets).alias("next_first_ts"),
     )
     stepped = (
         sel.withColumn("next_in_bucket", F.lead("ts").over(wb))

@@ -928,6 +928,11 @@ def test_twap_lead_is_bucket_segmented(spark, sf_small):
     assert re.search(r"windowspecdefinition\(event_type#\d+, b#\d+L?,", plan)
     # the bucket frame exists as a partial-aggregable groupBy
     assert re.search(r"Keys \[2\]: \[event_type#\d+, b#\d+L?\]", plan)
+    # ABSENCE, not just presence (round-11 review): no window may be
+    # keyed on bare event_type with a ts sort anywhere — that is the
+    # retired raw-scan shape; the only single-key window orders by b
+    # over the bucket aggregate
+    assert not re.search(r"windowspecdefinition\(event_type#\d+, ts#", plan)
     assert "CartesianProduct" not in plan
 
 
