@@ -490,11 +490,29 @@ def main() -> None:
         "sf": sf,
         "extras": extras,
     }
-    print(json.dumps(payload))
-    # the driver's BENCH_rN capture truncates to ~2000 chars, which has
-    # cost two rounds their per-query dicts — persist the complete JSON
-    # in-repo so any round can be diffed without re-running: latest
-    # snapshot + an append-only history line (timestamped)
+    # The driver's BENCH_rN capture truncates stdout to ~2000 chars —
+    # rounds 10 and 11 both recorded "parsed": null because the full
+    # payload (with the sf1 extras dict) blew past the cap and only a
+    # tail survived. stdout therefore carries ONE compact JSON line
+    # (metric + per-query headline timings, a few hundred chars); the
+    # complete payload lives in bench_full.json / bench_history.jsonl
+    # below, and a human-readable pointer goes to stderr.
+    compact = dict(payload)
+    compact.pop("extras")
+    line = json.dumps(compact)
+    assert len(line) < 1800, (
+        f"bench stdout line {len(line)} chars — exceeds the driver's "
+        "~2000-char capture; trim the payload (extras belong in "
+        "bench_full.json, never on stdout)"
+    )
+    print(line)
+    print(
+        f"[bench] full payload ({len(extras)} extras keys) -> "
+        "bench_full.json / bench_history.jsonl",
+        file=sys.stderr,
+    )
+    # persist the complete JSON in-repo so any round can be diffed
+    # without re-running: latest snapshot + an append-only history line
     try:
         stamped = dict(payload, ts=time.strftime("%Y-%m-%dT%H:%M:%S"))
         with open(os.path.join(REPO, "bench_full.json"), "w") as f:

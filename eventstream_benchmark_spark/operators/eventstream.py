@@ -383,7 +383,14 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stepped = (
         sel.withColumn("next_in_bucket", F.lead("ts").over(wb))
-        .join(F.broadcast(nxt), ["event_type", "b"])
+        # no broadcast hint (round 12, advisor finding): the bucket
+        # frame is non-empty hours × types — tiny today, but it grows
+        # with corpus TIME SPAN (and shrinks with TWAP_BUCKET_US), and
+        # a forced hint bypasses autoBroadcastJoinThreshold with no
+        # fallback — a multi-decade corpus could OOM the driver. Left
+        # to the optimizer, AQE broadcasts it at runtime while it fits
+        # and degrades to a shuffle join when it doesn't.
+        .join(nxt, ["event_type", "b"])
         .withColumn(
             "next_ts", F.coalesce("next_in_bucket", "next_first_ts")
         )
