@@ -1313,6 +1313,112 @@ def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_STEPS = 8  # sequential merge rounds learned by the loop
+
+
+def corpus_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE training (Sennrich et al. 2016, arXiv:1508.07909):
+    ``BPE_MERGE_STEPS`` sequential merge rounds over the corpus
+    vocabulary, emitting the learned merge table — the first K rules a
+    real BPE tokenizer would learn on this corpus. Extends
+    :func:`corpus_bpe_pair_counts` (the single-iteration pair ranking)
+    to the full train loop; step 6 on the fixture already merges a
+    PREVIOUSLY-merged token (``m``+``er``), so the chain is exercised,
+    not decorative.
+
+    Words are carried as pipe-delimited token strings (``|a||b||c|``):
+    applying merge (a, b) is then one literal, left-to-right,
+    non-overlapping ``replace('|a||b|' -> '|ab|')`` — the exact BPE
+    merge semantics (``aaa`` + (a,a) -> ``aa``,``a``) with identical
+    behavior in Spark and DuckDB, and the full-token delimiters make a
+    cross-token false match impossible.
+
+    Scale shape: the ONLY corpus-scale operation is the initial
+    word-count aggregate (one map-side-combined shuffle); the loop
+    runs on the persisted (wstr, wc) VOCABULARY — bounded by distinct
+    words, not corpus size. Each round is a vocabulary-sized pair
+    aggregate plus a one-row argmax fetched to the driver as the
+    iteration barrier (the winning pair PARAMETRIZES the next plan's
+    replace pattern, so it is a scalar sync, the MLlib-iteration
+    shape — folding it in-plan instead would double the logical plan
+    per step, 2^K subtrees by step K). Ties break on
+    (freq DESC, a ASC, b ASC) in both engines; the loop stops early
+    if the vocabulary runs out of adjacent pairs, which is also when
+    the oracle's winner CTEs go empty."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+    )
+
+    release_scoped_persists()
+    return _bpe_merge_loop(
+        spark, load_table(spark, sf_dir, "documents"), BPE_MERGE_STEPS
+    )
+
+
+def _bpe_merge_loop(
+    spark: SparkSession, docs: DataFrame, steps: int
+) -> DataFrame:
+    """The merge loop over an arbitrary documents frame — factored so
+    tests can drive it against a pure-Python Sennrich reference on
+    crafted corpora (overlap, chained-merge, boundary cases)."""
+    from eventstream_benchmark_spark.operators._cache import scoped_persist
+
+    words = docs.select(F.explode(_tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = scoped_persist(
+        words.groupBy("w")
+        .agg(bigint(F.count("*")).alias("wc"))
+        .select(
+            F.concat(
+                F.lit("|"), F.array_join(F.split(F.col("w"), ""), "||"), F.lit("|")
+            ).alias("wstr"),
+            "wc",
+        )
+    )
+    merges: list[tuple] = []
+    for step in range(1, steps + 1):
+        toks = F.split(F.expr("trim(BOTH '|' FROM wstr)"), r"\|\|")
+        pair_list = F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        # min(struct(-freq, a, b)) == argmax by (freq DESC, a, b):
+        # one partial-aggregable reduction to a single row
+        row = (
+            vocab.filter(F.size(toks) >= 2)
+            .select("wc", F.explode(pair_list).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(bigint(F.sum("wc")).alias("freq"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("freq")).alias("nf"), F.col("a"), F.col("b")
+                    )
+                ).alias("m")
+            )
+            .first()
+        )
+        if row is None or row["m"] is None:
+            break  # vocabulary exhausted — oracle winners go empty too
+        a, b, freq = row["m"]["a"], row["m"]["b"], -row["m"]["nf"]
+        merges.append((step, a, b, a + b, freq))
+        vocab = scoped_persist(
+            vocab.select(
+                F.replace(
+                    F.col("wstr"),
+                    F.lit(f"|{a}||{b}|"),
+                    F.lit(f"|{a}{b}|"),
+                ).alias("wstr"),
+                "wc",
+            )
+        )
+    return spark.createDataFrame(
+        merges, "step bigint, a string, b string, merged string, freq bigint"
+    ).orderBy("step")
+
+
 LINE_WIN = 8  # tokens per "line" (span) for cross-document span dedup
 
 # deliberately simple patterns: the fixture corpus is [a-z ]-only, so
@@ -1821,6 +1927,7 @@ QUERIES = {
     "text_pii_redact": text_pii_redact,
     "quality_logreg_filter": quality_logreg_filter,
     "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
+    "corpus_bpe_merge_loop": corpus_bpe_merge_loop,
     "corpus_ngram_topk": corpus_ngram_topk,
     "sample_hash_split": sample_hash_split,
     "sample_cluster_aware_split": sample_cluster_aware_split,
@@ -2656,3 +2763,56 @@ ORACLES["decontaminate_semantic_embed"] = f"""
     GROUP BY vec_id
     ORDER BY vec_id
 """
+
+
+def _bpe_merge_loop_sql(steps: int) -> str:
+    """Chained-CTE DuckDB twin of :func:`corpus_bpe_merge_loop` — one
+    (pairs, winner, vocab-rewrite) CTE triple per merge round, the
+    ``graph_pagerank`` iterative-oracle shape. Every vocab CTE is
+    MATERIALIZED: each is referenced twice (next round's pair count +
+    next rewrite), so the default inline expansion would square the
+    plan per round — 2^steps subtrees by the end (measured: K=12
+    inlined never finished; K=8 materialized runs in ~50 ms)."""
+    parts = [
+        """
+    WITH words AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    v0 AS MATERIALIZED (
+        SELECT '|' || array_to_string(string_split(w, ''), '||') || '|'
+                   AS wstr,
+               CAST(count(*) AS BIGINT) AS wc
+        FROM words WHERE w <> '' GROUP BY w
+    )"""
+    ]
+    for s in range(1, steps + 1):
+        p = s - 1
+        parts.append(f""",
+    p{s} AS (
+        SELECT t[i] AS a, t[i+1] AS b, CAST(sum(wc) AS BIGINT) AS freq
+        FROM (SELECT string_split(trim(wstr, '|'), '||') AS t, wc
+              FROM v{p}),
+             LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        GROUP BY 1, 2
+    ),
+    w{s} AS MATERIALIZED (
+        SELECT {s} AS step, a, b, a || b AS merged, freq
+        FROM p{s} ORDER BY freq DESC, a, b LIMIT 1
+    ),
+    v{s} AS MATERIALIZED (
+        SELECT replace(v.wstr, '|' || w.a || '||' || w.b || '|',
+                       '|' || w.a || w.b || '|') AS wstr, v.wc
+        FROM v{p} v, w{s} w
+    )""")
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT * FROM w{s}" for s in range(1, steps + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(step AS BIGINT) AS step, a, b, merged, freq FROM (
+        {union}
+    ) ORDER BY step
+    """)
+    return "".join(parts)
+
+
+ORACLES["corpus_bpe_merge_loop"] = _bpe_merge_loop_sql(BPE_MERGE_STEPS)

@@ -1,0 +1,168 @@
+"""Round-12 operators: iterated BPE merges, harmonic sequence
+packing, paragraph-level (CCNet-shape) dedup.
+
+The BPE loop is checked against a pure-Python reimplementation of the
+published algorithm (Sennrich et al. 2016, learn_bpe's
+get_stats/merge_vocab pair) on crafted corpora that hit the traps:
+overlapping pairs (``aaa`` + (a,a) must merge non-overlapping
+left-to-right), merges that chain onto previously-merged tokens, and
+the cross-word-boundary false match the pipe-delimited token-string
+representation exists to prevent.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _ref_bpe(word_counts: dict[str, int], steps: int) -> list[tuple]:
+    """Sennrich-style reference: count ALL adjacent pairs (overlap
+    included), merge the argmax (freq DESC, a ASC, b ASC) left-to-
+    right non-overlapping."""
+    vocab = {w: tuple(w) for w in word_counts}
+    merges = []
+    for step in range(1, steps + 1):
+        stats: Counter = Counter()
+        for w, toks in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                stats[(a, b)] += word_counts[w]
+        if not stats:
+            break
+        (a, b), freq = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, freq))
+        new_vocab = {}
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges
+
+
+def _docs_frame(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def _run_loop(spark, texts: list[str], steps: int) -> list[tuple]:
+    from eventstream_benchmark_spark.operators.text import _bpe_merge_loop
+
+    rows = _bpe_merge_loop(spark, _docs_frame(spark, texts), steps).collect()
+    return [(r.step, r.a, r.b, r.merged, r.freq) for r in rows]
+
+
+def _words(texts: list[str]) -> dict[str, int]:
+    c: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                c[w] += 1
+    return dict(c)
+
+
+def test_bpe_loop_overlapping_pairs_merge_left_to_right(spark):
+    """``aaaa`` under merge (a,a): pair counting sees every adjacent
+    pair (3 per word), the merge is non-overlapping left-to-right
+    (-> ``aa``,``aa``), and round 2 then merges (aa, aa)."""
+    texts = ["aaaa aaaa aaaa", "ba ba"]
+    got = _run_loop(spark, texts, 3)
+    assert got == _ref_bpe(_words(texts), 3)
+    # explicit: the first merge is (a, a) with overlap-counted freq 9,
+    # and a LATER merge consumes the merged token
+    assert got[0][1:] == ("a", "a", "aa", 9)
+    assert any(m[1] == "aa" or m[2] == "aa" for m in got[1:])
+
+
+def test_bpe_loop_no_cross_word_boundary_merge(spark):
+    """Words ``xa`` and ``b`` adjacent in text must never produce an
+    (a, b) pair — pairs live within words. With (x,a) and nothing
+    else repeated, the winner is (x,a); an implementation matching
+    raw substrings across the token delimiter would find 'a b'."""
+    texts = ["xa b xa b xa b"]
+    got = _run_loop(spark, texts, 2)
+    assert got == _ref_bpe(_words(texts), 2)
+    assert got[0][1:3] == ("x", "a")
+    assert all((m[1], m[2]) != ("a", "b") for m in got)
+
+
+def test_bpe_loop_tiebreak_and_chaining(spark):
+    """Frequency ties break on (a ASC, b ASC) in both engines, and
+    merged symbols participate in later rounds' pair counts."""
+    texts = ["cd cd ab ab", "efg efg"]
+    got = _run_loop(spark, texts, 4)
+    assert got == _ref_bpe(_words(texts), 4)
+    # (a,b) and (c,d) tie at 2; (a,b) wins alphabetically; (e,f) and
+    # (f,g) tie at 2 but after (e,f) merges, (ef,g) appears
+    assert got[0][1:3] == ("a", "b")
+
+
+def test_bpe_loop_exhaustion_stops_early(spark):
+    """A vocabulary of single-char words has no pairs — the loop must
+    return an empty (schema-stable) frame, matching the oracle's
+    empty winner CTEs."""
+    got = _run_loop(spark, ["a b c a b"], 5)
+    assert got == []
+
+
+def test_bpe_loop_reference_parity_on_fixture(spark, sf_small):
+    """Full-loop parity against the Python reference on the real
+    sf0.001 corpus (the oracle-parity suite covers DuckDB; this pins
+    the published algorithm itself)."""
+    import duckdb
+
+    from eventstream_benchmark_spark.operators.text import (
+        BPE_MERGE_STEPS,
+        corpus_bpe_merge_loop,
+    )
+
+    con = duckdb.connect()
+    wc = dict(
+        con.execute(
+            "SELECT w, count(*) FROM (SELECT unnest(string_split(lower(text),"
+            f" ' ')) AS w FROM read_parquet('{sf_small}/documents.parquet'))"
+            " WHERE w <> '' GROUP BY w"
+        ).fetchall()
+    )
+    con.close()
+    rows = corpus_bpe_merge_loop(spark, sf_small).collect()
+    got = [(r.step, r.a, r.b, r.merged, r.freq) for r in rows]
+    assert got == _ref_bpe(wc, BPE_MERGE_STEPS)
+    assert len(got) == BPE_MERGE_STEPS  # non-degenerate on the fixture
+
+
+def test_bpe_loop_single_corpus_scan(spark, sf_small):
+    """The only corpus-scale operation is the initial word count: the
+    vocabulary build scans parquet once reading ONLY the text column;
+    every merge round runs on the persisted vocabulary (its pair
+    aggregate plans contain an InMemoryTableScan, not a second
+    parquet scan)."""
+    from pyspark.sql import functions as F
+
+    from eventstream_benchmark_spark.io import load_table
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+    )
+    from eventstream_benchmark_spark.operators.text import _tokens
+
+    docs = load_table(spark, sf_small, "documents")
+    words = docs.select(F.explode(_tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vplan = words.groupBy("w").count()._jdf.queryExecution().toString()
+    assert vplan.count("Scan parquet") + vplan.count("FileScan parquet") >= 1
+    assert "ReadSchema: struct<text:string>" in vplan
+    release_scoped_persists()
