@@ -1066,6 +1066,76 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_sequences_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-class (harmonic) sequence packing — the pad-and-pack
+    counterpart to :func:`pack_sequences_chunked`'s concat-and-chunk:
+    each document keeps its own PACK_CAPACITY-token context window and
+    bins are filled with whole documents, so no doc straddles a window
+    (the "no cross-contamination" packing of Krell et al. 2021,
+    arXiv:2107.02027, via the HARMONIC class scheme of Lee & Lee, JACM
+    1985). Documents are classed by how many of them fit a window
+    (``k = capacity div len``); within a class, docs are laid out in
+    (len DESC, shard, doc_id) order and every consecutive k form one
+    bin — exact integers end to end, so the oracle replays the whole
+    layout. Output is the per-bin manifest (docs, fill, waste).
+
+    Scale shape: the per-doc global index inside a class is TWO-LEVEL
+    (the ``index_inverted_postings`` digest idiom): a row_number
+    partitioned by (class, len, doc_id % PACK_SHARDS) — never by bare
+    class, whose ~log(capacity) cardinality would serialize corpus-
+    scale partitions — plus exclusive prefix offsets from a
+    (class, len, shard) count aggregate, a frame bounded by
+    capacity × shards rows, not by the corpus. The offsets join is
+    that tiny frame against the classed scan (optimizer broadcasts
+    it; no forced hint). Docs longer than the capacity clamp to one
+    full window (class 1, zero recorded waste — the truncation
+    convention of fixed-context loaders)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = F.lit(PACK_CAPACITY)
+    fit = F.least(F.greatest(F.size(_tokens(F.col("text"))), F.lit(1)), cap)
+    sized = docs.select(
+        "doc_id",
+        fit.alias("fit"),
+    ).select(
+        "doc_id",
+        "fit",
+        F.expr(f"{PACK_CAPACITY} div fit").alias("cls"),
+        (F.col("doc_id") % PACK_SHARDS).alias("m"),
+    )
+    w_local = W.partitionBy("cls", "fit", "m").orderBy("doc_id")
+    local = sized.withColumn("li", F.row_number().over(w_local) - 1)
+    # the counts side is a SECOND pruned (doc_id, text) scan, the
+    # time_weighted_avg re-scan trade: caching a corpus-scale
+    # projection to save one embarrassingly-parallel re-tokenize is a
+    # bad exchange at 100 TB
+    counts = sized.groupBy("cls", "fit", "m").agg(F.count("*").alias("cnt"))
+    w_off = (
+        W.partitionBy("cls")
+        .orderBy(F.desc("fit"), F.asc("m"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    )
+    # integer div, never a double quotient (the repo-wide rule: a
+    # float division of two bigints truncated back would drift past
+    # 2^53)
+    packed = local.join(offsets, ["cls", "fit", "m"]).select(
+        bigint(F.col("cls")).alias("cls"),
+        "fit",
+        F.expr("(off + li) div cls").alias("bin_seq"),
+    )
+    return (
+        packed.groupBy("cls", "bin_seq")
+        .agg(
+            bigint(F.count("*")).alias("n_docs"),
+            bigint(F.sum("fit")).alias("fill_tokens"),
+            bigint(cap - F.sum("fit")).alias("waste_tokens"),
+        )
+        .orderBy("cls", "bin_seq")
+    )
+
+
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean bigram surprisal −avg ln p(w₂|w₁) under the
     corpus's own bigram counts — the perplexity-filter shape of LLM
@@ -1521,6 +1591,114 @@ def _line_dedup_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+PARA_WIN = 16  # tokens per planted "paragraph" for CCNet-shape dedup
+PARA_KEEP_MIN = 5  # keep a doc while n_kept * PARA_KEEP_MIN >= n_paras
+
+
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape paragraph-level dedup (Wenzek et al. 2019,
+    arXiv:1911.00359): hash every paragraph on its NORMALIZED form,
+    keep the first occurrence corpus-wide, reassemble each document
+    from its surviving RAW paragraphs, and flag documents that lost
+    (almost) everything for dropping. Three ways this is not
+    :func:`text_line_dedup`: the dedup key is a normalization of the
+    paragraph (stopwords stripped — the fixture has no digits or
+    punctuation to strip), not its surface text, so near-identical
+    paragraphs differing only in stopwords collapse while the KEPT
+    text stays raw; reassembly joins paragraphs with a blank line the
+    way a paragraph-structured corpus would; and the doc-level
+    CCNet drop decision (kept fraction below 1/PARA_KEEP_MIN) rides
+    along as a column. The fixture corpus has no newline structure,
+    so paragraphs are planted deterministically as consecutive
+    PARA_WIN-token groups — content-derived, so duplicated texts
+    share paragraph boundaries (the ``text_pii_redact`` in-plan
+    planting idiom).
+
+    Scale shape (the r10-verdict keep-first machinery): one explode,
+    one PARTIAL-AGGREGABLE ``groupBy(norm).agg(min(struct(doc_id,
+    para_idx, raw)))`` — a 10⁹× boilerplate paragraph combines
+    map-side instead of serializing into one window sort task — then
+    a groupBy over the distinct-paragraph-sized firsts and an
+    output-sized join to per-doc totals computed as column arithmetic
+    on the scan. An all-stopword paragraph normalizes to the empty
+    string and participates like any other key (all its occurrences
+    dedup to the globally first one)."""
+    return _paragraph_dedup_agg(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def _paragraph_dedup_agg(docs: DataFrame) -> DataFrame:
+    """Per-doc paragraph-dedup stats over an arbitrary documents frame
+    (shared with tests; the ``_line_dedup_agg`` skeleton with a
+    normalized key, raw reassembly, and the doc-drop flag)."""
+    toks = _tokens(F.col("text"))
+    last_p = F.floor((F.size(toks) - F.lit(1)) / F.lit(PARA_WIN)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), last_p),
+        lambda i: F.array_join(F.slice(toks, i * PARA_WIN + 1, PARA_WIN), " "),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "raw")
+    ).withColumn(
+        "norm",
+        F.array_join(
+            F.filter(
+                F.split(F.col("raw"), " "),
+                lambda t: ~t.isin(*STOPWORDS),
+            ),
+            " ",
+        ),
+    )
+    # the raw paragraph rides in the min-struct: (doc_id, para_idx) is
+    # unique per row, so it never influences the order — it just
+    # carries the surface text of the winning occurrence
+    kept = exploded.groupBy("norm").agg(
+        F.min(F.struct("doc_id", "para_idx", "raw")).alias("f")
+    )
+    kept_stats = (
+        kept.select(
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.para_idx").alias("para_idx"),
+            F.col("f.raw").alias("raw"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            bigint(F.count("*")).alias("n_kept"),
+            bigint(F.sum(F.size(F.split(F.col("raw"), " ")))).alias(
+                "n_tokens_kept"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("para_idx", "raw"))
+                        ),
+                        lambda s: s["raw"],
+                    ),
+                    "\n\n",
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    totals = docs.select(
+        "doc_id", bigint(last_p + 1).alias("n_paras")
+    ).filter(F.col("n_paras").isNotNull())
+    n_kept = F.coalesce("n_kept", F.lit(0).cast("bigint"))
+    return totals.join(kept_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        (F.col("n_paras") - n_kept).alias("n_removed"),
+        F.coalesce("n_tokens_kept", F.lit(0).cast("bigint")).alias(
+            "n_tokens_kept"
+        ),
+        F.coalesce("kept_md5", F.lit("d41d8cd98f00b204e9800998ecf8427e")).alias(
+            "kept_md5"
+        ),
+        (n_kept * PARA_KEEP_MIN >= F.col("n_paras")).alias("keep_doc"),
+    )
+
+
 SUBDUP_K = 8  # span length (tokens) for repeated-substring detection
 
 
@@ -1924,6 +2102,7 @@ QUERIES = {
     "index_inverted_postings": index_inverted_postings,
     "docs_chunk_overlap": docs_chunk_overlap,
     "text_line_dedup": text_line_dedup,
+    "text_paragraph_dedup": text_paragraph_dedup,
     "text_pii_redact": text_pii_redact,
     "quality_logreg_filter": quality_logreg_filter,
     "corpus_bpe_pair_counts": corpus_bpe_pair_counts,
@@ -1943,6 +2122,7 @@ QUERIES = {
     "sample_weighted_reservoir": sample_weighted_reservoir,
     "sample_topn_per_stratum": sample_topn_per_stratum,
     "pack_sequences_chunked": pack_sequences_chunked,
+    "pack_sequences_harmonic": pack_sequences_harmonic,
     "text_bigram_surprisal": text_bigram_surprisal,
     "sample_dsir_weights": sample_dsir_weights,
     "text_token_count": text_token_count,
@@ -2274,6 +2454,31 @@ ORACLES = {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM packed GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "pack_sequences_harmonic": f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   least(greatest(CAST(len(string_split(lower(text), ' '))
+                       AS BIGINT), 1), {PACK_CAPACITY}) AS fit
+            FROM documents
+        ),
+        classed AS (
+            SELECT doc_id, fit, {PACK_CAPACITY} // fit AS cls,
+                   doc_id % {PACK_SHARDS} AS m
+            FROM sized
+        ),
+        idx AS (
+            SELECT cls, fit,
+                   row_number() OVER (PARTITION BY cls
+                       ORDER BY fit DESC, m, doc_id) - 1 AS gidx
+            FROM classed
+        )
+        SELECT CAST(cls AS BIGINT) AS cls,
+               CAST(gidx // cls AS BIGINT) AS bin_seq,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(fit) AS BIGINT) AS fill_tokens,
+               CAST({PACK_CAPACITY} - sum(fit) AS BIGINT) AS waste_tokens
+        FROM idx GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "text_bigram_surprisal": """
         WITH toks AS (
             SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
@@ -2504,6 +2709,41 @@ ORACLES = {
                md5(coalesce(string_agg(CASE WHEN rn = 1 THEN win_text END,
                                        ' ' ORDER BY win_idx), ''))
                    AS kept_md5
+        FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    "text_paragraph_dedup": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        paras AS (
+            SELECT doc_id, CAST((i - 1) // {PARA_WIN} AS BIGINT) AS para_idx,
+                   array_to_string(w[i:i+{PARA_WIN - 1}], ' ') AS raw
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, len(w) + 1, {PARA_WIN})) AS i
+                  FROM t)
+        ),
+        keyed AS (
+            SELECT *, array_to_string(list_filter(string_split(raw, ' '),
+                          x -> x NOT IN {_STOP_SQL}), ' ') AS norm
+            FROM paras
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY norm
+                          ORDER BY doc_id, para_idx) AS rn
+            FROM keyed
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               CAST(coalesce(sum(CASE WHEN rn = 1
+                       THEN len(string_split(raw, ' ')) END), 0) AS BIGINT)
+                   AS n_tokens_kept,
+               md5(coalesce(string_agg(CASE WHEN rn = 1 THEN raw END,
+                       chr(10) || chr(10) ORDER BY para_idx), ''))
+                   AS kept_md5,
+               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                   * {PARA_KEEP_MIN} >= count(*) AS keep_doc
         FROM ranked GROUP BY doc_id ORDER BY doc_id
     """,
     "text_pii_redact": f"""

@@ -154,3 +154,61 @@ def test_keeper_policies_flood_mega_cluster(spark, tmp_path):
     assert int(out.loc["first", "kept_chars"]) == len(base) + len(long2)
     assert int(out.loc["latest", "kept_chars"]) == len(base) + len(near)
     assert int(out.loc["longest", "kept_chars"]) == len(base) + len(long2)
+
+
+def test_paragraph_dedup_flood_keeps_exactly_first(spark, flood_dir):
+    """CCNet paragraph dedup under the 100k single-paragraph flood:
+    the normalized key (FLOOD_SPAN minus its leading 'the') collapses
+    every flooded doc onto doc 0; everyone else loses their only
+    paragraph AND trips the doc-level drop flag. The keep-first is the
+    same partial-aggregable min-struct as line dedup — one map-side
+    combining shuffle, never a norm-keyed window sort task."""
+    release_shared_persists()
+    release_scoped_persists()
+    out = (
+        T.text_paragraph_dedup(spark, flood_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == N_FLOOD + len(UNIQUE_DOCS)
+    # doc 0: keeps its single (8-token, < PARA_WIN) paragraph RAW —
+    # the stopword 'the' survives in the kept text even though the
+    # dedup key stripped it
+    assert out.loc[0, "n_removed"] == 0
+    assert out.loc[0, "n_tokens_kept"] == len(FLOOD_SPAN.split(" "))
+    assert bool(out.loc[0, "keep_doc"])
+    flooded_rest = out.loc[1 : N_FLOOD - 1]
+    assert (flooded_rest["n_removed"] == 1).all()
+    assert (flooded_rest["n_tokens_kept"] == 0).all()
+    assert (~flooded_rest["keep_doc"]).all()
+    for did in UNIQUE_DOCS:
+        assert out.loc[did, "n_removed"] == 0
+        assert bool(out.loc[did, "keep_doc"])
+
+
+def test_pack_harmonic_flood_bins_stay_capacity_bounded(spark, flood_dir):
+    """Harmonic packing under the flood: 100k identical 8-token docs
+    all land in class 32 (= 256 div 8) and must bin into exactly
+    ceil(100k/32) bins of at most 32 docs — the per-class layout
+    window is sharded (cls, len, doc_id % PACK_SHARDS), so the flood
+    spreads over PACK_SHARDS sort partitions instead of one."""
+    release_shared_persists()
+    release_scoped_persists()
+    out = T.pack_sequences_harmonic(spark, flood_dir).toPandas()
+    k_flood = T.PACK_CAPACITY // len(FLOOD_SPAN.split(" "))
+    flood_bins = out[out["cls"] == k_flood]
+    import math
+
+    # class membership derived from the fixture: the flood plus any
+    # UNIQUE_DOCS whose token count lands in the same class
+    n_class = N_FLOOD + sum(
+        1
+        for t in UNIQUE_DOCS.values()
+        if T.PACK_CAPACITY // len(t.split(" ")) == k_flood
+    )
+    assert len(flood_bins) == math.ceil(n_class / k_flood)
+    assert (flood_bins["n_docs"] <= k_flood).all()
+    assert (flood_bins["fill_tokens"] + flood_bins["waste_tokens"]
+            == T.PACK_CAPACITY).all()
+    assert int(out["n_docs"].sum()) == N_FLOOD + len(UNIQUE_DOCS)

@@ -1264,3 +1264,55 @@ def test_keeper_policies_struct_aggregates_no_window(spark, sf_small):
         for w in re.findall(r"\(\d+\) Window[^(]*?Arguments: [^\n]*", plan)
     )
     assert "partial_min" in plan or "partial_max" in plan
+
+
+def test_paragraph_dedup_partial_agg_keep_first_no_window(spark, sf_small):
+    """CCNet paragraph dedup rides the same partial-aggregable
+    keep-first as line dedup: min(struct) AGGREGATE on the normalized
+    paragraph (map-side combine under flood), zero Window operators,
+    no cartesian form, no Python."""
+    plan = _plan(spark, sf_small, "text_paragraph_dedup")
+    assert not re.findall(r"\(\d+\) Window", plan)
+    assert "partial_min" in plan
+    for node in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+    ):
+        assert node not in plan, f"unexpected {node}"
+
+
+def test_pack_harmonic_layout_window_is_sharded(spark, sf_small):
+    """Harmonic packing's per-doc layout index is a window keyed
+    (class, len, doc_id % PACK_SHARDS) — never bare class, whose
+    ~log(capacity) cardinality would put corpus/|classes| rows into
+    one sort task. The only class-keyed window is the exclusive
+    prefix-offset over the (class, len, shard) COUNT AGGREGATE (a
+    frame bounded by capacity x shards, identifiable by its fit DESC
+    order), and that aggregate combines map-side. No cartesian, no
+    Python."""
+    plan = _plan(spark, sf_small, "pack_sequences_harmonic")
+    # raw-scan layout window: 3 partition keys then the doc_id order
+    assert re.search(
+        r"windowspecdefinition\(cls#\d+L?, fit#\d+, m#\d+L?, doc_id#\d+L? ASC",
+        plan,
+    )
+    # every OTHER window is the offsets frame over the aggregate
+    # (recognizable by its fit DESC ordering) — no third shape exists
+    others = [
+        w
+        for w in re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        if "doc_id" not in w
+    ]
+    assert others and all("DESC" in w for w in others)
+    assert "partial_count" in plan  # counts aggregate combines map-side
+    for node in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+    ):
+        assert node not in plan, f"unexpected {node}"
