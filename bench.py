@@ -173,6 +173,16 @@ SF1_QUERIES = (
     # keeper-policy probe: marginal cost = one size groupBy + the
     # documents left join over the 10x corpus
     "dedup_soft_weights",
+    # round-12 additions, flood-probed at birth: paragraph dedup rides
+    # the same partial-aggregable keep-first as line dedup (the 10x
+    # flood reduces map-side); harmonic packing's layout window is
+    # sharded (cls, len, doc_id % shards) and its 10x number should
+    # track the tokenize scan; the BPE merge loop's 8 rounds ride the
+    # VOCABULARY, which 10x replication barely grows — its sf1 delta
+    # vs sf0.1 is the measured proof of the scale argument
+    "text_paragraph_dedup",
+    "pack_sequences_harmonic",
+    "corpus_bpe_merge_loop",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single
