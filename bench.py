@@ -183,6 +183,10 @@ SF1_QUERIES = (
     "text_paragraph_dedup",
     "pack_sequences_harmonic",
     "corpus_bpe_merge_loop",
+    # the apply half: corpus-scale explode + vocab-map join + per-doc
+    # aggregate — its 10x number should track the corpus scan while
+    # the embedded retrain stays vocabulary-flat
+    "corpus_bpe_apply",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single

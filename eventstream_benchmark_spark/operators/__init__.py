@@ -13,11 +13,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (rotation.DRIVER_WINDOW=50 of 228 per round), so registry order decides
+# (rotation.DRIVER_WINDOW=50 of 229 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
 # output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r11 —
-# never-sampled additions first (the three round-12 additions:
-# `corpus_bpe_merge_loop`, `pack_sequences_harmonic`,
+# never-sampled additions first (the four round-12 additions:
+# `corpus_bpe_apply`, `corpus_bpe_merge_loop`, `pack_sequences_harmonic`,
 # `text_paragraph_dedup`), then `_CHANGED_THIS_ROUND` (rewritten
 # semantics/plans re-verify immediately), then ascending latest-green
 # round, alphabetical within a tier — and ``tests/test_rotation.py``
@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 # hand-counted into a 50-slot window, silently starving
 # `embed_quantize_int8`) can no longer happen.  This window retires ALL
 # 39 remaining r7-green rows (the 4-round-stale tail the r11 verdict
-# flagged) plus the 7 alphabetically-first r8 names; after this round's
+# flagged) plus the 6 alphabetically-first r8 names; after this round's
 # driver pass no registry entry is older than r8-green.
 # Queries whose OUTPUT SEMANTICS or plan were rewritten this round —
 # their last green driver row no longer certifies the current code, so
@@ -46,6 +46,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 
 _FRONT_GENERATED_FROM_ROUND = 11
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
+    "corpus_bpe_apply",  # never sampled (round-12 addition)
     "corpus_bpe_merge_loop",  # never sampled (round-12 addition)
     "pack_sequences_harmonic",  # never sampled (round-12 addition)
     "text_paragraph_dedup",  # never sampled (round-12 addition)
@@ -95,7 +96,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "agg_pivot",  # r8
     "agg_rollup",  # r8
     "agg_skew_salted",  # r8
-    "ann_ivf_cosine",  # r8
 )
 
 

@@ -1431,6 +1431,19 @@ def _bpe_merge_loop(
     """The merge loop over an arbitrary documents frame — factored so
     tests can drive it against a pure-Python Sennrich reference on
     crafted corpora (overlap, chained-merge, boundary cases)."""
+    merges, _ = _bpe_train(spark, docs, steps)
+    return spark.createDataFrame(
+        merges, "step bigint, a string, b string, merged string, freq bigint"
+    ).orderBy("step")
+
+
+def _bpe_train(
+    spark: SparkSession, docs: DataFrame, steps: int
+) -> tuple[list[tuple], DataFrame]:
+    """Run the merge loop; return (merge table rows, final vocabulary).
+    The vocabulary frame carries (w, wstr, wc) — the original word
+    rides along untouched so :func:`corpus_bpe_apply` can join per-word
+    post-merge token counts back onto the corpus."""
     from eventstream_benchmark_spark.operators._cache import scoped_persist
 
     words = docs.select(F.explode(_tokens(F.col("text"))).alias("w")).filter(
@@ -1440,6 +1453,7 @@ def _bpe_merge_loop(
         words.groupBy("w")
         .agg(bigint(F.count("*")).alias("wc"))
         .select(
+            "w",
             F.concat(
                 F.lit("|"), F.array_join(F.split(F.col("w"), ""), "||"), F.lit("|")
             ).alias("wstr"),
@@ -1476,6 +1490,7 @@ def _bpe_merge_loop(
         merges.append((step, a, b, a + b, freq))
         vocab = scoped_persist(
             vocab.select(
+                "w",
                 F.replace(
                     F.col("wstr"),
                     F.lit(f"|{a}||{b}|"),
@@ -1484,9 +1499,63 @@ def _bpe_merge_loop(
                 "wc",
             )
         )
-    return spark.createDataFrame(
-        merges, "step bigint, a string, b string, merged string, freq bigint"
-    ).orderBy("step")
+    return merges, vocab
+
+
+def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus under the merges the loop just learned —
+    the fertility/compression accounting every tokenizer-training
+    pipeline runs after training (tokens-per-word is THE published
+    tokenizer-quality metric, and token budgets at 100 TB are priced
+    off exactly this number). Train (vocabulary-sized, see
+    :func:`corpus_bpe_merge_loop`), derive each word's post-merge
+    token count from the final vocabulary, then join that
+    vocabulary-sized map onto the exploded corpus and aggregate per
+    document: word count, BPE token count, and tokens-per-word in
+    exact integer micro-units (``1000000 * tokens div words`` — the
+    ``dedup_soft_weights`` micro-int idiom, so the ratio can never
+    drift an ulp between engines).
+
+    Scale shape: ONE corpus-scale explode + groupBy(doc) (map-side
+    combined); the token-count map is vocabulary-sized and broadcasts
+    by size, not by hint. At production scale the merge table and the
+    word→token-count map are stored artifacts of the train step;
+    recomputing them here (seconds — the loop is vocabulary-bound) is
+    fixture pragmatism, same note as ``dedup_minhash_incremental``'s
+    corpus-side index."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+    )
+
+    release_scoped_persists()
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = _bpe_train(spark, docs, BPE_MERGE_STEPS)
+    tokmap = vocab.select(
+        "w",
+        F.size(F.split(F.expr("trim(BOTH '|' FROM wstr)"), r"\|\|")).alias(
+            "n_tok"
+        ),
+    )
+    words = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    return (
+        words.join(tokmap, "w")
+        .groupBy("doc_id")
+        .agg(
+            bigint(F.count("*")).alias("n_words"),
+            bigint(F.sum("n_tok")).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.expr("(1000000 * n_tokens) div n_words").alias(
+                "tokens_per_word_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 LINE_WIN = 8  # tokens per "line" (span) for cross-document span dedup
@@ -3005,21 +3074,26 @@ ORACLES["decontaminate_semantic_embed"] = f"""
 """
 
 
-def _bpe_merge_loop_sql(steps: int) -> str:
+def _bpe_merge_loop_sql(steps: int, apply: bool = False) -> str:
     """Chained-CTE DuckDB twin of :func:`corpus_bpe_merge_loop` — one
     (pairs, winner, vocab-rewrite) CTE triple per merge round, the
     ``graph_pagerank`` iterative-oracle shape. Every vocab CTE is
     MATERIALIZED: each is referenced twice (next round's pair count +
     next rewrite), so the default inline expansion would square the
     plan per round — 2^steps subtrees by the end (measured: K=12
-    inlined never finished; K=8 materialized runs in ~50 ms)."""
+    inlined never finished; K=8 materialized runs in ~50 ms).
+    With ``apply`` the final select is :func:`corpus_bpe_apply`'s
+    per-document tokenization accounting over the LAST vocabulary
+    instead of the merge table (the vocab CTEs carry the original
+    word either way)."""
     parts = [
         """
     WITH words AS (
         SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
     ),
     v0 AS MATERIALIZED (
-        SELECT '|' || array_to_string(string_split(w, ''), '||') || '|'
+        SELECT w,
+               '|' || array_to_string(string_split(w, ''), '||') || '|'
                    AS wstr,
                CAST(count(*) AS BIGINT) AS wc
         FROM words WHERE w <> '' GROUP BY w
@@ -3040,10 +3114,40 @@ def _bpe_merge_loop_sql(steps: int) -> str:
         FROM p{s} ORDER BY freq DESC, a, b LIMIT 1
     ),
     v{s} AS MATERIALIZED (
-        SELECT replace(v.wstr, '|' || w.a || '||' || w.b || '|',
-                       '|' || w.a || w.b || '|') AS wstr, v.wc
-        FROM v{p} v, w{s} w
+        -- LEFT JOIN ON TRUE, not a cross join: when the vocabulary
+        -- exhausts (w{s} empty) the vocab must SURVIVE unchanged —
+        -- the Spark loop breaks and keeps its last vocab, and the
+        -- apply twin tokenizes with it (a cross join against the
+        -- empty winner would zero the vocabulary and empty the
+        -- apply output on degenerate corpora)
+        SELECT v.w,
+               CASE WHEN w.step IS NULL THEN v.wstr
+                    ELSE replace(v.wstr, '|' || w.a || '||' || w.b || '|',
+                                 '|' || w.a || w.b || '|') END AS wstr,
+               v.wc
+        FROM v{p} v LEFT JOIN w{s} w ON TRUE
     )""")
+    if apply:
+        parts.append(f""",
+    toks AS (
+        SELECT w, CAST(len(string_split(trim(wstr, '|'), '||')) AS BIGINT)
+                   AS n_tok
+        FROM v{steps}
+    ),
+    corpus AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+           CAST((1000000 * sum(t.n_tok)) // count(*) AS BIGINT)
+               AS tokens_per_word_micro
+    FROM corpus c JOIN toks t ON c.w = t.w
+    WHERE c.w <> ''
+    GROUP BY 1 ORDER BY 1
+    """)
+        return "".join(parts)
     union = "\n        UNION ALL\n        ".join(
         f"SELECT * FROM w{s}" for s in range(1, steps + 1)
     )
@@ -3056,3 +3160,5 @@ def _bpe_merge_loop_sql(steps: int) -> str:
 
 
 ORACLES["corpus_bpe_merge_loop"] = _bpe_merge_loop_sql(BPE_MERGE_STEPS)
+ORACLES["corpus_bpe_apply"] = _bpe_merge_loop_sql(BPE_MERGE_STEPS, apply=True)
+QUERIES["corpus_bpe_apply"] = corpus_bpe_apply

@@ -268,3 +268,62 @@ def test_pack_harmonic_invariants_on_fixture(spark, sf_small):
         assert list(grp["bin_seq"]) == list(range(len(grp)))
         # all bins before the last are FULL (k docs each)
         assert (grp["n_docs"].iloc[:-1] == cls).all()
+
+
+def test_bpe_apply_exhaustion_keeps_vocabulary(spark):
+    """When training exhausts early (no pairs anywhere), the final
+    vocabulary must SURVIVE for the apply step — every word tokenizes
+    to its single symbol (the oracle's LEFT JOIN fallback twin)."""
+    from eventstream_benchmark_spark.operators.text import _bpe_train
+
+    merges, vocab = _bpe_train(spark, _docs_frame(spark, ["a b c a b"]), 5)
+    assert merges == []
+    rows = {r.w: r.wstr for r in vocab.collect()}
+    assert rows == {"a": "|a|", "b": "|b|", "c": "|c|"}
+
+
+def test_bpe_apply_counts_match_reference(spark, sf_small):
+    """Per-doc token counts under the learned merges equal the pure-
+    Python reference tokenization of every word."""
+    import duckdb
+
+    from eventstream_benchmark_spark.operators.text import (
+        BPE_MERGE_STEPS,
+        corpus_bpe_apply,
+    )
+
+    con = duckdb.connect()
+    doc_words = con.execute(
+        "SELECT doc_id, string_split(lower(text), ' ') FROM "
+        f"read_parquet('{sf_small}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    wc: Counter = Counter()
+    for _, ws in doc_words:
+        for w in ws:
+            if w:
+                wc[w] += 1
+    merges = _ref_bpe(dict(wc), BPE_MERGE_STEPS)
+    # apply the reference merges to every word
+    tok_count = {}
+    for w in wc:
+        toks = list(w)
+        for _, a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        tok_count[w] = len(toks)
+    got = {r.doc_id: r for r in corpus_bpe_apply(spark, sf_small).collect()}
+    for doc_id, ws in doc_words:
+        ws = [w for w in ws if w]
+        assert got[doc_id].n_words == len(ws)
+        assert got[doc_id].n_tokens == sum(tok_count[w] for w in ws)
+        assert got[doc_id].tokens_per_word_micro == (
+            1_000_000 * got[doc_id].n_tokens
+        ) // got[doc_id].n_words
