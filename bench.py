@@ -504,29 +504,11 @@ def main() -> None:
         "sf": sf,
         "extras": extras,
     }
-    # The driver's BENCH_rN capture truncates stdout to ~2000 chars —
-    # rounds 10 and 11 both recorded "parsed": null because the full
-    # payload (with the sf1 extras dict) blew past the cap and only a
-    # tail survived. stdout therefore carries ONE compact JSON line
-    # (metric + per-query headline timings, a few hundred chars); the
-    # complete payload lives in bench_full.json / bench_history.jsonl
-    # below, and a human-readable pointer goes to stderr.
-    compact = dict(payload)
-    compact.pop("extras")
-    line = json.dumps(compact)
-    assert len(line) < 1800, (
-        f"bench stdout line {len(line)} chars — exceeds the driver's "
-        "~2000-char capture; trim the payload (extras belong in "
-        "bench_full.json, never on stdout)"
-    )
-    print(line)
-    print(
-        f"[bench] full payload ({len(extras)} extras keys) -> "
-        "bench_full.json / bench_history.jsonl",
-        file=sys.stderr,
-    )
-    # persist the complete JSON in-repo so any round can be diffed
-    # without re-running: latest snapshot + an append-only history line
+    # Persist the complete JSON in-repo FIRST (latest snapshot + an
+    # append-only history line) — the stdout step below must never be
+    # able to destroy a multi-minute run's measurements (round-12
+    # review: an assert placed before these writes would have lost the
+    # whole sweep on an oversize line).
     try:
         stamped = dict(payload, ts=time.strftime("%Y-%m-%dT%H:%M:%S"))
         with open(os.path.join(REPO, "bench_full.json"), "w") as f:
@@ -536,6 +518,26 @@ def main() -> None:
             f.write(json.dumps(stamped, sort_keys=True) + "\n")
     except OSError:
         pass  # a read-only checkout must not fail the bench
+    # The driver's BENCH_rN capture truncates stdout to ~2000 chars —
+    # rounds 10 and 11 both recorded "parsed": null because the full
+    # payload (with the sf1 extras dict) blew past the cap and only a
+    # tail survived. stdout therefore carries ONE compact JSON line
+    # (metric + per-query headline timings, ~600 chars at 18 queries);
+    # if the headline set ever grows past the cap, degrade to the
+    # totals-only line rather than an unparseable one (never raise:
+    # the measurements are already on disk above).
+    compact = dict(payload)
+    compact.pop("extras")
+    line = json.dumps(compact)
+    if len(line) >= 1800:
+        compact["queries"] = "see bench_full.json"
+        line = json.dumps(compact)
+    print(line)
+    print(
+        f"[bench] full payload ({len(extras)} extras keys) -> "
+        "bench_full.json / bench_history.jsonl",
+        file=sys.stderr,
+    )
     spark.stop()
 
 

@@ -1400,8 +1400,11 @@ def corpus_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     applying merge (a, b) is then one literal, left-to-right,
     non-overlapping ``replace('|a||b|' -> '|ab|')`` — the exact BPE
     merge semantics (``aaa`` + (a,a) -> ``aa``,``a``) with identical
-    behavior in Spark and DuckDB, and the full-token delimiters make a
-    cross-token false match impossible.
+    behavior in Spark and DuckDB. The full-token delimiters make a
+    cross-token false match impossible for delimiter-free words, and
+    words CONTAINING ``'|'`` are excluded up front (they would forge
+    phantom delimiters; see :func:`_bpe_word_filter` — a no-op on the
+    [a-z ]-only fixture, mirrored in the oracle).
 
     Scale shape: the ONLY corpus-scale operation is the initial
     word-count aggregate (one map-side-combined shuffle); the loop
@@ -1437,6 +1440,21 @@ def _bpe_merge_loop(
     ).orderBy("step")
 
 
+def _bpe_word_filter(exploded: DataFrame) -> DataFrame:
+    """Keep the non-empty, delimiter-safe words of an exploded ``w``
+    column — ONE predicate shared by the train loop's vocabulary
+    build and the apply step's corpus side, so the two can never
+    disagree on which words participate."""
+    return exploded.filter((F.col("w") != "") & ~F.col("w").contains("|"))
+
+
+def _bpe_words(docs: DataFrame) -> DataFrame:
+    """(w): the word stream feeding the vocabulary build."""
+    return _bpe_word_filter(
+        docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+    )
+
+
 def _bpe_train(
     spark: SparkSession, docs: DataFrame, steps: int
 ) -> tuple[list[tuple], DataFrame]:
@@ -1446,9 +1464,14 @@ def _bpe_train(
     post-merge token counts back onto the corpus."""
     from eventstream_benchmark_spark.operators._cache import scoped_persist
 
-    words = docs.select(F.explode(_tokens(F.col("text"))).alias("w")).filter(
-        F.col("w") != ""
-    )
+    # '|' is the token-string delimiter: a word CONTAINING one would
+    # corrupt the representation (phantom empty tokens in the pair
+    # stats), so such words are excluded from training and from the
+    # apply-side accounting — mirrored in the oracle (round-12
+    # review; the fixture is [a-z ]-only, so on the fixtures this
+    # filter is a no-op, but the operator must not silently corrupt
+    # on a realistic corpus)
+    words = _bpe_words(docs)
     vocab = scoped_persist(
         words.groupBy("w")
         .agg(bigint(F.count("*")).alias("wc"))
@@ -1536,8 +1559,8 @@ def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tok"
         ),
     )
-    words = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w")).filter(
-        F.col("w") != ""
+    words = _bpe_word_filter(
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
     )
     return (
         words.join(tokmap, "w")
@@ -1702,7 +1725,12 @@ def _paragraph_dedup_agg(docs: DataFrame) -> DataFrame:
     (shared with tests; the ``_line_dedup_agg`` skeleton with a
     normalized key, raw reassembly, and the doc-drop flag)."""
     toks = _tokens(F.col("text"))
-    last_p = F.floor((F.size(toks) - F.lit(1)) / F.lit(PARA_WIN)).cast("int")
+    # integer div, not floor of a double quotient (the repo-wide rule;
+    # round-12 review — int32 token counts are 2^53-safe either way,
+    # but the exact-by-construction form needs no headroom argument)
+    last_p = F.expr(
+        f"(size(split(lower(text), ' ')) - 1) div {PARA_WIN}"
+    ).cast("int")
     paras = F.transform(
         F.sequence(F.lit(0), last_p),
         lambda i: F.array_join(F.slice(toks, i * PARA_WIN + 1, PARA_WIN), " "),
@@ -3096,7 +3124,7 @@ def _bpe_merge_loop_sql(steps: int, apply: bool = False) -> str:
                '|' || array_to_string(string_split(w, ''), '||') || '|'
                    AS wstr,
                CAST(count(*) AS BIGINT) AS wc
-        FROM words WHERE w <> '' GROUP BY w
+        FROM words WHERE w <> '' AND NOT contains(w, '|') GROUP BY w
     )"""
     ]
     for s in range(1, steps + 1):
@@ -3144,7 +3172,7 @@ def _bpe_merge_loop_sql(steps: int, apply: bool = False) -> str:
            CAST((1000000 * sum(t.n_tok)) // count(*) AS BIGINT)
                AS tokens_per_word_micro
     FROM corpus c JOIN toks t ON c.w = t.w
-    WHERE c.w <> ''
+    WHERE c.w <> '' AND NOT contains(c.w, '|')
     GROUP BY 1 ORDER BY 1
     """)
         return "".join(parts)

@@ -174,56 +174,45 @@ def test_bpe_loop_single_corpus_scan(spark, sf_small):
 def test_paragraph_dedup_normalized_key_raw_keep(spark):
     """Two paragraphs differing ONLY in stopwords share a dedup key
     (CCNet normalization), but the kept text is the RAW first
-    occurrence — stopwords intact."""
+    occurrence — stopwords intact. (Round-12 review rewrote this: the
+    first version's collision branch was dead because its twins
+    normalized differently; these twins provably collide and the test
+    asserts that precondition.)"""
     import hashlib
 
     from eventstream_benchmark_spark.operators.text import (
         PARA_WIN,
+        STOPWORDS,
         _paragraph_dedup_agg,
     )
 
-    # 16 tokens each; doc 1 inserts 'the'/'a' where doc 0 has filler
-    base = ("alpha beta gamma delta epsilon zeta eta theta "
-            "iota kappa lam mu nu xi omicron pi")
-    styled = ("the alpha beta gamma delta epsilon zeta eta theta "
-              "iota kappa lam mu nu xi omicron")
-    assert len(base.split()) == len(styled.split()) == PARA_WIN
-    # normalized forms differ (styled drops 'pi', gains nothing) —
-    # craft a TRUE stopword-only variant instead: same content words,
-    # stopwords woven in would change the 16-token window split, so
-    # test at one-paragraph granularity with same content words
-    same_content = "a alpha beta gamma delta epsilon zeta eta theta " \
-                   "iota kappa lam mu nu xi omicron"
-    assert len(same_content.split()) == PARA_WIN
-    docs = _docs_frame(spark, [base, same_content])
-    out = {
+    content = ("alpha beta gamma delta epsilon zeta eta theta "
+               "iota kappa lam mu nu xi omicron")  # 15 content words
+    twin_a = content                       # 15 tokens: one paragraph
+    twin_b = "the " + content              # 16 tokens: still one
+    assert len(twin_a.split()) < PARA_WIN < len(twin_b.split()) + 1
+    norm = lambda s: " ".join(t for t in s.split() if t not in STOPWORDS)
+    assert norm(twin_a) == norm(twin_b)    # the collision is real
+    assert twin_a != twin_b                # ...and raw texts differ
+    rows = {
         r.doc_id: r
-        for r in _paragraph_dedup_agg(docs).collect()
+        for r in _paragraph_dedup_agg(_docs_frame(spark, [twin_a, twin_b])).collect()
     }
-    # normalized keys: base strips nothing -> 16 content tokens incl
-    # 'pi'; same_content strips 'a' -> 15 tokens, NO 'pi' -> distinct
-    assert out[0].n_removed == 0 and out[1].n_removed == 0
-    # now a genuine stopword-only collision: identical content words
-    twin_a = "alpha beta gamma delta epsilon zeta eta theta " \
-             "iota kappa lam mu nu xi omicron rho"
-    twin_b = "the alpha beta gamma delta epsilon zeta eta theta " \
-             "iota kappa lam mu nu xi omicron rho"
-    # twin_b is 17 tokens -> two paragraphs; keep both docs one para
-    twin_b = twin_b.replace(" rho", "")
-    docs2 = _docs_frame(spark, [twin_a, twin_b])
-    rows = {r.doc_id: r for r in _paragraph_dedup_agg(docs2).collect()}
-    # twin_a normalizes to its own 16 tokens; twin_b normalizes to the
-    # same 15 content words ONLY if twin_a also lacks 'rho'... assert
-    # the crafted pair actually collides first
-    norm = lambda s: " ".join(t for t in s.split() if t not in ("a", "the"))
-    if norm(twin_a) == norm(twin_b):
-        assert rows[1].n_removed == 1
-        assert rows[0].n_removed == 0
-        # raw kept text hashes the RAW doc-0 paragraph
-        expect = hashlib.md5(twin_a.encode()).hexdigest()
-        assert rows[0].kept_md5 == expect
-    else:
-        assert rows[0].n_removed == 0 and rows[1].n_removed == 0
+    # doc 0 keeps its paragraph; doc 1's stopword-variant is REMOVED
+    assert rows[0].n_removed == 0
+    assert rows[1].n_removed == 1
+    assert rows[1].n_tokens_kept == 0
+    assert not rows[1].keep_doc
+    # the kept text is RAW doc-0 (stopword-free twin), not normalized
+    assert rows[0].kept_md5 == hashlib.md5(twin_a.encode()).hexdigest()
+    # order flip: make the RAW-keep direction observable — when the
+    # stopworded twin comes FIRST, ITS raw text (with 'the') is kept
+    rows2 = {
+        r.doc_id: r
+        for r in _paragraph_dedup_agg(_docs_frame(spark, [twin_b, twin_a])).collect()
+    }
+    assert rows2[0].n_removed == 0 and rows2[1].n_removed == 1
+    assert rows2[0].kept_md5 == hashlib.md5(twin_b.encode()).hexdigest()
 
 
 def test_paragraph_dedup_doc_drop_threshold(spark):
@@ -327,3 +316,29 @@ def test_bpe_apply_counts_match_reference(spark, sf_small):
         assert got[doc_id].tokens_per_word_micro == (
             1_000_000 * got[doc_id].n_tokens
         ) // got[doc_id].n_words
+
+
+def test_bpe_excludes_delimiter_words(spark):
+    """Words containing '|' would forge phantom token delimiters —
+    they are excluded from training AND from apply-side accounting
+    (mirrored in the oracle), and the remaining words train exactly
+    as if the '|' words never existed."""
+    texts = ["ab ab a|b ab", "cd cd |cd"]
+    got = _run_loop(spark, texts, 2)
+    clean = {w: c for w, c in _words(texts).items() if "|" not in w}
+    assert got == _ref_bpe(clean, 2)
+    # apply-side: the delimiter words drop out of the per-doc counts
+    from eventstream_benchmark_spark.operators.text import (
+        _bpe_train,
+        _bpe_word_filter,
+    )
+    import pyspark.sql.functions as F
+
+    docs = _docs_frame(spark, texts)
+    _, vocab = _bpe_train(spark, docs, 2)
+    vocab_words = {r.w for r in vocab.select("w").collect()}
+    assert "a|b" not in vocab_words and "|cd" not in vocab_words
+    kept = _bpe_word_filter(
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    )
+    assert kept.filter(F.col("w").contains("|")).count() == 0
