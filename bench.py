@@ -187,6 +187,10 @@ SF1_QUERIES = (
     # aggregate — its 10x number should track the corpus scan while
     # the embedded retrain stays vocabulary-flat
     "corpus_bpe_apply",
+    # BM25 over the 10x corpus: one distinct-term explode (docfreqs),
+    # one scoring explode + 12-row broadcast join — should track the
+    # tfidf lane, with the panel cut staying a heap merge
+    "index_bm25_topk",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single

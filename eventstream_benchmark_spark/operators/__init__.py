@@ -13,19 +13,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (rotation.DRIVER_WINDOW=50 of 229 per round), so registry order decides
+# (rotation.DRIVER_WINDOW=50 of 230 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
 # output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r11 —
-# never-sampled additions first (the four round-12 additions:
-# `corpus_bpe_apply`, `corpus_bpe_merge_loop`, `pack_sequences_harmonic`,
-# `text_paragraph_dedup`), then `_CHANGED_THIS_ROUND` (rewritten
+# never-sampled additions first (the five round-12 additions:
+# `corpus_bpe_apply`, `corpus_bpe_merge_loop`, `index_bm25_topk`,
+# `pack_sequences_harmonic`, `text_paragraph_dedup`), then `_CHANGED_THIS_ROUND` (rewritten
 # semantics/plans re-verify immediately), then ascending latest-green
 # round, alphabetical within a tier — and ``tests/test_rotation.py``
 # asserts literal == computation, so the round-7 failure mode (51 names
 # hand-counted into a 50-slot window, silently starving
 # `embed_quantize_int8`) can no longer happen.  This window retires ALL
 # 39 remaining r7-green rows (the 4-round-stale tail the r11 verdict
-# flagged) plus the 6 alphabetically-first r8 names; after this round's
+# flagged) plus the 5 alphabetically-first r8 names; after this round's
 # driver pass no registry entry is older than r8-green.
 # Queries whose OUTPUT SEMANTICS or plan were rewritten this round —
 # their last green driver row no longer certifies the current code, so
@@ -48,6 +48,7 @@ _FRONT_GENERATED_FROM_ROUND = 11
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "corpus_bpe_apply",  # never sampled (round-12 addition)
     "corpus_bpe_merge_loop",  # never sampled (round-12 addition)
+    "index_bm25_topk",  # never sampled (round-12 addition)
     "pack_sequences_harmonic",  # never sampled (round-12 addition)
     "text_paragraph_dedup",  # never sampled (round-12 addition)
     "time_weighted_avg",  # REWRITTEN this round (broadcast hint dropped; last green r11)
@@ -95,7 +96,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "agg_percentiles",  # r8
     "agg_pivot",  # r8
     "agg_rollup",  # r8
-    "agg_skew_salted",  # r8
 )
 
 

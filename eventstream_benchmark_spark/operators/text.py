@@ -2122,6 +2122,116 @@ INDEX_TOPK = 20  # posting lists assembled only for the selected terms
 INDEX_SHARD_DOCS = 1024  # doc_ids per posting-shard digest (r11)
 
 
+BM25_TOPK = 10
+BM25_QUERY_TERMS = 3
+BM25_N_QUERIES = 4
+
+
+def index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson & Zaragoza 2009) over a
+    deterministic query panel — the classic lexical-retrieval baseline
+    every RAG/data pipeline compares its embedding search against, and
+    the natural consumer of the inverted-index lane. The panel is
+    derived from the corpus itself (the ``embed_binary_quantize``
+    fixed-panel idiom): the top 12 non-stopword terms by document
+    frequency form 4 three-term queries.
+
+    Determinism (the DSIR/surprisal discipline): the only float op is
+    ONE ln per panel term — idf quantized to integer micro-units once
+    — and the tf/length normalization with k1 = 1.2, b = 0.75 is
+    cross-multiplied into pure BIGINT arithmetic (k1, b are exact
+    twentieths: numerator 44 = 20(k1+1), constants 6 = 20·k1(1−b) and
+    18 = 20·k1·b; document length enters as an exact
+    ``(1000000·len) div avgdl`` micro-ratio). Each term's score is an
+    integer division, so per-query sums are exact integers in both
+    engines — safe for docs up to ~2·10⁵ tokens before the 44·tf·10¹²
+    intermediate nears int64 (web docs are orders below; a longer-doc
+    deployment would drop one 10³ of scale).
+
+    Scale shape: one corpus-scale distinct-term explode for document
+    frequencies reduced map-side; the panel cut is a global
+    ``orderBy().limit(12)`` — TakeOrderedAndProject's distributed heap
+    merge, never a vocabulary-wide window sort (the ``graph_pagerank``
+    top-k idiom); the scoring pass explodes the corpus once and joins
+    the 12-row annotated panel (broadcast — bounded by construction,
+    unlike the TWAP frame this round unhinted); the final top-10 per
+    query rides a 4-partition rank window over the aggregated
+    (query, doc) scores with WindowGroupLimit pushdown."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("len_d"),
+        toks.alias("w"),
+    )
+    totals = F.broadcast(
+        base.agg(
+            bigint(F.sum("len_d")).alias("t_tokens"),
+            bigint(F.count("*")).alias("n_docs"),
+        ).select("*", F.expr("t_tokens div n_docs").alias("avgdl"))
+    )
+    dfreq = (
+        base.select(F.explode(F.array_distinct("w")).alias("term"))
+        .filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+        .groupBy("term")
+        .agg(bigint(F.count("*")).alias("df"))
+    )
+    n_panel = BM25_N_QUERIES * BM25_QUERY_TERMS
+    # global cut via TakeOrderedAndProject (distributed heap merge);
+    # the rank window then runs over the 12-row result only
+    top_terms = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(n_panel)
+    w_panel = W.orderBy(F.desc("df"), F.asc("term"))
+    panel = top_terms.withColumn(
+        "rk", F.row_number().over(w_panel)
+    ).select(
+        "term",
+        "df",
+        F.expr(f"(rk - 1) div {BM25_QUERY_TERMS}").alias("q_id"),
+    )
+    idf = panel.crossJoin(totals).select(
+        "term",
+        "q_id",
+        F.round(
+            1e6
+            * F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            )
+        )
+        .cast("long")
+        .alias("idf_micro"),
+        "avgdl",
+    )
+    tf = (
+        base.select("doc_id", "len_d", F.explode("w").alias("term"))
+        .join(F.broadcast(idf), "term")
+        .groupBy("q_id", "term", "doc_id", "len_d", "idf_micro", "avgdl")
+        .agg(bigint(F.count("*")).alias("tf"))
+    )
+    scored = (
+        tf.select(
+            "q_id",
+            "doc_id",
+            F.expr(
+                "(idf_micro * ((1000000 * (44 * tf * 1000000)) div"
+                " (20 * tf * 1000000 + 6 * 1000000"
+                " + 18 * ((1000000 * len_d) div avgdl)))) div 1000000"
+            ).alias("s_micro"),
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(bigint(F.sum("s_micro")).alias("score_micro"))
+    )
+    w_top = W.partitionBy("q_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", bigint(F.row_number().over(w_top)))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select(bigint(F.col("q_id")).alias("q_id"), "rk", "doc_id", "score_micro")
+        .orderBy("q_id", "rk")
+    )
+
+
 def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build — the retrieval-side sibling of
     ``corpus_ngram_topk``: positional postings (doc_id, token position)
@@ -2197,6 +2307,7 @@ def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "index_inverted_postings": index_inverted_postings,
+    "index_bm25_topk": index_bm25_topk,
     "docs_chunk_overlap": docs_chunk_overlap,
     "text_line_dedup": text_line_dedup,
     "text_paragraph_dedup": text_paragraph_dedup,
@@ -2807,6 +2918,64 @@ ORACLES = {
                                        ' ' ORDER BY win_idx), ''))
                    AS kept_md5
         FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    "index_bm25_topk": f"""
+        WITH base AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                       AS len_d
+            FROM documents
+        ),
+        totals AS (
+            SELECT CAST(sum(len_d) AS BIGINT) AS t_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len_d) // count(*) AS BIGINT) AS avgdl
+            FROM base
+        ),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT doc_id, unnest(list_distinct(w)) AS term FROM base)
+            WHERE term <> '' AND term NOT IN {_STOP_SQL}
+            GROUP BY term
+        ),
+        panel AS (
+            SELECT term, df,
+                   CAST((row_number() OVER (ORDER BY df DESC, term) - 1)
+                       // {BM25_QUERY_TERMS} AS BIGINT) AS q_id,
+                   row_number() OVER (ORDER BY df DESC, term) AS rk
+            FROM dfreq
+            QUALIFY rk <= {BM25_N_QUERIES * BM25_QUERY_TERMS}
+        ),
+        idf AS (
+            SELECT p.term, p.q_id,
+                   CAST(round(1000000 * ln(
+                       (t.n_docs - p.df + 0.5) / (p.df + 0.5) + 1.0))
+                       AS BIGINT) AS idf_micro,
+                   t.avgdl
+            FROM panel p, totals t
+        ),
+        tf AS (
+            SELECT i.q_id, i.term, b.doc_id, b.len_d, i.idf_micro,
+                   i.avgdl, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, len_d, unnest(w) AS term FROM base) b
+            JOIN idf i ON b.term = i.term
+            GROUP BY 1, 2, 3, 4, 5, 6
+        ),
+        scored AS (
+            SELECT q_id, doc_id,
+                   CAST(sum((idf_micro * ((1000000 * (44 * tf * 1000000))
+                       // (20 * tf * 1000000 + 6 * 1000000
+                           + 18 * ((1000000 * len_d) // avgdl))))
+                       // 1000000) AS BIGINT) AS score_micro
+            FROM tf GROUP BY 1, 2
+        )
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk,
+               doc_id, score_micro
+        FROM scored
+        QUALIFY rk <= {BM25_TOPK}
+        ORDER BY q_id, rk
     """,
     "text_paragraph_dedup": f"""
         WITH t AS (

@@ -1316,3 +1316,21 @@ def test_pack_harmonic_layout_window_is_sharded(spark, sf_small):
         "MapInPandas",
     ):
         assert node not in plan, f"unexpected {node}"
+
+
+def test_bm25_panel_heap_cut_and_rank_pushdown(spark, sf_small):
+    """BM25's query panel comes from a global orderBy().limit() —
+    TakeOrderedAndProject's distributed heap merge, never a
+    vocabulary-wide window sort — and the per-query top-10 pushes
+    down as WindowGroupLimit. The only NL join is the 12-row panel ×
+    1-row totals cross; no Python anywhere; the unpartitioned rank
+    window runs over the 12-row panel only."""
+    plan = _plan(spark, sf_small, "index_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one NL node in the numbered tree (the formatted plan
+    # repeats each node in its detail section, so count node headers)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan

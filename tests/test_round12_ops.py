@@ -342,3 +342,70 @@ def test_bpe_excludes_delimiter_words(spark):
         docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
     )
     assert kept.filter(F.col("w").contains("|")).count() == 0
+
+
+# ------------------------------------------------------------ BM25
+
+
+def test_bm25_matches_python_reference(spark, sf_small):
+    """The whole BM25 pipeline — panel selection, micro-int idf,
+    cross-multiplied tf/length normalization, integer-division
+    scoring, top-k cut — replayed in pure Python on the fixture."""
+    import math
+
+    import duckdb
+
+    from eventstream_benchmark_spark.operators.text import (
+        BM25_N_QUERIES,
+        BM25_QUERY_TERMS,
+        BM25_TOPK,
+        STOPWORDS,
+        index_bm25_topk,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, string_split(lower(text), ' ') FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    n_docs = len(rows)
+    t_tokens = sum(len(w) for _, w in rows)
+    avgdl = t_tokens // n_docs
+    df: dict = {}
+    for _, w in rows:
+        for t in set(w):
+            if t and t not in STOPWORDS:
+                df[t] = df.get(t, 0) + 1
+    panel = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : BM25_N_QUERIES * BM25_QUERY_TERMS
+    ]
+    scores: dict = {}
+    for rk0, (term, d) in enumerate(panel):
+        q_id = rk0 // BM25_QUERY_TERMS
+        idf_micro = int(round(1e6 * math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)))
+        for doc_id, w in rows:
+            tf = sum(1 for t in w if t == term)
+            if not tf:
+                continue
+            den = 20 * tf * 1000000 + 6 * 1000000 + 18 * (
+                (1000000 * len(w)) // avgdl
+            )
+            s = (idf_micro * ((1000000 * (44 * tf * 1000000)) // den)) // 1000000
+            key = (q_id, doc_id)
+            scores[key] = scores.get(key, 0) + s
+    expect = []
+    for q in range(BM25_N_QUERIES):
+        qs = sorted(
+            ((s, d) for (qq, d), s in scores.items() if qq == q),
+            key=lambda sd: (-sd[0], sd[1]),
+        )[:BM25_TOPK]
+        expect += [
+            (q, rk + 1, d, s) for rk, (s, d) in enumerate(qs)
+        ]
+    got = [
+        (r.q_id, r.rk, r.doc_id, r.score_micro)
+        for r in index_bm25_topk(spark, sf_small).collect()
+    ]
+    assert got == expect
+    assert len(got) == BM25_N_QUERIES * BM25_TOPK  # non-degenerate
