@@ -383,7 +383,12 @@ def test_bm25_matches_python_reference(spark, sf_small):
     scores: dict = {}
     for rk0, (term, d) in enumerate(panel):
         q_id = rk0 // BM25_QUERY_TERMS
-        idf_micro = int(round(1e6 * math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)))
+        # floor(x + 0.5), not Python round(): the engines round half
+        # AWAY (Spark F.round HALF_UP, DuckDB round), Python rounds
+        # half to even — a .5-tie would desync the reference
+        idf_micro = int(
+            math.floor(1e6 * math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) + 0.5)
+        )
         for doc_id, w in rows:
             tf = sum(1 for t in w if t == term)
             if not tf:
