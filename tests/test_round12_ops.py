@@ -414,3 +414,65 @@ def test_bm25_matches_python_reference(spark, sf_small):
     ]
     assert got == expect
     assert len(got) == BM25_N_QUERIES * BM25_TOPK  # non-degenerate
+
+
+def test_pack_harmonic_matches_python_reference(spark):
+    """The two-level layout index (sharded row_number + prefix
+    offsets) must equal the conceptual single global sort
+    (len DESC, doc_id % shards, doc_id) per class — pinned against a
+    pure-Python replay on a crafted corpus with heavy length ties
+    (the case where the shard tiebreak actually decides bins) and
+    lengths straddling several classes."""
+    from eventstream_benchmark_spark.operators.text import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+        pack_sequences_harmonic,
+    )
+
+    # doc_id -> token length: ties at 8 and 100, plus odd lengths,
+    # an over-capacity doc (truncates to class 1), and a 1-token doc
+    lengths = {}
+    for i in range(40):
+        lengths[i] = 8  # class 32, 40 docs -> 2 bins of 32 and 8
+    for i in range(40, 47):
+        lengths[i] = 100  # class 2
+    lengths[47] = 99   # class 2 as well (256 div 99 = 2)
+    lengths[48] = 300  # clamps to 256 -> class 1
+    lengths[49] = 1    # class 256
+    texts = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in lengths.items()]
+
+    # pure-Python replay
+    import collections
+
+    by_cls = collections.defaultdict(list)
+    for i, n in lengths.items():
+        fit = min(max(n, 1), PACK_CAPACITY)
+        by_cls[PACK_CAPACITY // fit].append((i, fit))
+    expect = collections.defaultdict(lambda: [0, 0])  # (cls,bin) -> [n, fill]
+    for cls, members in by_cls.items():
+        members.sort(key=lambda t: (-t[1], t[0] % PACK_SHARDS, t[0]))
+        for gidx, (_, fit) in enumerate(members):
+            key = (cls, gidx // cls)
+            expect[key][0] += 1
+            expect[key][1] += fit
+    want = sorted(
+        (cls, b, n, fill, PACK_CAPACITY - fill)
+        for (cls, b), (n, fill) in expect.items()
+    )
+    # the operator reads from a fixture dir; drive it through a temp
+    # parquet
+    import pandas as pd
+
+    pdf = pd.DataFrame(texts, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "ref"
+    pdf["n_chars"] = pdf["text"].str.len()
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        got = [
+            (r.cls, r.bin_seq, r.n_docs, r.fill_tokens, r.waste_tokens)
+            for r in pack_sequences_harmonic(spark, d).collect()
+        ]
+    assert sorted(got) == want
