@@ -1274,6 +1274,9 @@ def test_paragraph_dedup_partial_agg_keep_first_no_window(spark, sf_small):
     plan = _plan(spark, sf_small, "text_paragraph_dedup")
     assert not re.findall(r"\(\d+\) Window", plan)
     assert "partial_min" in plan
+    # column pruning reaches the scan: only (doc_id, text) is read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "n_chars" not in plan
     for node in (
         "CartesianProduct",
         "BroadcastNestedLoopJoin",
@@ -1308,6 +1311,9 @@ def test_pack_harmonic_layout_window_is_sharded(spark, sf_small):
     ]
     assert others and all("DESC" in w for w in others)
     assert "partial_count" in plan  # counts aggregate combines map-side
+    # both scans prune to (doc_id, text)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "n_chars" not in plan
     for node in (
         "CartesianProduct",
         "BroadcastNestedLoopJoin",
@@ -1334,3 +1340,9 @@ def test_bm25_panel_heap_cut_and_rank_pushdown(spark, sf_small):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in plan
+    # every scan prunes to (doc_id, text) or narrower
+    for rs in re.findall(r"ReadSchema: (struct<[^>]*>)", plan):
+        assert rs in (
+            "struct<doc_id:bigint,text:string>",
+            "struct<text:string>",
+        ), rs
