@@ -265,7 +265,7 @@ def test_bpe_apply_exhaustion_keeps_vocabulary(spark):
     to its single symbol (the oracle's LEFT JOIN fallback twin)."""
     from eventstream_benchmark_spark.operators.text import _bpe_train
 
-    merges, vocab = _bpe_train(spark, _docs_frame(spark, ["a b c a b"]), 5)
+    merges, vocab, _ = _bpe_train(spark, _docs_frame(spark, ["a b c a b"]), 5)
     assert merges == []
     rows = {r.w: r.wstr for r in vocab.collect()}
     assert rows == {"a": "|a|", "b": "|b|", "c": "|c|"}
@@ -335,7 +335,7 @@ def test_bpe_excludes_delimiter_words(spark):
     import pyspark.sql.functions as F
 
     docs = _docs_frame(spark, texts)
-    _, vocab = _bpe_train(spark, docs, 2)
+    _, vocab, _ = _bpe_train(spark, docs, 2)
     vocab_words = {r.w for r in vocab.select("w").collect()}
     assert "a|b" not in vocab_words and "|cd" not in vocab_words
     kept = _bpe_word_filter(
