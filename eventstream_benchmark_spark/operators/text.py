@@ -224,6 +224,109 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LANGID_BUCKETS = 64  # hashed char-ngram feature space (DSIR idiom)
+LANGID_NGRAM = 3  # fastText's default char-ngram floor
+
+
+def text_langid_hash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape language ID (Joulin et al. 2017,
+    arXiv:1607.01759 — hashed char-ngram features, per-class linear
+    scores): profile every document as a bag of char trigrams hashed
+    into ``LANGID_BUCKETS`` buckets, score it against per-language
+    bucket centroids (Laplace-smoothed log-probabilities learned from
+    the fixture's ``lang`` label — the DSIR target-stratum idiom),
+    and predict the argmax. The CCNet pipeline stage (langid →
+    filter → dedup → LM filter) the marker-word :func:`text_langid`
+    only gestures at; the classifier machinery — hashing, centroid
+    training, per-class integer scoring, deterministic argmax — is
+    the operator, not the model quality (the fixture's languages
+    share one vocabulary, so accuracy is deliberately unimpressive
+    and hash-checked as an output, not asserted as a target).
+
+    Determinism: the only float op is ONE ln per (language, bucket)
+    cell — ≤ 5 × 64 values, each quantized to integer micro-units
+    once (the ``sample_dsir_weights`` discipline) — so every per-doc
+    score is an exact integer sum and the argmax cannot drift an ulp
+    between engines; ties break on language code ASC via the
+    ``min(struct(-score, lang))`` idiom (no corpus-keyed window).
+
+    Scale shape: ONE corpus-scale operation — the trigram explode
+    reduced map-side into (doc, label, bucket) counts; centroids are
+    two bucket-sized aggregates joined on a langs × buckets grid and
+    broadcast back (≤ 320 rows); scoring is a broadcast join + one
+    keyed groupBy; the per-doc argmax is a partial-aggregable
+    min-struct, so no window touches corpus-scale data."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    # grams shorter than LANGID_NGRAM (doc tail / tiny docs) are
+    # filtered out; greatest(..., 1) keeps sequence() ascending on
+    # sub-trigram docs (sequence(1, 0) would DESCEND in Spark)
+    grams = F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(t) - (LANGID_NGRAM - 1), F.lit(1))
+            ),
+            lambda i: F.substring(t, i, LANGID_NGRAM),
+        ),
+        lambda g: F.length(g) == LANGID_NGRAM,
+    )
+    b = (
+        F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long")
+        % LANGID_BUCKETS
+    )
+    pdb = (
+        docs.select("doc_id", "lang", F.explode(grams).alias("g"))
+        .select("doc_id", "lang", b.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    lb = pdb.groupBy(F.col("lang").alias("lc"), "b").agg(
+        F.sum("n").alias("c")
+    )
+    ltot = pdb.groupBy(F.col("lang").alias("lc")).agg(F.sum("n").alias("nl"))
+    grid = ltot.crossJoin(
+        spark.range(LANGID_BUCKETS).select(F.col("id").alias("b"))
+    )
+    centroid = (
+        grid.join(lb, ["lc", "b"], "left")
+        .select(
+            "lc",
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce("c", F.lit(0)) + 1)
+                    / (F.col("nl") + LANGID_BUCKETS)
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    scored = (
+        pdb.join(F.broadcast(centroid), "b")
+        .groupBy("doc_id", "lang", "lc")
+        .agg(
+            bigint(F.sum(F.col("n") * F.col("lp_micro"))).alias("s_micro"),
+            bigint(F.sum("n")).alias("n_grams"),
+        )
+    )
+    best = scored.groupBy("doc_id", "lang", "n_grams").agg(
+        F.min(
+            F.struct((-F.col("s_micro")).alias("ns"), F.col("lc").alias("code"))
+        ).alias("m")
+    )
+    return best.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.col("m.code").alias("predicted_lang"),
+        (-F.col("m.ns")).alias("best_score_micro"),
+        "n_grams",
+        (F.col("m.code") == F.col("lang")).alias("correct"),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # positional fingerprint
 # --------------------------------------------------------------------------
@@ -2320,6 +2423,69 @@ def index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the published reciprocal-rank-fusion constant
+
+
+def retrieval_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher 2009, SIGIR — the standard k=60 formulation): fuse the
+    lexical ranking (:func:`index_bm25_topk`) with the dense ranking
+    (``knn_bruteforce_topk``) for the shared panel queries q_id
+    0..{BM25_N_QUERIES-1} — the first thing a RAG-ish consumer builds
+    on top of exactly these two lanes (the r12 verdict's depth-gap
+    #1). Panel alignment is by index (lexical query q fuses with
+    dense probe q): on the fixture the two retrievers answer
+    different formulations of "query q", and the operator under test
+    is the fusion machinery itself — outer rank alignment, missing-
+    system handling, integer re-ranking.
+
+    Determinism: RRF is pure integer rank arithmetic —
+    ``score = Σ_systems 1000000 div (60 + rank)`` — so the oracle
+    replays it exactly; a doc missing from one system contributes 0
+    from that system (its reported rank is the 0 sentinel, not NULL,
+    keeping every output column non-null bigint). Fused ties break on
+    doc_id ASC.
+
+    Scale shape: both inputs are already top-k-bounded (40 lexical +
+    ≤20 dense rows regardless of corpus size — heap cuts and
+    WindowGroupLimit upstream), so the fusion join, rank window, and
+    sort all run on O(panel × k) rows; no corpus-scale operation is
+    introduced beyond what the two retrievers already pay."""
+    from eventstream_benchmark_spark.operators.similarity import (
+        knn_bruteforce_topk,
+    )
+
+    bm25 = index_bm25_topk(spark, sf_dir).select(
+        "q_id", "doc_id", F.col("rk").alias("rk_bm25")
+    )
+    dense = (
+        knn_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("q_id") < BM25_N_QUERIES)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rk").alias("rk_dense"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    fused = bm25.join(dense, ["q_id", "doc_id"], "full_outer").select(
+        "q_id",
+        "doc_id",
+        (
+            F.coalesce(F.expr(f"1000000 div ({RRF_K} + rk_bm25)"), zero)
+            + F.coalesce(F.expr(f"1000000 div ({RRF_K} + rk_dense)"), zero)
+        ).alias("rrf_micro"),
+        F.coalesce("rk_bm25", zero).alias("rk_bm25"),
+        F.coalesce("rk_dense", zero).alias("rk_dense"),
+    )
+    w_f = W.partitionBy("q_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", bigint(F.row_number().over(w_f)))
+        .select("q_id", "rk", "doc_id", "rrf_micro", "rk_bm25", "rk_dense")
+        .orderBy("q_id", "rk")
+    )
+
+
 def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build — the retrieval-side sibling of
     ``corpus_ngram_topk``: positional postings (doc_id, token position)
@@ -3483,3 +3649,85 @@ ORACLES["corpus_bpe_vocab_curve"] = _bpe_merge_loop_sql(
 )
 QUERIES["corpus_bpe_apply"] = corpus_bpe_apply
 QUERIES["corpus_bpe_vocab_curve"] = corpus_bpe_vocab_curve
+
+# RRF fuses this module's BM25 oracle with similarity's kNN oracle —
+# deferred import, same pattern as the dedup twins above (similarity
+# imports only io/_cache/_util/dedup, so no cycle)
+from eventstream_benchmark_spark.operators.similarity import (  # noqa: E402
+    ORACLES as _SIM_ORACLES,
+)
+
+QUERIES["retrieval_fusion_rrf"] = retrieval_fusion_rrf
+QUERIES["text_langid_hash_ngram"] = text_langid_hash_ngram
+# identical hashing (48-bit md5 prefix), identical Laplace-smoothed
+# ln-quantization (one per (lang, bucket) cell), identical argmax
+# tiebreak (score DESC, lang ASC)
+ORACLES["text_langid_hash_ngram"] = f"""
+    WITH base AS (
+        SELECT doc_id, lang, lower(text) AS t FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang, g FROM (
+            SELECT doc_id, lang,
+                   unnest([substr(t, i, {LANGID_NGRAM})
+                           FOR i IN range(1, greatest(len(t)
+                               - {LANGID_NGRAM - 1}, 1) + 1)]) AS g
+            FROM base
+        ) WHERE len(g) = {LANGID_NGRAM}
+    ),
+    pdb AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(g), 1, 12))::BIGINT % {LANGID_BUCKETS}
+                   AS b,
+               count(*) AS n
+        FROM feats GROUP BY 1, 2, 3
+    ),
+    lb AS (SELECT lang AS lc, b, sum(n) AS c FROM pdb GROUP BY 1, 2),
+    ltot AS (SELECT lang AS lc, sum(n) AS nl FROM pdb GROUP BY 1),
+    grid AS (
+        SELECT t.lc, gb.b, t.nl
+        FROM ltot t, (SELECT unnest(range({LANGID_BUCKETS})) AS b) gb
+    ),
+    centroid AS (
+        SELECT g.lc, g.b,
+               CAST(round(ln((coalesce(l.c, 0) + 1) * 1.0
+                             / (g.nl + {LANGID_BUCKETS})) * 1000000)
+                   AS BIGINT) AS lp_micro
+        FROM grid g LEFT JOIN lb l ON g.lc = l.lc AND g.b = l.b
+    ),
+    scored AS (
+        SELECT p.doc_id, p.lang, c.lc,
+               CAST(sum(p.n * c.lp_micro) AS BIGINT) AS s_micro,
+               CAST(sum(p.n) AS BIGINT) AS n_grams
+        FROM pdb p JOIN centroid c ON p.b = c.b
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang AS labeled_lang, lc AS predicted_lang,
+           s_micro AS best_score_micro, n_grams, (lc = lang) AS correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY s_micro DESC, lc) AS rn
+          FROM scored)
+    WHERE rn = 1 ORDER BY doc_id
+"""
+ORACLES["retrieval_fusion_rrf"] = f"""
+    WITH bm25 AS ({ORACLES["index_bm25_topk"]}),
+    dense AS ({_SIM_ORACLES["knn_bruteforce_topk"]}),
+    fused AS (
+        SELECT coalesce(b.q_id, d.q_id) AS q_id,
+               coalesce(b.doc_id, d.doc_id) AS doc_id,
+               CAST(coalesce(1000000 // ({RRF_K} + b.rk), 0)
+                  + coalesce(1000000 // ({RRF_K} + d.rk), 0) AS BIGINT)
+                   AS rrf_micro,
+               CAST(coalesce(b.rk, 0) AS BIGINT) AS rk_bm25,
+               CAST(coalesce(d.rk, 0) AS BIGINT) AS rk_dense
+        FROM bm25 b
+        FULL OUTER JOIN (SELECT q_id, vec_id AS doc_id, rk FROM dense
+                         WHERE q_id < {BM25_N_QUERIES}) d
+          ON b.q_id = d.q_id AND b.doc_id = d.doc_id
+    )
+    SELECT q_id,
+           CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rk,
+           doc_id, rrf_micro, rk_bm25, rk_dense
+    FROM fused ORDER BY q_id, rk
+"""
