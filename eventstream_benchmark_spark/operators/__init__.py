@@ -13,20 +13,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (rotation.DRIVER_WINDOW=50 of 230 per round), so registry order decides
+# (rotation.DRIVER_WINDOW=50 of 233 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
-# output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r11 —
-# never-sampled additions first (the five round-12 additions:
-# `corpus_bpe_apply`, `corpus_bpe_merge_loop`, `index_bm25_topk`,
-# `pack_sequences_harmonic`, `text_paragraph_dedup`), then `_CHANGED_THIS_ROUND` (rewritten
+# output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r12 —
+# never-sampled additions first (the three round-13 additions:
+# `corpus_bpe_vocab_curve`, `retrieval_fusion_rrf`,
+# `text_langid_hash_ngram`), then `_CHANGED_THIS_ROUND` (rewritten
 # semantics/plans re-verify immediately), then ascending latest-green
 # round, alphabetical within a tier — and ``tests/test_rotation.py``
 # asserts literal == computation, so the round-7 failure mode (51 names
 # hand-counted into a 50-slot window, silently starving
 # `embed_quantize_int8`) can no longer happen.  This window retires ALL
-# 39 remaining r7-green rows (the 4-round-stale tail the r11 verdict
-# flagged) plus the 5 alphabetically-first r8 names; after this round's
-# driver pass no registry entry is older than r8-green.
+# 42 remaining r8-green rows (the 4-round-stale tail the r12 verdict's
+# #1 item named) plus the 3 alphabetically-first r9 names; after this
+# round's driver pass no registry entry is older than r9-green.
 # Queries whose OUTPUT SEMANTICS or plan were rewritten this round —
 # their last green driver row no longer certifies the current code, so
 # rotation fronts them right after never-sampled additions (round-9
@@ -35,67 +35,70 @@ from pyspark.sql import DataFrame, SparkSession
 # Reset this tuple to () when regenerating for a round with no
 # semantic rewrites.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round-12: time_weighted_avg's bucket-frame join dropped its
-    # forced broadcast hint (advisor finding — the frame grows with
-    # corpus time span and the hint bypassed
-    # autoBroadcastJoinThreshold with no fallback). Output values
-    # unchanged, but the executed JOIN STRATEGY is new, so its r11
-    # green row no longer certifies the current plan.
-    "time_weighted_avg",
+    # round-13: the BPE train loop's persisted vocabulary frames are
+    # now coalesced to BPE_VOCAB_PARTITIONS (vanilla-session stage-
+    # width conditioning, r12 verdict "What's wrong #2"). Output
+    # values unchanged, but the executed physical plan of every
+    # consumer of _bpe_train is new, so their r12 green rows no
+    # longer certify the current plans. (corpus_bpe_vocab_curve also
+    # rides _bpe_train but is a round-13 addition — never sampled,
+    # already tier 0.)
+    "corpus_bpe_apply",
+    "corpus_bpe_merge_loop",
 )
 
-_FRONT_GENERATED_FROM_ROUND = 11
+_FRONT_GENERATED_FROM_ROUND = 12
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
-    "corpus_bpe_apply",  # never sampled (round-12 addition)
-    "corpus_bpe_merge_loop",  # never sampled (round-12 addition)
-    "index_bm25_topk",  # never sampled (round-12 addition)
-    "pack_sequences_harmonic",  # never sampled (round-12 addition)
-    "text_paragraph_dedup",  # never sampled (round-12 addition)
-    "time_weighted_avg",  # REWRITTEN this round (broadcast hint dropped; last green r11)
-    "agg_stats_moments",  # r7
-    "attribution_last_touch",  # r7
-    "attribution_linear",  # r7
-    "copurchase_part_pairs",  # r7
-    "dedup_exact_text",  # r7
-    "dedup_semantic_cluster",  # r7
-    "dedup_semantic_recall_eval",  # r7
-    "embed_dim_stats",  # r7
-    "export_range_partitioned",  # r7
-    "funnel_conversion",  # r7
-    "join_bucketed_colocated",  # r7
-    "join_inner_equi",  # r7
-    "join_left_outer",  # r7
-    "join_semi_anti",  # r7
-    "join_skew_salted",  # r7
-    "knn_bruteforce_topk",  # r7
-    "pipeline_corpus_prep",  # r7
-    "predicate_combo",  # r7
-    "retention_cohort",  # r7
-    "sample_hash_split",  # r7
-    "scan_parquet_project_filter",  # r7
-    "scan_schema_evolution",  # r7
-    "scd2_user_state",  # r7
-    "session_window_agg",  # r7
-    "sql_tpch_q10",  # r7
-    "sql_tpch_q12",  # r7
-    "sql_tpch_q14",  # r7
-    "sql_tpch_q18",  # r7
-    "sql_tpch_q19",  # r7
-    "sql_tpch_q4",  # r7
-    "sql_tpch_q6",  # r7
-    "stream_anomaly_mad",  # r7
-    "stream_drift_score",  # r7
-    "streaming_dedup_watermark",  # r7
-    "streaming_join_clicks_purchases",  # r7
-    "text_fingerprint",  # r7
-    "text_langid",  # r7
-    "text_token_count",  # r7
-    "text_tokenize_topterms",  # r7
-    "agg_cube",  # r8
-    "agg_histogram",  # r8
-    "agg_percentiles",  # r8
-    "agg_pivot",  # r8
-    "agg_rollup",  # r8
+    "corpus_bpe_vocab_curve",  # never sampled
+    "retrieval_fusion_rrf",  # never sampled
+    "text_langid_hash_ngram",  # never sampled
+    "corpus_bpe_apply",  # REWRITTEN this round (last green r12)
+    "corpus_bpe_merge_loop",  # REWRITTEN this round (last green r12)
+    "agg_skew_salted",  # r8
+    "ann_ivf_cosine",  # r8
+    "cogroup_asof_enrich",  # r8
+    "corpus_mix_rebalance",  # r8
+    "decontaminate_ngram_overlap",  # r8
+    "dedup_keep_latest",  # r8
+    "docs_chunk_overlap",  # r8
+    "embed_quantize_int8",  # r8
+    "generate_patterns_spark",  # r8
+    "generate_stream_dataframe",  # r8
+    "generate_stream_exact",  # r8
+    "generate_stream_sharded",  # r8
+    "graph_pagerank",  # r8
+    "join_full_outer",  # r8
+    "multimodal_binaryfile_ingest",  # r8
+    "multimodal_extract",  # r8
+    "multimodal_frame_sample",  # r8
+    "multimodal_resize",  # r8
+    "pack_sequences_chunked",  # r8
+    "pattern_recovery_scored",  # r8
+    "pipeline_dedup_ordered",  # r8
+    "sample_topn_per_stratum",  # r8
+    "sample_weighted_hash",  # r8
+    "scalar_datetime",  # r8
+    "scalar_decimal",  # r8
+    "scalar_math",  # r8
+    "scalar_math_density",  # r8
+    "scalar_string",  # r8
+    "scalar_string_distance",  # r8
+    "set_ops",  # r8
+    "sort_limit_topk",  # r8
+    "sql_tpch_q11",  # r8
+    "sql_tpch_q13",  # r8
+    "sql_tpch_q15",  # r8
+    "sql_tpch_q16",  # r8
+    "streaming_left_outer_join",  # r8
+    "streaming_rate_replay",  # r8
+    "streaming_session_window",  # r8
+    "text_bigram_surprisal",  # r8
+    "text_repetition_score",  # r8
+    "udf_surface",  # r8
+    "vocab_oov_rate",  # r8
+    "agg_approx_quantiles",  # r9
+    "agg_distinct_approx",  # r9
+    "agg_hll_merge_daily",  # r9
 )
 
 
