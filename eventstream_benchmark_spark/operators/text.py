@@ -256,7 +256,20 @@ def text_langid_hash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back (≤ 320 rows); scoring is a broadcast join + one
     keyed groupBy; the per-doc argmax is a partial-aggregable
     min-struct, so no window touches corpus-scale data."""
-    docs = load_table(spark, sf_dir, "documents")
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+    )
+
+    release_scoped_persists()
+    return _langid_hash_ngram(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _langid_hash_ngram(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The classifier over an arbitrary (doc_id, lang, text) frame —
+    factored so tests can drive it against a pure-Python reference on
+    crafted corpora (sub-trigram docs, tie-breaking)."""
+    from eventstream_benchmark_spark.operators._cache import scoped_persist
+
     t = F.lower(F.col("text"))
     # grams shorter than LANGID_NGRAM (doc tail / tiny docs) are
     # filtered out; greatest(..., 1) keeps sequence() ascending on
@@ -274,7 +287,13 @@ def text_langid_hash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long")
         % LANGID_BUCKETS
     )
-    pdb = (
+    # the ONE corpus-scale pass: explode + map-side-combined counts.
+    # pdb feeds three consumers (per-lang bucket counts, per-lang
+    # totals, the scoring join); without the persist Catalyst
+    # re-executes the corpus explode for each — 3 scans of the corpus
+    # instead of 1 (caught by the round-13 plan pin). Persisted size
+    # is docs × ≤ LANGID_BUCKETS rows, far below the exploded stream.
+    pdb = scoped_persist(
         docs.select("doc_id", "lang", F.explode(grams).alias("g"))
         .select("doc_id", "lang", b.alias("b"))
         .groupBy("doc_id", "lang", "b")
@@ -1738,7 +1757,13 @@ def corpus_bpe_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     release_scoped_persists()
-    docs = load_table(spark, sf_dir, "documents")
+    return _bpe_vocab_curve(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_vocab_curve(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The curve over an arbitrary documents frame — factored so tests
+    can drive it against the pure-Python Sennrich reference on crafted
+    corpora (exhaustion flat-tail, single-char vocabularies)."""
     _, _, history = _bpe_train(spark, docs, BPE_MERGE_STEPS)
     # exhaustion padding: history[k] for k past the last merge is the
     # final vocabulary (the oracle's v_k stays unchanged there too)

@@ -1346,3 +1346,73 @@ def test_bm25_panel_heap_cut_and_rank_pushdown(spark, sf_small):
             "struct<doc_id:bigint,text:string>",
             "struct<text:string>",
         ), rs
+
+
+def test_rrf_fuses_bounded_topk_frames_only(spark, sf_small):
+    """RRF's own work rides two already-bounded top-k inputs: the
+    BM25 heap cut (TakeOrderedAndProject) and the per-query rank
+    limits (WindowGroupLimit) are in-plan, no CartesianProduct
+    appears, the only NL joins are the two upstream broadcast
+    crosses (kNN's probe broadcast + BM25's 1-row totals), and no
+    Python node exists anywhere in the fused plan."""
+    plan = _plan(spark, sf_small, "retrieval_fusion_rrf")
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan
+    # scans prune to what the two retrievers need, nothing more
+    for rs in re.findall(r"ReadSchema: (struct<[^>]*>?)", plan):
+        assert rs in (
+            "struct<doc_id:bigint,text:string>",
+            "struct<text:string>",
+            "struct<vec_id:bigint,embedding:array<float>",
+            "struct<vec_id:bigint,embedding:array<float>>",
+        ), rs
+
+
+def test_langid_single_corpus_scan_no_window(spark, sf_small):
+    """The hashed-ngram classifier pays ONE corpus explode: the
+    persisted (doc, lang, bucket) counts feed all three consumers as
+    InMemoryTableScans (unpersisted, Catalyst re-ran the corpus scan
+    per consumer — 3 scans instead of 1), the centroid table arrives
+    by broadcast, the per-doc argmax is an aggregate (no Window node
+    anywhere), and the one scan prunes to (doc_id, text, lang)."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+    )
+
+    plan = _plan(spark, sf_small, "text_langid_hash_ngram")
+    release_scoped_persists()
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert "CartesianProduct" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan
+    for rs in re.findall(r"ReadSchema: (struct<[^>]*>)", plan):
+        assert rs == "struct<doc_id:bigint,text:string,lang:string>", rs
+
+
+def test_vocab_curve_single_corpus_scan(spark, sf_small):
+    """The curve's 9 per-step aggregate pairs all run on the loop's
+    persisted vocabulary frames (InMemoryTableScans); the corpus is
+    scanned exactly once (the word-count build inside _bpe_train),
+    pruned to the text column; no Python nodes; no corpus-keyed
+    window (the only Sort is the final 9-row orderBy)."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+    )
+
+    plan = _plan(spark, sf_small, "corpus_bpe_vocab_curve")
+    release_scoped_persists()
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0
+    assert "CartesianProduct" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan
+    for rs in re.findall(r"ReadSchema: (struct<[^>]*>)", plan):
+        assert rs == "struct<text:string>", rs

@@ -1,0 +1,344 @@
+"""Round-13 operators: RRF hybrid retrieval fusion, the BPE
+vocab-size curve, and hashed-ngram language ID.
+
+Each is checked against a pure-Python reimplementation of the
+published formulation (RRF per Cormack/Clarke/Büttcher 2009 with
+k=60; the curve against the Sennrich merge loop reference shared with
+test_round12_ops; langid against a NumPy-free centroid scorer) — the
+DuckDB hash oracle covers cross-engine parity, these pin the
+algorithms themselves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+from itertools import groupby
+
+from tests.test_round12_ops import _docs_frame, _ref_bpe, _words
+
+# ------------------------------------------------------------------ RRF
+
+
+def test_rrf_matches_python_reference(spark, sf_small):
+    """Fused scores, 0-sentinel ranks, and per-query dense 1-based
+    re-ranks all equal the published integer RRF over the two
+    retrievers' actual outputs."""
+    from eventstream_benchmark_spark.operators.similarity import (
+        knn_bruteforce_topk,
+    )
+    from eventstream_benchmark_spark.operators.text import (
+        BM25_N_QUERIES,
+        RRF_K,
+        index_bm25_topk,
+        retrieval_fusion_rrf,
+    )
+
+    bm25 = {
+        (r.q_id, r.doc_id): r.rk
+        for r in index_bm25_topk(spark, sf_small).collect()
+    }
+    dense = {
+        (r.q_id, r.vec_id): r.rk
+        for r in knn_bruteforce_topk(spark, sf_small).collect()
+        if r.q_id < BM25_N_QUERIES
+    }
+    expected = {
+        key: (
+            (1_000_000 // (RRF_K + bm25[key]) if key in bm25 else 0)
+            + (1_000_000 // (RRF_K + dense[key]) if key in dense else 0)
+        )
+        for key in set(bm25) | set(dense)
+    }
+    got = retrieval_fusion_rrf(spark, sf_small).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        key = (r.q_id, r.doc_id)
+        assert r.rrf_micro == expected[key]
+        assert r.rk_bm25 == bm25.get(key, 0)
+        assert r.rk_dense == dense.get(key, 0)
+    # per-query re-rank: dense 1-based, ordered by (score DESC, doc)
+    for _, grp in groupby(
+        sorted(got, key=lambda r: (r.q_id, r.rk)), key=lambda r: r.q_id
+    ):
+        grp = list(grp)
+        assert [r.rk for r in grp] == list(range(1, len(grp) + 1))
+        assert [r.doc_id for r in grp] == [
+            r.doc_id
+            for r in sorted(grp, key=lambda r: (-r.rrf_micro, r.doc_id))
+        ]
+    # every panel query fused a non-empty candidate set
+    assert {r.q_id for r in got} == set(range(BM25_N_QUERIES))
+
+
+def test_rrf_single_system_docs_score_one_term(spark, sf_small):
+    """A doc retrieved by only one system carries exactly that
+    system's reciprocal term — the fusion's outer alignment is
+    observable on the fixture (both one-sided kinds exist: BM25 top-10
+    vs kNN top-5 guarantees lexical-only docs; assert both directions
+    when present)."""
+    from eventstream_benchmark_spark.operators.text import (
+        RRF_K,
+        retrieval_fusion_rrf,
+    )
+
+    got = retrieval_fusion_rrf(spark, sf_small).collect()
+    lex_only = [r for r in got if r.rk_dense == 0]
+    assert lex_only, "top-10 lexical vs top-5 dense must leave lex-only docs"
+    for r in lex_only:
+        assert r.rk_bm25 > 0
+        assert r.rrf_micro == 1_000_000 // (RRF_K + r.rk_bm25)
+    for r in (r for r in got if r.rk_bm25 == 0):
+        assert r.rk_dense > 0
+        assert r.rrf_micro == 1_000_000 // (RRF_K + r.rk_dense)
+
+
+# ----------------------------------------------------------- BPE curve
+
+
+def _ref_curve(word_counts: dict[str, int], steps: int) -> list[tuple]:
+    """Per-prefix (step, n_token_types, n_words, n_tokens, tpw_micro)
+    under the Sennrich reference's merge sequence; flat tail after
+    exhaustion (the oracle's unchanged v_k CTEs)."""
+    vocab = {w: tuple(w) for w in word_counts}
+    n_words = sum(word_counts.values())
+
+    def snap(step: int) -> tuple:
+        types = {t for toks in vocab.values() for t in toks}
+        n_tokens = sum(
+            word_counts[w] * len(toks) for w, toks in vocab.items()
+        )
+        return (step, len(types), n_words, n_tokens,
+                1_000_000 * n_tokens // n_words)
+
+    out = [snap(0)]
+    for step in range(1, steps + 1):
+        stats: Counter = Counter()
+        for w, toks in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                stats[(a, b)] += word_counts[w]
+        if stats:
+            (a, b), _ = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            new_vocab = {}
+            for w, toks in vocab.items():
+                merged, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and (toks[i], toks[i + 1]) == (a, b):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(toks[i])
+                        i += 1
+                new_vocab[w] = tuple(merged)
+            vocab = new_vocab
+        out.append(snap(step))
+    return out
+
+
+def _run_curve(spark, texts: list[str]) -> list[tuple]:
+    from eventstream_benchmark_spark.operators.text import _bpe_vocab_curve
+
+    rows = _bpe_vocab_curve(spark, _docs_frame(spark, texts)).collect()
+    return [
+        (r.step, r.n_token_types, r.n_words, r.n_tokens,
+         r.tokens_per_word_micro)
+        for r in rows
+    ]
+
+
+def test_curve_matches_reference_on_fixture(spark, sf_small):
+    import duckdb
+
+    from eventstream_benchmark_spark.operators.text import (
+        BPE_MERGE_STEPS,
+        corpus_bpe_vocab_curve,
+    )
+
+    con = duckdb.connect()
+    wc = dict(
+        con.execute(
+            "SELECT w, count(*) FROM (SELECT unnest(string_split(lower(text),"
+            f" ' ')) AS w FROM read_parquet('{sf_small}/documents.parquet'))"
+            " WHERE w <> '' GROUP BY w"
+        ).fetchall()
+    )
+    con.close()
+    rows = corpus_bpe_vocab_curve(spark, sf_small).collect()
+    got = [
+        (r.step, r.n_token_types, r.n_words, r.n_tokens,
+         r.tokens_per_word_micro)
+        for r in rows
+    ]
+    assert got == _ref_curve(wc, BPE_MERGE_STEPS)
+    # the curve is a real selection signal on the fixture: compression
+    # strictly improves at every one of the 8 merges
+    tokens = [g[3] for g in got]
+    assert all(a > b for a, b in zip(tokens, tokens[1:]))
+    assert len(got) == BPE_MERGE_STEPS + 1
+
+
+def test_curve_exhaustion_flat_tail(spark):
+    """Single-char words exhaust training at step 1 — the curve must
+    still emit all BPE_MERGE_STEPS+1 rows, flat after step 0,
+    matching the oracle's unchanged v_k chain."""
+    from eventstream_benchmark_spark.operators.text import BPE_MERGE_STEPS
+
+    texts = ["a b c a b"]
+    got = _run_curve(spark, texts)
+    assert got == _ref_curve(_words(texts), BPE_MERGE_STEPS)
+    assert len(got) == BPE_MERGE_STEPS + 1
+    first = got[0][1:]
+    assert all(row[1:] == first for row in got)
+
+
+def test_curve_tracks_merge_loop_vocabulary(spark):
+    """On a corpus where merges chain, each step's token count drops
+    by exactly the winning pair's (non-overlapping) application count
+    — the curve and the merge loop describe the same training run."""
+    texts = ["cd cd ab ab", "efg efg"]
+    got = _run_curve(spark, texts)
+    assert got == _ref_curve(_words(texts), 8)
+
+
+# ------------------------------------------------------------- lang ID
+
+
+def _ref_langid(rows: list[tuple]) -> dict[int, tuple]:
+    """Pure-Python centroid scorer twin: rows = (doc_id, lang, text);
+    returns doc_id -> (predicted, best_score_micro, n_grams)."""
+    from eventstream_benchmark_spark.operators.text import (
+        LANGID_BUCKETS,
+        LANGID_NGRAM,
+    )
+
+    def buckets(text: str) -> Counter:
+        t = text.lower()
+        out: Counter = Counter()
+        for i in range(max(len(t) - LANGID_NGRAM + 1, 0)):
+            g = t[i : i + LANGID_NGRAM]
+            out[int(hashlib.md5(g.encode()).hexdigest()[:12], 16)
+                % LANGID_BUCKETS] += 1
+        return out
+
+    pdb = {d: buckets(t) for d, _, t in rows}
+    lb: dict[str, Counter] = defaultdict(Counter)
+    for d, lang, _ in rows:
+        lb[lang].update(pdb[d])
+
+    def lp_micro(lang: str, b: int) -> int:
+        nl = sum(lb[lang].values())
+        val = Decimal(
+            math.log((lb[lang].get(b, 0) + 1) / (nl + LANGID_BUCKETS))
+        ) * 1_000_000
+        return int(val.quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    out = {}
+    for d, _, _ in rows:
+        if not pdb[d]:
+            continue  # sub-trigram doc: absent from the output
+        scores = {
+            lang: sum(n * lp_micro(lang, b) for b, n in pdb[d].items())
+            for lang in lb
+        }
+        best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[d] = (best[0], best[1], sum(pdb[d].values()))
+    return out
+
+
+def _run_langid(spark, rows: list[tuple]):
+    from eventstream_benchmark_spark.operators.text import _langid_hash_ngram
+
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    )
+    return {
+        r.doc_id: r for r in _langid_hash_ngram(spark, docs).collect()
+    }
+
+
+def test_langid_matches_python_reference(spark):
+    rows = [
+        (0, "en", "the fast brown fox jumps over the lazy dog again"),
+        (1, "en", "a table scan reads every row of the fast table"),
+        (2, "de", "der schnelle braune fuchs springt ueber den hund"),
+        (3, "de", "die tabelle und der index und die spalte"),
+        (4, "fr", "le renard brun rapide saute sur le chien paresseux"),
+        (5, "fr", "les lignes et les colonnes pour la table"),
+    ]
+    got = _run_langid(spark, rows)
+    ref = _ref_langid(rows)
+    assert set(got) == set(ref)
+    for d, (pred, score, n_grams) in ref.items():
+        assert got[d].predicted_lang == pred
+        assert got[d].best_score_micro == score
+        assert got[d].n_grams == n_grams
+        assert got[d].correct == (pred == got[d].labeled_lang)
+    # distinct enough corpora actually classify correctly
+    assert all(got[d].correct for d in got)
+
+
+def test_langid_sub_trigram_docs_drop(spark):
+    """Docs shorter than the ngram width contribute no features and
+    are absent from the output (oracle twin drops them identically);
+    Spark's descending-sequence trap (sequence(1, 0)) must not
+    resurrect them as phantom rows."""
+    rows = [
+        (0, "en", "ab"),
+        (1, "en", ""),
+        (2, "en", "a regular english document with enough text"),
+    ]
+    got = _run_langid(spark, rows)
+    assert set(got) == {2}
+    assert got[2].n_grams == len(rows[2][2]) - 2
+
+
+def test_langid_tiebreak_on_language_code(spark):
+    """Two labels with identical bucket profiles produce identical
+    scores — the argmax must pick the alphabetically-first code in
+    both engines."""
+    rows = [
+        (0, "bb", "same text twin"),
+        (1, "aa", "same text twin"),
+        (2, "aa", "same text twin"),
+        (3, "bb", "same text twin"),
+    ]
+    got = _run_langid(spark, rows)
+    ref = _ref_langid(rows)
+    for d in got:
+        assert got[d].predicted_lang == ref[d][0] == "aa"
+
+
+def test_langid_ngram_totals_on_fixture(spark, sf_small):
+    """n_grams = len(lower(text)) - 2 for every fixture doc (no doc is
+    sub-trigram there), and every prediction is one of the labeled
+    languages."""
+    import duckdb
+
+    from eventstream_benchmark_spark.operators.text import (
+        text_langid_hash_ngram,
+    )
+
+    con = duckdb.connect()
+    lens = dict(
+        con.execute(
+            "SELECT doc_id, len(lower(text)) FROM "
+            f"read_parquet('{sf_small}/documents.parquet')"
+        ).fetchall()
+    )
+    langs = {
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT lang FROM "
+            f"read_parquet('{sf_small}/documents.parquet')"
+        ).fetchall()
+    }
+    con.close()
+    rows = text_langid_hash_ngram(spark, sf_small).collect()
+    assert len(rows) == len(lens)
+    for r in rows:
+        assert r.n_grams == lens[r.doc_id] - 2
+        assert r.predicted_lang in langs
