@@ -331,10 +331,20 @@ def _core_spread(srt: list[float]) -> float:
 # artifact alone: index ~1 => the walls are the code; index >> 1 =>
 # the walls are the machine.
 # ---------------------------------------------------------------------------
-CPU_PROBE_NOMINAL = float(os.environ.get("SPARK_GRAFT_CPU_NOMINAL", "0.33"))
-SHUFFLE_PROBE_NOMINAL = float(
-    os.environ.get("SPARK_GRAFT_SHUFFLE_NOMINAL", "0.65")
-)
+def _nominal(env: str, default: float) -> float:
+    """Env-overridable probe nominal; a non-positive override falls
+    back to the pinned default instead of crashing the contention-
+    index division AFTER the multi-minute sweep (the round-12
+    measurement-loss ordering, applied to the calibration too)."""
+    try:
+        val = float(os.environ.get(env, default))
+    except ValueError:
+        return default
+    return val if val > 0 else default
+
+
+CPU_PROBE_NOMINAL = _nominal("SPARK_GRAFT_CPU_NOMINAL", 0.33)
+SHUFFLE_PROBE_NOMINAL = _nominal("SPARK_GRAFT_SHUFFLE_NOMINAL", 0.65)
 
 
 def _cpu_probe_sec() -> float:

@@ -1595,6 +1595,15 @@ def _bpe_words(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_toks():
+    """The token array of a pipe-delimited ``wstr`` — ONE spelling of
+    the delimiter decode shared by the train loop, the apply step,
+    and the vocab curve (the encoding is a cross-engine invariant
+    mirrored in the oracle's ``string_split(trim(wstr, '|'), '||')``;
+    a drifting copy would silently pin different semantics)."""
+    return F.split(F.expr("trim(BOTH '|' FROM wstr)"), r"\|\|")
+
+
 def _bpe_train(
     spark: SparkSession, docs: DataFrame, steps: int
 ) -> tuple[list[tuple], DataFrame, list[DataFrame]]:
@@ -1633,7 +1642,7 @@ def _bpe_train(
     history: list[DataFrame] = [vocab]
     merges: list[tuple] = []
     for step in range(1, steps + 1):
-        toks = F.split(F.expr("trim(BOTH '|' FROM wstr)"), r"\|\|")
+        toks = _bpe_toks()
         pair_list = F.zip_with(
             F.slice(toks, 1, F.size(toks) - 1),
             F.slice(toks, 2, F.size(toks) - 1),
@@ -1702,12 +1711,7 @@ def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_scoped_persists()
     docs = load_table(spark, sf_dir, "documents")
     _, vocab, _ = _bpe_train(spark, docs, BPE_MERGE_STEPS)
-    tokmap = vocab.select(
-        "w",
-        F.size(F.split(F.expr("trim(BOTH '|' FROM wstr)"), r"\|\|")).alias(
-            "n_tok"
-        ),
-    )
+    tokmap = vocab.select("w", F.size(_bpe_toks()).alias("n_tok"))
     words = _bpe_word_filter(
         docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
     )
@@ -1769,7 +1773,7 @@ def _bpe_vocab_curve(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # final vocabulary (the oracle's v_k stays unchanged there too)
     while len(history) < BPE_MERGE_STEPS + 1:
         history.append(history[-1])
-    toks = F.split(F.expr("trim(BOTH '|' FROM wstr)"), r"\|\|")
+    toks = _bpe_toks()
     steps = []
     for k, vocab in enumerate(history):
         sums = vocab.agg(

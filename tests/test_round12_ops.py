@@ -20,36 +20,47 @@ import pytest
 # ---------------------------------------------------------------- BPE
 
 
-def _ref_bpe(word_counts: dict[str, int], steps: int) -> list[tuple]:
+def _ref_bpe_vocabs(
+    word_counts: dict[str, int], steps: int
+) -> tuple[list[tuple], list[dict]]:
     """Sennrich-style reference: count ALL adjacent pairs (overlap
     included), merge the argmax (freq DESC, a ASC, b ASC) left-to-
-    right non-overlapping."""
+    right non-overlapping. Returns (merge table, per-step vocabulary
+    history — steps+1 entries, flat after exhaustion) so both the
+    merge-table tests here and test_round13_ops' vocab-curve tests
+    pin the SAME reference algorithm instead of two copies."""
     vocab = {w: tuple(w) for w in word_counts}
-    merges = []
+    merges: list[tuple] = []
+    history = [vocab]
     for step in range(1, steps + 1):
         stats: Counter = Counter()
         for w, toks in vocab.items():
             for a, b in zip(toks, toks[1:]):
                 stats[(a, b)] += word_counts[w]
-        if not stats:
-            break
-        (a, b), freq = min(
-            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        merges.append((step, a, b, a + b, freq))
-        new_vocab = {}
-        for w, toks in vocab.items():
-            out, i = [], 0
-            while i < len(toks):
-                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(toks[i])
-                    i += 1
-            new_vocab[w] = tuple(out)
-        vocab = new_vocab
-    return merges
+        if stats:
+            (a, b), freq = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((step, a, b, a + b, freq))
+            new_vocab = {}
+            for w, toks in vocab.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                new_vocab[w] = tuple(out)
+            vocab = new_vocab
+        history.append(vocab)
+    return merges, history
+
+
+def _ref_bpe(word_counts: dict[str, int], steps: int) -> list[tuple]:
+    """The learned merge table under the shared reference."""
+    return _ref_bpe_vocabs(word_counts, steps)[0]
 
 
 def _docs_frame(spark, texts: list[str]):

@@ -17,7 +17,7 @@ from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 from itertools import groupby
 
-from tests.test_round12_ops import _docs_frame, _ref_bpe, _words
+from tests.test_round12_ops import _docs_frame, _ref_bpe_vocabs, _words
 
 # ------------------------------------------------------------------ RRF
 
@@ -100,43 +100,24 @@ def test_rrf_single_system_docs_score_one_term(spark, sf_small):
 
 def _ref_curve(word_counts: dict[str, int], steps: int) -> list[tuple]:
     """Per-prefix (step, n_token_types, n_words, n_tokens, tpw_micro)
-    under the Sennrich reference's merge sequence; flat tail after
-    exhaustion (the oracle's unchanged v_k CTEs)."""
-    vocab = {w: tuple(w) for w in word_counts}
+    snapshots of the SHARED Sennrich reference's vocabulary history
+    (test_round12_ops._ref_bpe_vocabs — one algorithm, two pinned
+    views); flat tail after exhaustion (the oracle's unchanged v_k
+    CTEs)."""
+    _, history = _ref_bpe_vocabs(word_counts, steps)
     n_words = sum(word_counts.values())
-
-    def snap(step: int) -> tuple:
-        types = {t for toks in vocab.values() for t in toks}
-        n_tokens = sum(
-            word_counts[w] * len(toks) for w, toks in vocab.items()
+    return [
+        (
+            step,
+            len({t for toks in vocab.values() for t in toks}),
+            n_words,
+            sum(word_counts[w] * len(toks) for w, toks in vocab.items()),
+            1_000_000
+            * sum(word_counts[w] * len(toks) for w, toks in vocab.items())
+            // n_words,
         )
-        return (step, len(types), n_words, n_tokens,
-                1_000_000 * n_tokens // n_words)
-
-    out = [snap(0)]
-    for step in range(1, steps + 1):
-        stats: Counter = Counter()
-        for w, toks in vocab.items():
-            for a, b in zip(toks, toks[1:]):
-                stats[(a, b)] += word_counts[w]
-        if stats:
-            (a, b), _ = min(
-                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-            )
-            new_vocab = {}
-            for w, toks in vocab.items():
-                merged, i = [], 0
-                while i < len(toks):
-                    if i + 1 < len(toks) and (toks[i], toks[i + 1]) == (a, b):
-                        merged.append(a + b)
-                        i += 2
-                    else:
-                        merged.append(toks[i])
-                        i += 1
-                new_vocab[w] = tuple(merged)
-            vocab = new_vocab
-        out.append(snap(step))
-    return out
+        for step, vocab in enumerate(history)
+    ]
 
 
 def _run_curve(spark, texts: list[str]) -> list[tuple]:
