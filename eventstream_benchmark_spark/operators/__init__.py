@@ -13,19 +13,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver evaluates registry entries in order with a per-round budget
-# (rotation.DRIVER_WINDOW=50 of 233 per round), so registry order decides
+# (rotation.DRIVER_WINDOW=50 of 234 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
 # output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r12 —
-# never-sampled additions first (the three round-13 additions:
+# never-sampled additions first (the four round-13 additions:
 # `corpus_bpe_vocab_curve`, `retrieval_fusion_rrf`,
-# `text_langid_hash_ngram`), then `_CHANGED_THIS_ROUND` (rewritten
+# `text_langid_hash_ngram`, `text_langid_holdout_eval`), then
+# `_CHANGED_THIS_ROUND` (rewritten
 # semantics/plans re-verify immediately), then ascending latest-green
 # round, alphabetical within a tier — and ``tests/test_rotation.py``
 # asserts literal == computation, so the round-7 failure mode (51 names
 # hand-counted into a 50-slot window, silently starving
 # `embed_quantize_int8`) can no longer happen.  This window retires ALL
 # 42 remaining r8-green rows (the 4-round-stale tail the r12 verdict's
-# #1 item named) plus the 3 alphabetically-first r9 names; after this
+# #1 item named) plus the 2 alphabetically-first r9 names; after this
 # round's driver pass no registry entry is older than r9-green.
 # Queries whose OUTPUT SEMANTICS or plan were rewritten this round —
 # their last green driver row no longer certifies the current code, so
@@ -52,6 +53,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "corpus_bpe_vocab_curve",  # never sampled
     "retrieval_fusion_rrf",  # never sampled
     "text_langid_hash_ngram",  # never sampled
+    "text_langid_holdout_eval",  # never sampled
     "corpus_bpe_apply",  # REWRITTEN this round (last green r12)
     "corpus_bpe_merge_loop",  # REWRITTEN this round (last green r12)
     "agg_skew_salted",  # r8
@@ -98,7 +100,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "vocab_oov_rate",  # r8
     "agg_approx_quantiles",  # r9
     "agg_distinct_approx",  # r9
-    "agg_hll_merge_daily",  # r9
 )
 
 

@@ -264,12 +264,13 @@ def text_langid_hash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _langid_hash_ngram(spark, load_table(spark, sf_dir, "documents"))
 
 
-def _langid_hash_ngram(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """The classifier over an arbitrary (doc_id, lang, text) frame —
-    factored so tests can drive it against a pure-Python reference on
-    crafted corpora (sub-trigram docs, tie-breaking)."""
-    from eventstream_benchmark_spark.operators._cache import scoped_persist
-
+def _langid_bucket_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b, n): the classifier's ONE corpus-scale pass —
+    the trigram explode reduced map-side into hashed-bucket counts.
+    Callers persist it (it feeds the centroid aggregates AND the
+    scoring join; unpersisted, Catalyst re-ran the corpus explode per
+    consumer — 3 scans instead of 1, caught by the round-13 plan
+    pin). Persisted size is docs × ≤ LANGID_BUCKETS rows."""
     t = F.lower(F.col("text"))
     # grams shorter than LANGID_NGRAM (doc tail / tiny docs) are
     # filtered out; greatest(..., 1) keeps sequence() ascending on
@@ -287,55 +288,70 @@ def _langid_hash_ngram(spark: SparkSession, docs: DataFrame) -> DataFrame:
         F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long")
         % LANGID_BUCKETS
     )
-    # the ONE corpus-scale pass: explode + map-side-combined counts.
-    # pdb feeds three consumers (per-lang bucket counts, per-lang
-    # totals, the scoring join); without the persist Catalyst
-    # re-executes the corpus explode for each — 3 scans of the corpus
-    # instead of 1 (caught by the round-13 plan pin). Persisted size
-    # is docs × ≤ LANGID_BUCKETS rows, far below the exploded stream.
-    pdb = scoped_persist(
+    return (
         docs.select("doc_id", "lang", F.explode(grams).alias("g"))
         .select("doc_id", "lang", b.alias("b"))
         .groupBy("doc_id", "lang", "b")
         .agg(F.count("*").alias("n"))
     )
-    lb = pdb.groupBy(F.col("lang").alias("lc"), "b").agg(
+
+
+def _langid_centroids(spark: SparkSession, train: DataFrame) -> DataFrame:
+    """(lc, b, lp_micro): Laplace-smoothed per-language bucket
+    log-probs learned from a (doc_id, lang, b, n) TRAIN frame — one ln
+    per cell, quantized to micro-ints once (the DSIR discipline)."""
+    lb = train.groupBy(F.col("lang").alias("lc"), "b").agg(
         F.sum("n").alias("c")
     )
-    ltot = pdb.groupBy(F.col("lang").alias("lc")).agg(F.sum("n").alias("nl"))
+    ltot = train.groupBy(F.col("lang").alias("lc")).agg(
+        F.sum("n").alias("nl")
+    )
     grid = ltot.crossJoin(
         spark.range(LANGID_BUCKETS).select(F.col("id").alias("b"))
     )
-    centroid = (
-        grid.join(lb, ["lc", "b"], "left")
-        .select(
-            "lc",
-            "b",
-            F.round(
-                F.log(
-                    (F.coalesce("c", F.lit(0)) + 1)
-                    / (F.col("nl") + LANGID_BUCKETS)
-                )
-                * 1_000_000,
-                0,
+    return grid.join(lb, ["lc", "b"], "left").select(
+        "lc",
+        "b",
+        F.round(
+            F.log(
+                (F.coalesce("c", F.lit(0)) + 1)
+                / (F.col("nl") + LANGID_BUCKETS)
             )
-            .cast("long")
-            .alias("lp_micro"),
+            * 1_000_000,
+            0,
         )
+        .cast("long")
+        .alias("lp_micro"),
     )
+
+
+def _langid_best(test: DataFrame, centroid: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_grams, m{ns, code}): per-doc argmax of the
+    exact integer centroid scores — broadcast join + keyed groupBy +
+    the partial-aggregable ``min(struct(-score, lang))`` tiebreak."""
     scored = (
-        pdb.join(F.broadcast(centroid), "b")
+        test.join(F.broadcast(centroid), "b")
         .groupBy("doc_id", "lang", "lc")
         .agg(
             bigint(F.sum(F.col("n") * F.col("lp_micro"))).alias("s_micro"),
             bigint(F.sum("n")).alias("n_grams"),
         )
     )
-    best = scored.groupBy("doc_id", "lang", "n_grams").agg(
+    return scored.groupBy("doc_id", "lang", "n_grams").agg(
         F.min(
             F.struct((-F.col("s_micro")).alias("ns"), F.col("lc").alias("code"))
         ).alias("m")
     )
+
+
+def _langid_hash_ngram(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The classifier over an arbitrary (doc_id, lang, text) frame —
+    factored so tests can drive it against a pure-Python reference on
+    crafted corpora (sub-trigram docs, tie-breaking)."""
+    from eventstream_benchmark_spark.operators._cache import scoped_persist
+
+    pdb = scoped_persist(_langid_bucket_counts(docs))
+    best = _langid_best(pdb, _langid_centroids(spark, pdb))
     return best.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -344,6 +360,48 @@ def _langid_hash_ngram(spark: SparkSession, docs: DataFrame) -> DataFrame:
         "n_grams",
         (F.col("m.code") == F.col("lang")).alias("correct"),
     ).orderBy("doc_id")
+
+
+def text_langid_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the hashed-ngram classifier — the
+    confusion matrix a CCNet-style pipeline reports before trusting a
+    langid gate: centroids are trained on the EVEN doc_ids only and
+    the ODD half is classified against them (the deterministic parity
+    split both engines replay — the ``dedup_minhash_incremental``
+    idiom), fixing :func:`text_langid_hash_ngram`'s deliberate
+    resubstitution (that query scores the training set itself; this
+    one measures generalization). Output: one row per (labeled,
+    predicted) cell with its document count — accuracy, per-language
+    precision and recall are all derivable sums, and a single
+    misrouted document changes a cell count and fails the hash.
+
+    Scale shape: identical to the parent — ONE corpus-scale trigram
+    explode into persisted (doc, lang, bucket) counts, split by a
+    doc_id predicate into train/test views of the SAME persist (no
+    second pass); centroids stay ≤ langs × 64 rows broadcast; the
+    confusion aggregate is langs² rows. Determinism: same micro-int
+    centroid discipline; a test-half language absent from the train
+    half simply has no centroid and can never be predicted — both
+    engines agree structurally."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        scoped_persist,
+    )
+
+    release_scoped_persists()
+    docs = load_table(spark, sf_dir, "documents")
+    pdb = scoped_persist(_langid_bucket_counts(docs))
+    train = pdb.filter(F.col("doc_id") % 2 == 0)
+    test = pdb.filter(F.col("doc_id") % 2 == 1)
+    best = _langid_best(test, _langid_centroids(spark, train))
+    return (
+        best.groupBy(
+            F.col("lang").alias("labeled_lang"),
+            F.col("m.code").alias("predicted_lang"),
+        )
+        .agg(bigint(F.count("*")).alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3688,10 +3746,34 @@ from eventstream_benchmark_spark.operators.similarity import (  # noqa: E402
 
 QUERIES["retrieval_fusion_rrf"] = retrieval_fusion_rrf
 QUERIES["text_langid_hash_ngram"] = text_langid_hash_ngram
-# identical hashing (48-bit md5 prefix), identical Laplace-smoothed
-# ln-quantization (one per (lang, bucket) cell), identical argmax
-# tiebreak (score DESC, lang ASC)
-ORACLES["text_langid_hash_ngram"] = f"""
+QUERIES["text_langid_holdout_eval"] = text_langid_holdout_eval
+
+
+def _langid_sql(holdout: bool = False) -> str:
+    """DuckDB twin of the hashed-ngram classifier — ONE template for
+    both views (identical hashing via the 48-bit md5 prefix,
+    identical Laplace ln-quantization per (lang, bucket) cell,
+    identical argmax tiebreak), parameterized only by the train/test
+    split and the final select: resubstitution per-doc rows
+    (``text_langid_hash_ngram``) or the even-train / odd-test
+    confusion matrix (``text_langid_holdout_eval``). One builder so
+    the two oracles can never drift apart."""
+    train_pred = "WHERE doc_id % 2 = 0" if holdout else ""
+    test_pred = "WHERE doc_id % 2 = 1" if holdout else ""
+    final = (
+        """
+    SELECT lang AS labeled_lang, lc AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM best GROUP BY 1, 2 ORDER BY 1, 2
+    """
+        if holdout
+        else """
+    SELECT doc_id, lang AS labeled_lang, lc AS predicted_lang,
+           s_micro AS best_score_micro, n_grams, (lc = lang) AS correct
+    FROM best ORDER BY doc_id
+    """
+    )
+    return f"""
     WITH base AS (
         SELECT doc_id, lang, lower(text) AS t FROM documents
     ),
@@ -3704,15 +3786,17 @@ ORACLES["text_langid_hash_ngram"] = f"""
             FROM base
         ) WHERE len(g) = {LANGID_NGRAM}
     ),
-    pdb AS (
+    pdb AS MATERIALIZED (
         SELECT doc_id, lang,
                ('0x' || substr(md5(g), 1, 12))::BIGINT % {LANGID_BUCKETS}
                    AS b,
                count(*) AS n
         FROM feats GROUP BY 1, 2, 3
     ),
-    lb AS (SELECT lang AS lc, b, sum(n) AS c FROM pdb GROUP BY 1, 2),
-    ltot AS (SELECT lang AS lc, sum(n) AS nl FROM pdb GROUP BY 1),
+    train AS (SELECT * FROM pdb {train_pred}),
+    test AS (SELECT * FROM pdb {test_pred}),
+    lb AS (SELECT lang AS lc, b, sum(n) AS c FROM train GROUP BY 1, 2),
+    ltot AS (SELECT lang AS lc, sum(n) AS nl FROM train GROUP BY 1),
     grid AS (
         SELECT t.lc, gb.b, t.nl
         FROM ltot t, (SELECT unnest(range({LANGID_BUCKETS})) AS b) gb
@@ -3728,16 +3812,20 @@ ORACLES["text_langid_hash_ngram"] = f"""
         SELECT p.doc_id, p.lang, c.lc,
                CAST(sum(p.n * c.lp_micro) AS BIGINT) AS s_micro,
                CAST(sum(p.n) AS BIGINT) AS n_grams
-        FROM pdb p JOIN centroid c ON p.b = c.b
+        FROM test p JOIN centroid c ON p.b = c.b
         GROUP BY 1, 2, 3
-    )
-    SELECT doc_id, lang AS labeled_lang, lc AS predicted_lang,
-           s_micro AS best_score_micro, n_grams, (lc = lang) AS correct
-    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-              ORDER BY s_micro DESC, lc) AS rn
-          FROM scored)
-    WHERE rn = 1 ORDER BY doc_id
-"""
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY s_micro DESC, lc) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ){final}"""
+
+
+ORACLES["text_langid_hash_ngram"] = _langid_sql()
+ORACLES["text_langid_holdout_eval"] = _langid_sql(holdout=True)
 ORACLES["retrieval_fusion_rrf"] = f"""
     WITH bm25 AS ({ORACLES["index_bm25_topk"]}),
     dense AS ({_SIM_ORACLES["knn_bruteforce_topk"]}),

@@ -188,9 +188,13 @@ def test_curve_tracks_merge_loop_vocabulary(spark):
 # ------------------------------------------------------------- lang ID
 
 
-def _ref_langid(rows: list[tuple]) -> dict[int, tuple]:
-    """Pure-Python centroid scorer twin: rows = (doc_id, lang, text);
-    returns doc_id -> (predicted, best_score_micro, n_grams)."""
+def _ref_langid(
+    rows: list[tuple], train_rows: list[tuple] | None = None
+) -> dict[int, tuple]:
+    """Pure-Python centroid scorer twin: rows = (doc_id, lang, text)
+    to CLASSIFY; centroids learn from ``train_rows`` (default: the
+    same rows — resubstitution, the parent query's semantics).
+    Returns doc_id -> (predicted, best_score_micro, n_grams)."""
     from eventstream_benchmark_spark.operators.text import (
         LANGID_BUCKETS,
         LANGID_NGRAM,
@@ -207,8 +211,8 @@ def _ref_langid(rows: list[tuple]) -> dict[int, tuple]:
 
     pdb = {d: buckets(t) for d, _, t in rows}
     lb: dict[str, Counter] = defaultdict(Counter)
-    for d, lang, _ in rows:
-        lb[lang].update(pdb[d])
+    for d, lang, t in (train_rows if train_rows is not None else rows):
+        lb[lang].update(pdb[d] if d in pdb else buckets(t))
 
     def lp_micro(lang: str, b: int) -> int:
         nl = sum(lb[lang].values())
@@ -323,3 +327,96 @@ def test_langid_ngram_totals_on_fixture(spark, sf_small):
     for r in rows:
         assert r.n_grams == lens[r.doc_id] - 2
         assert r.predicted_lang in langs
+
+
+def test_langid_holdout_confusion_matches_reference(spark, sf_small):
+    """The held-out confusion matrix equals a pure-Python replay:
+    centroids from the even doc_ids, the odd half classified, cells
+    counted — run on the real sf0.001 fixture."""
+    import duckdb
+
+    from eventstream_benchmark_spark.operators.text import (
+        text_langid_holdout_eval,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, lang, text FROM "
+        f"read_parquet('{sf_small}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    train = [r for r in rows if r[0] % 2 == 0]
+    test = [r for r in rows if r[0] % 2 == 1]
+    ref = _ref_langid(test, train_rows=train)
+    expected = Counter()
+    labels = {d: lang for d, lang, _ in test}
+    for d, (pred, _, _) in ref.items():
+        expected[(labels[d], pred)] += 1
+    got = {
+        (r.labeled_lang, r.predicted_lang): r.n_docs
+        for r in text_langid_holdout_eval(spark, sf_small).collect()
+    }
+    assert got == dict(expected)
+    # every odd doc is classified exactly once
+    assert sum(got.values()) == len(test)
+    # predictions only come from languages PRESENT in the train half
+    train_langs = {lang for _, lang, _ in train}
+    assert {p for _, p in got} <= train_langs
+
+
+def test_langid_holdout_never_predicts_test_only_language(spark):
+    """A language present only in the held-out half has no trained
+    centroid and structurally cannot be predicted (both engines drop
+    it the same way — no smoothing row exists for it)."""
+    rows = [
+        (0, "aa", "shared vocabulary text one"),
+        (2, "aa", "shared vocabulary text two"),
+        (4, "bb", "different words entirely here"),
+        (1, "aa", "shared vocabulary text three"),
+        (3, "zz", "this label never trains anything"),
+    ]
+    from eventstream_benchmark_spark.operators.text import (
+        text_langid_holdout_eval as _,  # noqa: F401 (import sanity)
+        _langid_best,
+        _langid_bucket_counts,
+        _langid_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    )
+    pdb = _langid_bucket_counts(docs)
+    best = _langid_best(
+        pdb.filter(F.col("doc_id") % 2 == 1),
+        _langid_centroids(spark, pdb.filter(F.col("doc_id") % 2 == 0)),
+    )
+    preds = {r["doc_id"]: r["m"]["code"] for r in best.collect()}
+    assert set(preds) == {1, 3}
+    assert set(preds.values()) <= {"aa", "bb"}  # zz never predictable
+
+
+def test_langid_holdout_single_corpus_scan(spark, sf_small):
+    """The holdout eval still pays ONE corpus scan: train/test are
+    filter views of the same persisted bucket counts."""
+    import re as _re
+
+    from eventstream_benchmark_spark.operators import all_queries
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+        release_shared_persists,
+    )
+
+    release_shared_persists()
+    df = all_queries()["text_langid_holdout_eval"](spark, sf_small)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    release_scoped_persists()
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
+    assert len(_re.findall(r"\(\d+\) Window\b", plan)) == 0
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan
