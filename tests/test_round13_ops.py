@@ -420,3 +420,8 @@ def test_langid_holdout_single_corpus_scan(spark, sf_small):
     assert len(_re.findall(r"\(\d+\) Window\b", plan)) == 0
     for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_op not in plan
+    # the one scan prunes to exactly the classifier's columns (the
+    # r12 package-wide pruning-audit convention: pin ReadSchema
+    # literally so a projection regression fails the suite)
+    for rs in _re.findall(r"ReadSchema: (struct<[^>]*>)", plan):
+        assert rs == "struct<doc_id:bigint,text:string,lang:string>", rs
