@@ -425,3 +425,21 @@ def test_langid_holdout_single_corpus_scan(spark, sf_small):
     # literally so a projection regression fails the suite)
     for rs in _re.findall(r"ReadSchema: (struct<[^>]*>)", plan):
         assert rs == "struct<doc_id:bigint,text:string,lang:string>", rs
+
+
+def test_bpe_vocab_partitions_bounded(spark):
+    """The round-13 vanilla-session conditioning, pinned structurally:
+    every vocabulary frame the train loop persists (initial build and
+    each round's rewrite) carries at most BPE_VOCAB_PARTITIONS
+    partitions, so per-round stage width is vocabulary-proportional
+    regardless of the session's shuffle setting (measured 32.5 ->
+    14.9 s at sf0.01 in a 200-shuffle-partition session)."""
+    from eventstream_benchmark_spark.operators.text import (
+        BPE_VOCAB_PARTITIONS,
+        _bpe_train,
+    )
+
+    texts = ["ab ab cd", "ab ef ef gh"]
+    _, vocab, history = _bpe_train(spark, _docs_frame(spark, texts), 3)
+    for frame in [vocab, *history]:
+        assert frame.rdd.getNumPartitions() <= BPE_VOCAB_PARTITIONS
