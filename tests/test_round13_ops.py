@@ -211,8 +211,11 @@ def _ref_langid(
 
     pdb = {d: buckets(t) for d, _, t in rows}
     lb: dict[str, Counter] = defaultdict(Counter)
-    for d, lang, t in (train_rows if train_rows is not None else rows):
-        lb[lang].update(pdb[d] if d in pdb else buckets(t))
+    # always hash the train row's own text: keying into the TEST
+    # bucket table by doc_id would silently train on the wrong doc
+    # whenever a future split overlaps ids (round-13 review)
+    for _, lang, t in (train_rows if train_rows is not None else rows):
+        lb[lang].update(buckets(t))
 
     def lp_micro(lang: str, b: int) -> int:
         nl = sum(lb[lang].values())
