@@ -270,7 +270,20 @@ def _langid_bucket_counts(docs: DataFrame) -> DataFrame:
     Callers persist it (it feeds the centroid aggregates AND the
     scoring join; unpersisted, Catalyst re-ran the corpus explode per
     consumer — 3 scans instead of 1, caught by the round-13 plan
-    pin). Persisted size is docs × ≤ LANGID_BUCKETS rows."""
+    pin). Persisted size is docs × ≤ LANGID_BUCKETS rows.
+
+    The persisted frame is coalesced to the INPUT SCAN's partition
+    count — a size-proportional width, unlike the BPE vocabulary's
+    constant (bucket counts grow linearly with the corpus, so a
+    constant would be wrong at 100 TB; the scan width already tracks
+    data volume via maxPartitionBytes). Without this, the session's
+    shuffle setting dictates every consumer stage's width: in a
+    driver-style vanilla session (200 shuffle partitions, 8 cores)
+    the three consumers launched thousands of near-empty tasks over
+    the 200-partition cache — measured 13 s warm at sf0.01 vs ~2 s
+    in the 32-partition bench session; 4.3–6.7 s warm after the
+    coalesce (the residue is the scoring shuffle's reduce side,
+    AQE-bounded)."""
     t = F.lower(F.col("text"))
     # grams shorter than LANGID_NGRAM (doc tail / tiny docs) are
     # filtered out; greatest(..., 1) keeps sequence() ascending on
@@ -293,6 +306,7 @@ def _langid_bucket_counts(docs: DataFrame) -> DataFrame:
         .select("doc_id", "lang", b.alias("b"))
         .groupBy("doc_id", "lang", "b")
         .agg(F.count("*").alias("n"))
+        .coalesce(max(docs.rdd.getNumPartitions(), 1))
     )
 
 
