@@ -201,6 +201,12 @@ SF1_QUERIES = (
     "corpus_bpe_vocab_curve",
     "retrieval_fusion_rrf",
     "text_langid_hash_ngram",
+    # fifth round-13 addition, flood-probed at birth: the CCNet LM
+    # filter's 10x number should track its one corpus bigram explode
+    # (broadcast lookups + map-side-combined sums); the reference
+    # slice, LM tables, and thresholds are bounded by design and
+    # contribute nothing that grows with the flood
+    "text_perplexity_bucket",
 )
 
 # round-7: the host VM's minute-to-minute CPU contention swings single

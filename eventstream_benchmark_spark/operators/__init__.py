@@ -16,9 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 # (rotation.DRIVER_WINDOW=50 of 234 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
 # output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r12 —
-# never-sampled additions first (the four round-13 additions:
+# never-sampled additions first (the five round-13 additions:
 # `corpus_bpe_vocab_curve`, `retrieval_fusion_rrf`,
-# `text_langid_hash_ngram`, `text_langid_holdout_eval`), then
+# `text_langid_hash_ngram`, `text_langid_holdout_eval`,
+# `text_perplexity_bucket`), then
 # `_CHANGED_THIS_ROUND` (rewritten
 # semantics/plans re-verify immediately), then ascending latest-green
 # round, alphabetical within a tier — and ``tests/test_rotation.py``
@@ -26,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 # hand-counted into a 50-slot window, silently starving
 # `embed_quantize_int8`) can no longer happen.  This window retires ALL
 # 42 remaining r8-green rows (the 4-round-stale tail the r12 verdict's
-# #1 item named) plus the 2 alphabetically-first r9 names; after this
+# #1 item named) plus the alphabetically-first r9 name; after this
 # round's driver pass no registry entry is older than r9-green.
 # Queries whose OUTPUT SEMANTICS or plan were rewritten this round —
 # their last green driver row no longer certifies the current code, so
@@ -54,6 +55,7 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "retrieval_fusion_rrf",  # never sampled
     "text_langid_hash_ngram",  # never sampled
     "text_langid_holdout_eval",  # never sampled
+    "text_perplexity_bucket",  # never sampled
     "corpus_bpe_apply",  # REWRITTEN this round (last green r12)
     "corpus_bpe_merge_loop",  # REWRITTEN this round (last green r12)
     "agg_skew_salted",  # r8
@@ -99,7 +101,6 @@ _FRONT_OF_REGISTRY: tuple[str, ...] = (
     "udf_surface",  # r8
     "vocab_oov_rate",  # r8
     "agg_approx_quantiles",  # r9
-    "agg_distinct_approx",  # r9
 )
 
 

@@ -1416,3 +1416,37 @@ def test_vocab_curve_single_corpus_scan(spark, sf_small):
         assert py_op not in plan
     for rs in re.findall(r"ReadSchema: (struct<[^>]*>)", plan):
         assert rs == "struct<text:string>", rs
+
+
+def test_perplexity_bucket_broadcast_only_bounded_windows(spark, sf_small):
+    """The CCNet LM filter's corpus pass is one bigram explode with
+    three BROADCAST lookups and a keyed partial aggregate — no
+    shuffle join anywhere (the unscored bucket is a per-language
+    count difference, never a docs×scores doc_id join). Exactly three
+    parquet scans: the reference slice and the corpus explode (both
+    pruned to doc_id/text/lang) plus the lang-only total count. The
+    reference slice rides a WindowGroupLimit; all Window nodes sit on
+    reference-bounded frames (5 printed = the ref rank + the two
+    threshold-rank windows, whose unpersisted subtree prints once per
+    broadcast reference — the _plan double-print convention)."""
+    from eventstream_benchmark_spark.operators._cache import (
+        release_scoped_persists,
+    )
+
+    plan = _plan(spark, sf_small, "text_perplexity_bucket")
+    release_scoped_persists()
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 5
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 0
+    assert len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)) == 0
+    assert "CartesianProduct" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan
+    for rs in re.findall(r"ReadSchema: (struct<[^>]*>)", plan):
+        assert rs in (
+            "struct<doc_id:bigint,text:string,lang:string>",
+            "struct<lang:string>",
+        ), rs

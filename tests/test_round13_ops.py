@@ -446,3 +446,168 @@ def test_bpe_vocab_partitions_bounded(spark):
     _, vocab, history = _bpe_train(spark, _docs_frame(spark, texts), 3)
     for frame in [vocab, *history]:
         assert frame.rdd.getNumPartitions() <= BPE_VOCAB_PARTITIONS
+
+
+# ------------------------------------------------ CCNet perplexity bucket
+
+
+def _ref_ppl_bucket(rows: list[tuple]) -> dict[tuple, tuple]:
+    """Pure-Python CCNet LM-filter reference: bounded per-language
+    reference slice -> Laplace bigram LM (surprisals quantized to
+    micro-ints exactly as both engines do) -> integer-div doc scores
+    -> rank-selected 33/67 thresholds -> (lang, bucket) rollup.
+    Returns {(lang, bucket): (n_docs, sum_score, t1, t2)}."""
+    from eventstream_benchmark_spark.operators.text import CCNET_REF_DOCS
+
+    def micro(x: float) -> int:
+        val = Decimal(x) * 1_000_000
+        return int(val.quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    def bigrams(text: str) -> list[tuple]:
+        w = text.lower().split(" ")
+        return list(zip(w, w[1:]))
+
+    by_lang: dict[str, list] = defaultdict(list)
+    for row in sorted(rows):
+        by_lang[row[1]].append(row)
+    ref = {
+        r[0] for lang in by_lang for r in by_lang[lang][:CCNET_REF_DOCS]
+    }
+    c12: dict[str, Counter] = defaultdict(Counter)
+    c1: dict[str, Counter] = defaultdict(Counter)
+    voc: dict[str, set] = defaultdict(set)
+    for d, lang, t in rows:
+        if d in ref:
+            for a, b in bigrams(t):
+                c12[lang][(a, b)] += 1
+                c1[lang][a] += 1
+                voc[lang].add(b)
+
+    def surprisal(lang: str, a: str, b: str) -> int:
+        v = len(voc[lang]) + 1
+        if (a, b) in c12[lang]:
+            return micro(
+                -math.log((c12[lang][(a, b)] + 1) / (c1[lang][a] + v))
+            )
+        if a in c1[lang]:
+            return micro(math.log(c1[lang][a] + v))
+        return micro(math.log(v))
+
+    scores = {}
+    for d, lang, t in rows:
+        bg = bigrams(t)
+        if bg:
+            s = sum(surprisal(lang, a, b) for a, b in bg)
+            scores[d] = (lang, s // len(bg))
+    thr = {}
+    for lang in by_lang:
+        ranked = sorted(
+            (sc, d) for d, (lg, sc) in scores.items()
+            if lg == lang and d in ref
+        )
+        if ranked:
+            n = len(ranked)
+            thr[lang] = (
+                ranked[(n + 2) // 3 - 1][0],
+                ranked[(2 * n + 2) // 3 - 1][0],
+            )
+    out: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for d, lang, t in rows:
+        if d not in scores:
+            out[(lang, "unscored")][0] += 1
+        else:
+            sc = scores[d][1]
+            if lang not in thr:
+                bucket = "middle"
+            elif sc <= thr[lang][0]:
+                bucket = "head"
+            elif sc <= thr[lang][1]:
+                bucket = "middle"
+            else:
+                bucket = "tail"
+            cell = out[(lang, bucket)]
+            cell[0] += 1
+            cell[1] += sc
+    return {
+        (lang, bucket): (
+            n,
+            ssum,
+            thr.get(lang, (None, None))[0],
+            thr.get(lang, (None, None))[1],
+        )
+        for (lang, bucket), (n, ssum) in out.items()
+    }
+
+
+def _run_ppl_bucket(spark, rows: list[tuple]) -> dict[tuple, tuple]:
+    from eventstream_benchmark_spark.operators.text import (
+        _perplexity_bucket,
+    )
+
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    )
+    return {
+        (r.lang, r.bucket): (
+            r.n_docs, r.sum_score_micro, r.t1_micro, r.t2_micro
+        )
+        for r in _perplexity_bucket(spark, docs).collect()
+    }
+
+
+def _ppl_corpus() -> list[tuple]:
+    """Crafted corpus exercising every lookup tier and edge: lang 'aa'
+    exceeds CCNET_REF_DOCS (non-reference docs exist, some with
+    OOV-unigram and OOV-bigram tokens), 'bb' is a single one-token doc
+    (unscored, no thresholds), 'cc' mixes a scoreless reference doc
+    with a scored one (thresholds from n=1: t1 == t2)."""
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i in range(36):
+        w = [words[(i + j) % len(words)] for j in range(5)]
+        if i >= 33:  # past the 32-doc reference slice
+            w[2] = "novel%d" % i  # OOV w1 and w2 positions
+        rows.append((i, "aa", " ".join(w)))
+    rows.append((100, "bb", "solo"))
+    rows.append((200, "cc", "tok"))
+    rows.append((201, "cc", "un deux trois un deux"))
+    return rows
+
+
+def test_perplexity_bucket_matches_python_reference(spark):
+    got = _run_ppl_bucket(spark, _ppl_corpus())
+    ref = _ref_ppl_bucket(_ppl_corpus())
+    assert got == ref
+    # the crafted edges actually occurred
+    assert ("bb", "unscored") in got and got[("bb", "unscored")][0] == 1
+    assert got[("bb", "unscored")][2] is None  # no thresholds for bb
+    cc = {b for (lg, b) in got if lg == "cc"}
+    assert "unscored" in cc  # the one-token reference doc
+    t1, t2 = got[("cc", next(iter(cc - {"unscored"})))][2:]
+    assert t1 == t2  # single scored reference doc: both ranks hit it
+    aa_buckets = {b for (lg, b) in got if lg == "aa"}
+    assert {"head", "tail"} <= aa_buckets
+
+
+def test_perplexity_bucket_counts_cover_corpus(spark, sf_small):
+    """Per-language bucket counts sum to the language's document
+    count, every fixture doc is scored (all have >= 10 tokens), and
+    thresholds are non-decreasing."""
+    from eventstream_benchmark_spark.operators.text import (
+        text_perplexity_bucket,
+    )
+    import duckdb
+
+    rows = text_perplexity_bucket(spark, sf_small).collect()
+    totals = dict(
+        duckdb.sql(
+            "SELECT lang, count(*) FROM read_parquet("
+            f"'{sf_small}/documents.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    per_lang = Counter()
+    for r in rows:
+        per_lang[r.lang] += r.n_docs
+        assert r.bucket != "unscored"
+        assert r.t1_micro <= r.t2_micro
+    assert dict(per_lang) == totals
