@@ -3912,9 +3912,13 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     'unscored' bucket counted as a per-language total−scored
     DIFFERENCE (two map-side-combinable aggregates — never a
     corpus×corpus doc_id join); a language whose reference produced
-    no bigrams has no thresholds and its scored docs land in 'middle'
-    (CCNet keeps head+middle by default — no-signal defaults to
-    keep)."""
+    no bigrams has no LM at all, so ALL its docs are 'unscored' (the
+    vocabulary-floor lookup joins INNER — CCNet cannot score without
+    a reference model). An LM existing implies ≥ 1 scored reference
+    doc implies thresholds, so every scored doc sees non-null
+    thresholds; the 'middle' default on null thresholds is kept as an
+    explicit agreed fallback in the query, the oracle, and the test
+    reference."""
     from eventstream_benchmark_spark.operators._cache import (
         release_scoped_persists,
     )
@@ -4001,12 +4005,15 @@ def _perplexity_bucket(spark: SparkSession, docs: DataFrame) -> DataFrame:
         "lang", _ppl_micro(F.log("v")).alias("s0_micro")
     )
     # corpus-scale scoring: one explode, three broadcast lookups, one
-    # keyed partial-aggregable sum; integer div (all terms ≥ 0)
+    # keyed partial-aggregable sum; integer div (all terms ≥ 0).
+    # lv_s joins INNER: a lang with no reference bigrams has no LM,
+    # and its docs must stay score-less (→ the unscored difference)
+    # rather than summing NULLs into a phantom scored row
     scored = (
         _ppl_word_bigrams(docs)
         .join(F.broadcast(bg_s), ["lang", "w1", "w2"], "left")
         .join(F.broadcast(ug_s), ["lang", "w1"], "left")
-        .join(F.broadcast(lv_s), "lang", "left")
+        .join(F.broadcast(lv_s), "lang")
         .select(
             "doc_id",
             "lang",
@@ -4147,7 +4154,7 @@ ORACLES["text_perplexity_bucket"] = f"""
         LEFT JOIN bg_s g
           ON b.lang = g.lang AND b.w1 = g.w1 AND b.w2 = g.w2
         LEFT JOIN ug_s u ON b.lang = u.lang AND b.w1 = u.w1
-        LEFT JOIN lv_s l ON b.lang = l.lang
+        JOIN lv_s l ON b.lang = l.lang
     ),
     scores AS MATERIALIZED (
         SELECT doc_id, lang,

@@ -496,7 +496,10 @@ def _ref_ppl_bucket(rows: list[tuple]) -> dict[tuple, tuple]:
     scores = {}
     for d, lang, t in rows:
         bg = bigrams(t)
-        if bg:
+        # a lang whose reference produced no bigrams has no LM: its
+        # docs stay score-less (unscored), matching the engines'
+        # INNER vocabulary-floor join
+        if bg and voc.get(lang):
             s = sum(surprisal(lang, a, b) for a, b in bg)
             scores[d] = (lang, s // len(bg))
     thr = {}
@@ -560,7 +563,10 @@ def _ppl_corpus() -> list[tuple]:
     exceeds CCNET_REF_DOCS (non-reference docs exist, some with
     OOV-unigram and OOV-bigram tokens), 'bb' is a single one-token doc
     (unscored, no thresholds), 'cc' mixes a scoreless reference doc
-    with a scored one (thresholds from n=1: t1 == t2)."""
+    with a scored one (thresholds from n=1: t1 == t2), and 'dd' has a
+    bigram-bearing doc in a lang whose 32-doc reference slice is all
+    single-token docs — no LM exists, so even that doc is unscored
+    (the inner vocabulary-floor join in both engines)."""
     rows = []
     words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
     for i in range(36):
@@ -571,6 +577,9 @@ def _ppl_corpus() -> list[tuple]:
     rows.append((100, "bb", "solo"))
     rows.append((200, "cc", "tok"))
     rows.append((201, "cc", "un deux trois un deux"))
+    for i in range(33):  # 32-doc reference slice is all one-token
+        rows.append((300 + i, "dd", "w%d" % i))
+    rows.append((400, "dd", "x y z"))
     return rows
 
 
@@ -587,6 +596,9 @@ def test_perplexity_bucket_matches_python_reference(spark):
     assert t1 == t2  # single scored reference doc: both ranks hit it
     aa_buckets = {b for (lg, b) in got if lg == "aa"}
     assert {"head", "tail"} <= aa_buckets
+    # no-LM lang: every doc unscored, including the bigram-bearing one
+    assert {b for (lg, b) in got if lg == "dd"} == {"unscored"}
+    assert got[("dd", "unscored")][0] == 34
 
 
 def test_perplexity_bucket_counts_cover_corpus(spark, sf_small):
@@ -611,3 +623,32 @@ def test_perplexity_bucket_counts_cover_corpus(spark, sf_small):
         assert r.bucket != "unscored"
         assert r.t1_micro <= r.t2_micro
     assert dict(per_lang) == totals
+
+
+def test_perplexity_bucket_oracle_agrees_on_crafted_edges(spark):
+    """The DuckDB oracle and the Spark query agree on the crafted
+    corpus too — the no-LM language (reference slice all one-token,
+    later doc with bigrams) can never occur in the fixtures, so the
+    fixture-level hash parity cannot certify it; this pins the
+    round-13 review finding (the engines three-way diverged on it
+    before the inner vocabulary-floor join)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from eventstream_benchmark_spark.operators.text import (
+        _perplexity_bucket,
+    )
+    from tests.oracle_harness import compare
+
+    rows = _ppl_corpus()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = con.execute(e.oracle_sql()["text_perplexity_bucket"]).df()
+    sdf = _perplexity_bucket(
+        spark,
+        spark.createDataFrame(rows, "doc_id bigint, lang string, text string"),
+    )
+    issues = compare(sdf, duck)
+    assert not issues, issues
