@@ -652,3 +652,62 @@ def test_perplexity_bucket_oracle_agrees_on_crafted_edges(spark):
     )
     issues = compare(sdf, duck)
     assert not issues, issues
+
+
+def test_perplexity_bucket_randomized_three_way_agreement(spark):
+    """Seeded random corpora (tiny vocab => abundant ties and OOV,
+    per-language doc counts straddling the 32-doc reference boundary,
+    0-6-token docs => unscored rows everywhere): Spark, the DuckDB
+    oracle, and the pure-Python reference must agree on every one.
+    The crafted corpus pins the KNOWN edges; this sweeps for unknown
+    ones (the Spark-side property-test idiom: seeded, not hypothesis —
+    each example costs a Spark job)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from eventstream_benchmark_spark.operators.text import (
+        _perplexity_bucket,
+    )
+    from tests.oracle_harness import compare
+
+    for seed in (7, 23, 91, 4096):
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "dd", "e%d" % seed]
+        rows, did = [], 0
+        for li in range(rng.randint(1, 4)):
+            for _ in range(rng.randint(1, 40)):
+                n_tok = rng.randint(0, 6)
+                text = " ".join(rng.choice(vocab) for _ in range(n_tok))
+                rows.append((did, "l%d" % li, text))
+                did += 1
+        got = {
+            (r.lang, r.bucket): (
+                r.n_docs, r.sum_score_micro, r.t1_micro, r.t2_micro
+            )
+            for r in _perplexity_bucket(
+                spark,
+                spark.createDataFrame(
+                    rows, "doc_id bigint, lang string, text string"
+                ),
+            ).collect()
+        }
+        assert got == _ref_ppl_bucket(rows), f"python-ref mismatch seed={seed}"
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(rows, columns=["doc_id", "lang", "text"]),
+        )
+        duck = con.execute(
+            e.oracle_sql()["text_perplexity_bucket"]
+        ).df()
+        sdf = _perplexity_bucket(
+            spark,
+            spark.createDataFrame(
+                rows, "doc_id bigint, lang string, text string"
+            ),
+        )
+        issues = compare(sdf, duck)
+        assert not issues, f"oracle mismatch seed={seed}: {issues}"
