@@ -711,3 +711,58 @@ def test_perplexity_bucket_randomized_three_way_agreement(spark):
         )
         issues = compare(sdf, duck)
         assert not issues, f"oracle mismatch seed={seed}: {issues}"
+
+
+def test_langid_randomized_oracle_agreement(spark, tmp_path):
+    """Seeded random corpora for BOTH langid queries (resubstitution
+    and holdout) against their DuckDB oracles: short/sub-trigram docs,
+    identical texts shared across languages (score ties), languages
+    confined to odd doc_ids (test-only in the holdout split — never
+    predictable). The fixture-scale hash parity can't produce these
+    shapes; the seeded sweep pins them cross-engine."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from eventstream_benchmark_spark.operators.text import (
+        text_langid_hash_ngram,
+        text_langid_holdout_eval,
+    )
+    from tests.oracle_harness import compare
+
+    for seed in (3, 77, 505):
+        rng = random.Random(seed)
+        chars = "abcdef "
+        rows, did = [], 0
+        for li in range(rng.randint(2, 4)):
+            start = rng.randint(0, 1)  # lang may live on odd ids only
+            for _ in range(rng.randint(1, 12)):
+                n = rng.randint(0, 12)
+                text = "".join(rng.choice(chars) for _ in range(n))
+                if rng.random() < 0.3:
+                    text = "shared tie text"  # identical across langs
+                rows.append((did * 2 + start, "l%d" % li, text))
+                did += 1
+        sf = str(tmp_path / f"langid{seed}")
+        (tmp_path / f"langid{seed}").mkdir()
+        pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            f"{sf}/documents.parquet",
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        for fn, oname in (
+            (text_langid_hash_ngram, "text_langid_hash_ngram"),
+            (text_langid_holdout_eval, "text_langid_holdout_eval"),
+        ):
+            duck = con.execute(e.oracle_sql()[oname]).df()
+            issues = compare(fn(spark, sf), duck)
+            assert not issues, f"{oname} seed={seed}: {issues}"
