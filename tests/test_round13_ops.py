@@ -766,3 +766,57 @@ def test_langid_randomized_oracle_agreement(spark, tmp_path):
             duck = con.execute(e.oracle_sql()[oname]).df()
             issues = compare(fn(spark, sf), duck)
             assert not issues, f"{oname} seed={seed}: {issues}"
+
+
+def test_bpe_randomized_oracle_agreement(spark, tmp_path):
+    """Seeded random corpora for the three BPE queries against their
+    DuckDB oracles: skewed word repeats force pair-frequency TIES (the
+    argmax tie-break is the riskiest cross-engine surface), short
+    words exhaust training mid-loop, and repeated letters exercise the
+    non-overlapping-replace semantics. The fixtures' natural-ish text
+    rarely ties; the seeded sweep pins the edge cross-engine."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from eventstream_benchmark_spark.operators.text import QUERIES
+    from tests.oracle_harness import compare
+
+    for seed in (11, 222):
+        rng = random.Random(seed)
+        letters = "abcd"
+        vocab = [
+            "".join(rng.choice(letters) for _ in range(rng.randint(1, 6)))
+            for _ in range(8)
+        ]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(2, 10))
+        ]
+        rows = [(i, "en", t) for i, t in enumerate(texts)]
+        sf = str(tmp_path / f"bpe{seed}")
+        (tmp_path / f"bpe{seed}").mkdir()
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["doc_id", "lang", "text"]),
+                preserve_index=False,
+            ),
+            f"{sf}/documents.parquet",
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        for name in (
+            "corpus_bpe_merge_loop",
+            "corpus_bpe_apply",
+            "corpus_bpe_vocab_curve",
+        ):
+            duck = con.execute(e.oracle_sql()[name]).df()
+            issues = compare(QUERIES[name](spark, sf), duck)
+            assert not issues, f"{name} seed={seed}: {issues}"
