@@ -487,3 +487,78 @@ def test_pack_harmonic_matches_python_reference(spark):
             for r in pack_sequences_harmonic(spark, d).collect()
         ]
     assert sorted(got) == want
+
+
+def test_r12_randomized_oracle_agreement(spark, tmp_path):
+    """Seeded random corpora for the round-12 pure-integer operators
+    (paragraph dedup and both sequence packers) against their DuckDB
+    oracles: paragraph units recur across documents (cross-doc
+    keep-first), stopword-only insertions collapse under the
+    normalized key while raw text differs, all-stopword units
+    normalize to the empty string, token counts straddle the
+    PARA_WIN window tail, the PACK_CAPACITY clamp, and equal-length
+    runs (the harmonic layout's sharded index). All-integer
+    semantics, so fixed seeds are deterministic cross-engine."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from eventstream_benchmark_spark.operators.text import (
+        PARA_WIN,
+        QUERIES,
+        STOPWORDS,
+    )
+    from tests.oracle_harness import compare
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    for seed in (5, 613):
+        rng = random.Random(seed)
+        units = [
+            " ".join(rng.choice(words) for _ in range(PARA_WIN))
+            for _ in range(4)
+        ]
+        # a stopword-riddled variant of unit 0: same normalized key
+        v = units[0].split(" ")
+        v.insert(3, STOPWORDS[0])
+        units.append(" ".join(v[:PARA_WIN]))
+        units.append(" ".join(STOPWORDS[i % 2] for i in range(PARA_WIN)))
+        texts = []
+        for _ in range(rng.randint(5, 25)):
+            n_units = rng.randint(0, 5)
+            toks = []
+            for _ in range(n_units):
+                toks.extend(rng.choice(units).split(" "))
+            toks.extend(
+                rng.choice(words) for _ in range(rng.randint(0, PARA_WIN - 1))
+            )
+            texts.append(" ".join(toks))
+        # equal-length run + capacity clamp
+        texts += [" ".join(words * 2)] * rng.randint(2, 6)
+        texts.append(" ".join(rng.choice(words) for _ in range(300)))
+        rows = [(i, "en", t) for i, t in enumerate(texts)]
+        sf = str(tmp_path / f"r12rand{seed}")
+        (tmp_path / f"r12rand{seed}").mkdir()
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["doc_id", "lang", "text"]),
+                preserve_index=False,
+            ),
+            f"{sf}/documents.parquet",
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        for name in (
+            "text_paragraph_dedup",
+            "pack_sequences_harmonic",
+            "pack_sequences_chunked",
+        ):
+            duck = con.execute(e.oracle_sql()[name]).df()
+            issues = compare(QUERIES[name](spark, sf), duck)
+            assert not issues, f"{name} seed={seed}: {issues}"
