@@ -562,3 +562,77 @@ def test_r12_randomized_oracle_agreement(spark, tmp_path):
             duck = con.execute(e.oracle_sql()[name]).df()
             issues = compare(QUERIES[name](spark, sf), duck)
             assert not issues, f"{name} seed={seed}: {issues}"
+
+
+def test_span_dedup_randomized_oracle_agreement(spark, tmp_path):
+    """Seeded random corpora for the span-dedup trio (line dedup,
+    ExactSubstr detection, ExactSubstr removal) against their DuckDB
+    oracles — the gaps-and-islands interval merge is the most
+    intricate string/integer machinery in the text pack, and random
+    corpora plant shapes the fixtures can't: repeats that straddle
+    island gap boundaries, a phrase repeated twice INSIDE one
+    document, whole-document duplicates, and sub-span (< SUBDUP_K)
+    docs. All-integer/string semantics — fixed seeds are
+    deterministic cross-engine."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from eventstream_benchmark_spark.operators.text import (
+        QUERIES,
+        SUBDUP_K,
+    )
+    from tests.oracle_harness import compare
+
+    words = ["red", "blue", "green", "gold", "grey"]
+    for seed in (17, 909):
+        rng = random.Random(seed)
+        # repeated phrases: one exactly SUBDUP_K tokens, one longer
+        # (maximal interval > one span), one shorter (never detected)
+        phrases = [
+            [rng.choice(words) for _ in range(SUBDUP_K)],
+            [rng.choice(words) for _ in range(SUBDUP_K * 2 + 3)],
+            [rng.choice(words) for _ in range(SUBDUP_K - 2)],
+        ]
+        texts = []
+        for _ in range(rng.randint(4, 14)):
+            toks = []
+            for _ in range(rng.randint(0, 4)):
+                if rng.random() < 0.5:
+                    toks.extend(rng.choice(phrases))
+                toks.extend(
+                    rng.choice(words) for _ in range(rng.randint(0, 12))
+                )
+            texts.append(" ".join(toks))
+        # a phrase repeated twice inside ONE document, plus a
+        # whole-document duplicate pair
+        texts.append(" ".join(phrases[0] + [rng.choice(words)] + phrases[0]))
+        if texts:
+            texts.append(texts[0])
+        rows = [(i, "en", t) for i, t in enumerate(texts)]
+        sf = str(tmp_path / f"span{seed}")
+        (tmp_path / f"span{seed}").mkdir()
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["doc_id", "lang", "text"]),
+                preserve_index=False,
+            ),
+            f"{sf}/documents.parquet",
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        for name in (
+            "text_line_dedup",
+            "text_substring_dedup",
+            "text_substring_removal",
+        ):
+            duck = con.execute(e.oracle_sql()[name]).df()
+            issues = compare(QUERIES[name](spark, sf), duck)
+            assert not issues, f"{name} seed={seed}: {issues}"
