@@ -636,3 +636,69 @@ def test_span_dedup_randomized_oracle_agreement(spark, tmp_path):
             duck = con.execute(e.oracle_sql()[name]).df()
             issues = compare(QUERIES[name](spark, sf), duck)
             assert not issues, f"{name} seed={seed}: {issues}"
+
+
+def test_text_dedup_randomized_oracle_agreement(spark, tmp_path):
+    """Seeded random corpora for the text near-dup chain (exact-text,
+    n-gram Jaccard, containment, MinHash-LSH, SimHash) against their
+    DuckDB oracles: clusters derived from a base document by 0-3
+    token substitutions put pairs on BOTH sides of the Jaccard
+    threshold, exact-duplicate groups exercise the collapse in front
+    of the band join, and sub-shingle docs fall out of the shingle
+    explode. The md5 permutations, bit votes, and exact-rational
+    threshold compares are deterministic cross-engine, so fixed seeds
+    pin the whole chain."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from tests.oracle_harness import compare
+
+    words = ["ash", "birch", "cedar", "elm", "fir", "oak", "pine"]
+    q = e.queries()
+    for seed in (29, 4242):
+        rng = random.Random(seed)
+        texts = []
+        for _ in range(rng.randint(2, 4)):  # near-dup clusters
+            base = [rng.choice(words) for _ in range(rng.randint(12, 24))]
+            for _ in range(rng.randint(2, 4)):
+                var = list(base)
+                for _ in range(rng.randint(0, 3)):
+                    var[rng.randrange(len(var))] = rng.choice(words)
+                texts.append(" ".join(var))
+        exact = " ".join(rng.choice(words) for _ in range(15))
+        texts += [exact] * rng.randint(2, 4)  # exact-dup group
+        texts += ["", "oak", "oak pine"]  # sub-shingle docs
+        texts += [
+            " ".join(rng.choice(words) for _ in range(rng.randint(4, 30)))
+            for _ in range(rng.randint(3, 8))
+        ]
+        rows = [(i, "en", t) for i, t in enumerate(texts)]
+        sf = str(tmp_path / f"dedup{seed}")
+        (tmp_path / f"dedup{seed}").mkdir()
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["doc_id", "lang", "text"]),
+                preserve_index=False,
+            ),
+            f"{sf}/documents.parquet",
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        for name in (
+            "dedup_exact_text",
+            "dedup_ngram_jaccard",
+            "dedup_containment_ngram",
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+        ):
+            duck = con.execute(e.oracle_sql()[name]).df()
+            issues = compare(q[name](spark, sf), duck)
+            assert not issues, f"{name} seed={seed}: {issues}"
