@@ -820,3 +820,84 @@ def test_bpe_randomized_oracle_agreement(spark, tmp_path):
             duck = con.execute(e.oracle_sql()[name]).df()
             issues = compare(QUERIES[name](spark, sf), duck)
             assert not issues, f"{name} seed={seed}: {issues}"
+
+
+def test_eventstream_randomized_oracle_agreement(spark, tmp_path):
+    """Seeded random event streams for the count/timestamp core of
+    the eventstream pack (tumbling/sliding rates, sessionization,
+    inter-arrival lags, fixed pattern matching) against their DuckDB
+    oracles: random per-user gap sequences straddle the session gap
+    and window edges, occasional zero gaps plant timestamp ties
+    (already degenerate-certified; here they meet random
+    neighborhoods), and event types are skewed so pattern chains both
+    complete and dead-end. Counts and microsecond arithmetic only —
+    no double aggregation — so fixed seeds are deterministic
+    cross-engine."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from tests.oracle_harness import compare
+
+    types = ["view", "click", "cart", "purchase", "error"]
+    base_us = 1_706_000_000_000_000
+    for seed in (37, 1777):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for uid in range(rng.randint(3, 9)):
+            t = base_us + rng.randint(0, 3_600_000_000)
+            for _ in range(rng.randint(5, 60)):
+                # gaps from seconds to tens of minutes straddle the
+                # session gap; ~5% zero gaps plant ties
+                if rng.random() < 0.05:
+                    gap = 0
+                else:
+                    gap = rng.randint(1_000_000, 2_000_000_000)
+                t += gap
+                rows.append(
+                    (
+                        eid,
+                        t,
+                        uid,
+                        rng.choice(types[: rng.randint(2, 5)]),
+                        round(rng.uniform(1, 200), 2),
+                        '{"k": %d}' % rng.randint(0, 99),
+                    )
+                )
+                eid += 1
+        rows.sort(key=lambda r: (r[1], r[0]))
+        rows = [(i, *r[1:]) for i, r in enumerate(rows)]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        sf = str(tmp_path / f"ev{seed}")
+        (tmp_path / f"ev{seed}").mkdir()
+        pq.write_table(tbl, f"{sf}/events.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        )
+        q = e.queries()
+        for name in (
+            "stream_tumbling_rate",
+            "stream_sliding_rate",
+            "stream_sessionize",
+            "win_lag_inter_arrival",
+            "pattern_match_fixed",
+        ):
+            duck = con.execute(e.oracle_sql()[name]).df()
+            issues = compare(q[name](spark, sf), duck)
+            assert not issues, f"{name} seed={seed}: {issues}"
