@@ -901,3 +901,77 @@ def test_eventstream_randomized_oracle_agreement(spark, tmp_path):
             duck = con.execute(e.oracle_sql()[name]).df()
             issues = compare(q[name](spark, sf), duck)
             assert not issues, f"{name} seed={seed}: {issues}"
+
+
+def test_asof_range_join_randomized_oracle_agreement(spark, tmp_path):
+    """Seeded random event streams for the time-join family (as-of,
+    nearest-as-of, bucketed range self-join) against their DuckDB
+    oracles, with the decisive boundaries PLANTED: gaps of exactly 60 s
+    (the range join's bucket edge, inclusive), exactly 3600 s (the
+    nearest-as-of tolerance, inclusive), and click/purchase pairs at
+    the IDENTICAL timestamp (the inclusive >= as-of boundary, ordered
+    clicks-first). gap_s is an integer microsecond count divided by
+    1e6 and rounded to 6 dp — the value IS a 6-dp grid point, so the
+    round has no .5 decision and both engines agree on any input."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from tests.oracle_harness import compare
+
+    types = ["view", "click", "cart", "purchase"]
+    base_us = 1_706_000_000_000_000
+    for seed in (53, 3001):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+
+        def emit(uid, t, et, _rows=rows):
+            nonlocal eid
+            _rows.append((eid, t, uid, et, round(rng.uniform(1, 200), 2),
+                          '{"k": 1}'))
+            eid += 1
+
+        for uid in range(rng.randint(3, 8)):
+            t = base_us + rng.randint(0, 3_600_000_000)
+            for _ in range(rng.randint(5, 40)):
+                t += rng.randint(1_000_000, 5_000_000_000)
+                emit(uid, t, rng.choice(types))
+            # planted boundaries for this user
+            t += 7_000_000_000
+            emit(uid, t, "click")
+            emit(uid, t + 60_000_000, "view")       # exactly 60 s pair
+            emit(uid, t + 3_600_000_000, "purchase")  # exactly tol
+            emit(uid, t + 3_600_000_001, "purchase")  # 1 µs past tol
+            tt = t + 9_000_000_000
+            emit(uid, tt, "click")
+            emit(uid, tt, "purchase")               # identical ts
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        sf = str(tmp_path / f"asof{seed}")
+        (tmp_path / f"asof{seed}").mkdir()
+        pq.write_table(tbl, f"{sf}/events.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        )
+        q = e.queries()
+        for name in (
+            "join_asof",
+            "join_asof_nearest",
+            "join_range_interval",
+        ):
+            duck = con.execute(e.oracle_sql()[name]).df()
+            issues = compare(q[name](spark, sf), duck)
+            assert not issues, f"{name} seed={seed}: {issues}"
