@@ -56,6 +56,7 @@ SWEPT = (
     "dedup_threshold_sweep",
     "dedup_semantic_cluster",
     "dedup_semantic_recall_eval",
+    "decontaminate_semantic_embed",
 )
 
 
