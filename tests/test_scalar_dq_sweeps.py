@@ -1,0 +1,293 @@
+"""Seeded randomized oracle sweeps for the scalar-function and
+data-quality packs (plus the join/aggregate singletons the other
+sweeps don't reach).
+
+Planted shapes:
+
+* part names at the string-function edges while honoring the fixture
+  contract (letter-led, space-separated): vowel-free names (the
+  levenshtein-vs-stripped distance collapses to 0), all-vowel names
+  (distance = length), single-character names (shorter than the
+  5-char substring window), and repeated-token names;
+* events whose value sits exactly AT the null-bucket threshold (50)
+  of the null-safe join, below it (the NULL⋈NULL bucket both engines
+  must match under <=>), and exactly on the 100-wide bucket edges;
+* a NULL user_id row (dq_null_profile counts it; the HLL/KMV/map
+  lanes must skip or group it identically);
+* order prices spanning 1..3000 on the quarter grid so the Benford
+  first-digit audit sees every digit with uneven mass;
+* hour-of-day distributions with natural count ties (mode's
+  documented smallest-hour tie-break) and documents/embeddings so
+  the profiled-column and array lanes run on re-rolled data.
+
+Approx lanes (percentile_approx, HLL merge, approx_top_k) are checked
+through their engine-independent CONTRACT booleans, which at this
+data size must all read true; KMV's estimate is itself exact-replay.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as e
+from tests.oracle_harness import compare
+
+BASE_US = 1_706_000_000_000_000
+HOUR_US = 3_600_000_000
+
+SWEPT = (
+    "scalar_string",
+    "scalar_string_distance",
+    "scalar_datetime",
+    "scalar_math",
+    "scalar_math_density",
+    "scalar_json",
+    "scalar_variant",
+    "scalar_array",
+    "scalar_map",
+    "scalar_conditional",
+    "dq_null_profile",
+    "dq_benford_audit",
+    "audit_referential_integrity",
+    "agg_mode_median",
+    "agg_percentiles",
+    "agg_approx_quantiles",
+    "agg_approx_topk_contract",
+    "agg_kmv_distinct",
+    "agg_hll_merge_daily",
+    "predicate_combo",
+    "join_inner_equi",
+    "join_broadcast_dims",
+    "join_null_safe",
+    "join_lateral_topn",
+    "join_runtime_filtered",
+    "join_skew_salted",
+    "subquery_correlated",
+)
+
+PNAMES_PLANTED = [
+    "xyz zzz",          # vowel-free: stripped == original
+    "aeiou aeiou",      # all vowels: stripped == consonant-free
+    "a",                # single char, shorter than substring(1,5)
+    "word word word",   # repeated tokens
+]
+PNAME_WORDS = ["amber", "blue", "crimson", "dim", "red", "steel", "oak"]
+TYPES = ["view", "click", "cart", "purchase", "error"]
+
+
+def _quarter(rng: random.Random, lo: int, hi: int) -> float:
+    return rng.randint(lo * 4, hi * 4) / 4.0
+
+
+def _build_fixture(rng: random.Random, root) -> str:
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(range(3), pa.int32()),
+            "r_name": pa.array(["ASIA", "AMERICA", "EUROPE"]),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(range(6), pa.int32()),
+            "n_name": pa.array([f"NATION_{i}" for i in range(6)]),
+            "n_regionkey": pa.array([i % 3 for i in range(6)], pa.int32()),
+        }
+    )
+    n_cust = rng.randint(8, 16)
+    custkeys = list(range(1, n_cust + 1))
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(custkeys, pa.int64()),
+            "c_name": pa.array([f"Customer#{k}" for k in custkeys]),
+            "c_nationkey": pa.array(
+                [rng.randint(0, 5) for _ in custkeys], pa.int32()
+            ),
+            "c_acctbal": pa.array(
+                [_quarter(rng, -20, 100) for _ in custkeys], pa.float64()
+            ),
+            "c_mktsegment": pa.array(
+                [rng.choice(["BUILDING", "MACHINERY"]) for _ in custkeys]
+            ),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(range(1, 7), pa.int64()),
+            "s_name": pa.array([f"Supplier#{k}" for k in range(1, 7)]),
+            "s_nationkey": pa.array(
+                [rng.randint(0, 5) for _ in range(6)], pa.int32()
+            ),
+            "s_acctbal": pa.array(
+                [_quarter(rng, -20, 100) for _ in range(6)], pa.float64()
+            ),
+        }
+    )
+    n_part = rng.randint(12, 24)
+    p_rows = []
+    for pk in range(1, n_part + 1):
+        if pk <= len(PNAMES_PLANTED):
+            name = PNAMES_PLANTED[pk - 1]
+        else:
+            name = " ".join(
+                rng.choice(PNAME_WORDS) for _ in range(rng.randint(1, 4))
+            )
+        p_rows.append(
+            (pk, name, rng.choice(["Brand#11", "Brand#22"]),
+             rng.choice(["PROMO", "ECONOMY", "STANDARD"]),
+             rng.randint(1, 50), _quarter(rng, 1, 100))
+        )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([r[0] for r in p_rows], pa.int64()),
+            "p_name": pa.array([r[1] for r in p_rows]),
+            "p_brand": pa.array([r[2] for r in p_rows]),
+            "p_type": pa.array([r[3] for r in p_rows]),
+            "p_size": pa.array([r[4] for r in p_rows], pa.int32()),
+            "p_retailprice": pa.array([r[5] for r in p_rows], pa.float64()),
+        }
+    )
+    o_rows, li_rows = [], []
+    okey = 1
+    for ck in custkeys:
+        for _ in range(rng.randint(0, 4)):
+            # quarter-grid magnitudes 1..3000: every Benford digit
+            price = rng.randint(4, 12000) / 4.0
+            date_us = BASE_US + rng.randint(-400, 400) * 86_400_000_000
+            o_rows.append(
+                (okey, ck, rng.choice("FO"), price, date_us,
+                 rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"]))
+            )
+            for ln in range(rng.randint(2, 6)):
+                # extendedprice stays DENSE relative to its magnitude
+                # (quarter grid over [1600, 2000]): percentile_approx's
+                # 2% contract presumes a dense group — the sketch
+                # returns a discrete data point, and a sparse sample
+                # over a wide range puts the nearest point > 2% from
+                # the interpolated exact percentile (seed 71 showed
+                # exactly that with prices over [1, 2000])
+                li_rows.append(
+                    (okey, rng.randint(1, n_part), rng.randint(1, 6),
+                     ln + 1, _quarter(rng, 1, 50), _quarter(rng, 1600, 2000),
+                     rng.choice([0.0, 0.0625, 0.25]), rng.choice([0.0, 0.25]),
+                     rng.choice("ANR"), rng.choice("FO"),
+                     date_us + rng.randint(0, 60) * 86_400_000_000)
+                )
+            okey += 1
+    # planted orphan FK: the integrity audit's n_orphans is its
+    # measured value, so give it something nonzero to count
+    li_rows.append(
+        (o_rows[0][0] if o_rows else 1, 9_999, 1, 9, 1.0, 10.0, 0.0, 0.0,
+         "N", "O", BASE_US)
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in o_rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in o_rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in o_rows]),
+            "o_totalprice": pa.array([r[3] for r in o_rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in o_rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[5] for r in o_rows]),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in li_rows], pa.int64()),
+            "l_suppkey": pa.array([r[2] for r in li_rows], pa.int64()),
+            "l_linenumber": pa.array([r[3] for r in li_rows], pa.int32()),
+            "l_quantity": pa.array([r[4] for r in li_rows], pa.float64()),
+            "l_extendedprice": pa.array([r[5] for r in li_rows], pa.float64()),
+            "l_discount": pa.array([r[6] for r in li_rows], pa.float64()),
+            "l_tax": pa.array([r[7] for r in li_rows], pa.float64()),
+            "l_returnflag": pa.array([r[8] for r in li_rows]),
+            "l_linestatus": pa.array([r[9] for r in li_rows]),
+            "l_shipdate": pa.array([r[10] for r in li_rows], pa.timestamp("us")),
+        }
+    )
+    # events: null-bucket values, bucket edges, hour spread, 1 NULL user
+    ev_rows, eid = [], 0
+    for uid in range(rng.randint(4, 9)):
+        t = BASE_US + rng.randint(0, 72) * HOUR_US
+        for _ in range(rng.randint(5, 40)):
+            t += rng.randint(60_000_000, 5 * HOUR_US)
+            value = rng.choice(
+                [25.0, 49.75, 50.0, 100.0, 150.0, _quarter(rng, 0, 400)]
+            )
+            ev_rows.append(
+                (eid, t, uid, rng.choice(TYPES), value,
+                 '{"k": %d}' % rng.randint(0, 99))
+            )
+            eid += 1
+    ev_rows.append((eid, BASE_US + 7, None, "click", 75.0, '{"k": 1}'))
+    ev_rows.sort(key=lambda r: (r[1], r[0]))
+    events = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in ev_rows], pa.int64()),
+            "ts": pa.array([r[1] for r in ev_rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in ev_rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in ev_rows]),
+            "value": pa.array([r[4] for r in ev_rows], pa.float64()),
+            "props": pa.array([r[5] for r in ev_rows]),
+        }
+    )
+    texts = [
+        " ".join(rng.choice(PNAME_WORDS) for _ in range(rng.randint(2, 25)))
+        for _ in range(rng.randint(8, 16))
+    ]
+    documents = pa.Table.from_pandas(
+        pd.DataFrame(
+            [(i, t, rng.choice(["en", "de", "fr"]),
+              rng.choice(["src0", "src1"]), len(t))
+             for i, t in enumerate(texts)],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        ),
+        preserve_index=False,
+    )
+    vecs = [
+        [rng.randint(-32, 32) / 16.0 for _ in range(64)]
+        for _ in range(rng.randint(20, 40))
+    ]
+    embeddings = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([rng.randint(0, 9) for _ in vecs], pa.int32()),
+        }
+    )
+    root.mkdir()
+    for name, tbl in (
+        ("region", region), ("nation", nation), ("customer", customer),
+        ("supplier", supplier), ("part", part), ("orders", orders),
+        ("lineitem", lineitem), ("events", events),
+        ("documents", documents), ("embeddings", embeddings),
+    ):
+        pq.write_table(tbl, str(root / f"{name}.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize("seed", [71, 1122])
+def test_scalar_dq_randomized_oracle_agreement(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    sf = _build_fixture(rng, tmp_path / f"sdq{seed}")
+    con = duckdb.connect()
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents",
+                 "embeddings"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{sf}/{name}.parquet')"
+        )
+    q, o = e.queries(), e.oracle_sql()
+    try:
+        for name in SWEPT:
+            duck = con.execute(o[name]).df()
+            issues = compare(q[name](spark, sf), duck)
+            assert not issues, f"{name} seed={seed}: {issues}"
+    finally:
+        con.close()
