@@ -29,13 +29,11 @@ from __future__ import annotations
 
 import random
 
-import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import __spark_entry__ as e
-from tests.oracle_harness import compare
+from tests.sweep_util import quarter as _quarter, sweep_check
 
 Q1_CUT_US = 904_694_400_000_000  # 1998-09-02 00:00:00 UTC
 Q3_CUT_US = 883_612_800_000_000  # 1998-01-01 00:00:00 UTC
@@ -63,8 +61,6 @@ SWEPT = (
 )
 
 
-def _quarter(rng: random.Random, lo: int, hi: int) -> float:
-    return rng.randint(lo * 4, hi * 4) / 4.0
 
 
 def _build_fixture(rng: random.Random, root) -> str:
@@ -104,6 +100,11 @@ def _build_fixture(rng: random.Random, root) -> str:
                 date_us = Q3_CUT_US + rng.randint(-400, 400) * 86_400_000_000
             o_rows.append((okey, ck, _quarter(rng, 1, 50), date_us))
             okey += 1
+    # o_orderdate exactly at / 1 µs before Q3's strict < cut,
+    # unconditionally (the per-row rng left seeds one-sided)
+    for d in (Q3_CUT_US, Q3_CUT_US - 1):
+        o_rows.append((okey, custkeys[0], _quarter(rng, 1, 50), d))
+        okey += 1
     orders = pa.table(
         {
             "o_orderkey": pa.array([r[0] for r in o_rows], pa.int64()),
@@ -140,6 +141,15 @@ def _build_fixture(rng: random.Random, root) -> str:
                 rng.choice("FO"),
                 ship_us,
             )
+        )
+    # both sides of BOTH one-sided cuts, unconditionally (seed 8088's
+    # per-row rng left zero rows at Q3_CUT-1 and one at Q1_CUT+1):
+    # Q1's inclusive <= and Q3's strict > each get an included and an
+    # excluded row regardless of the roll
+    for ship_us in (Q1_CUT_US, Q1_CUT_US + 1, Q3_CUT_US, Q3_CUT_US + 1):
+        li_rows.append(
+            (orderkeys[0], 3, 3, 2, 5.0, _quarter(rng, 1, 100), 0.25, 0.0,
+             "R", "F", ship_us)
         )
     # degenerate stats groups: linestatus 'X' = constant quantity
     # (corr denominator 0), 'Y' = single row (n-1 = 0)
@@ -207,17 +217,4 @@ def _build_fixture(rng: random.Random, root) -> str:
 def test_aggregate_family_randomized_oracle_agreement(spark, tmp_path, seed):
     rng = random.Random(seed)
     sf = _build_fixture(rng, tmp_path / f"agg{seed}")
-    con = duckdb.connect()
-    for name in ("nation", "customer", "orders", "lineitem", "events"):
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{sf}/{name}.parquet')"
-        )
-    q, o = e.queries(), e.oracle_sql()
-    try:
-        for name in SWEPT:
-            duck = con.execute(o[name]).df()
-            issues = compare(q[name](spark, sf), duck)
-            assert not issues, f"{name} seed={seed}: {issues}"
-    finally:
-        con.close()
+    sweep_check(spark, sf, SWEPT, ("nation", "customer", "orders", "lineitem", "events"), seed)

@@ -29,13 +29,11 @@ from __future__ import annotations
 import random
 from datetime import datetime, timezone
 
-import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import __spark_entry__ as e
-from tests.oracle_harness import compare
+from tests.sweep_util import quarter as _quarter, sweep_check
 
 BASE_US = 1_706_000_000_000_000
 DAY_US = 86_400_000_000
@@ -67,8 +65,6 @@ def _us(y: int, m: int, d: int) -> int:
 SNAP_CUTOFF_US = _us(1997, 6, 1)
 
 
-def _quarter(rng: random.Random, lo: int, hi: int) -> float:
-    return rng.randint(lo * 4, hi * 4) / 4.0
 
 
 def _build_events(rng: random.Random) -> pa.Table:
@@ -108,6 +104,11 @@ def _build_events(rng: random.Random) -> pa.Table:
                     t += rng.randint(1_000_000, 3_600_000_000)
                 emit(uid, t, step)
             t += rng.randint(DAY_US // 2, 10 * DAY_US)
+    # unconditional clicks-only and purchases-only users: the cogroup
+    # merge's empty-side branches must exist in EVERY seed (seed 67
+    # drew neither shape from the per-user rng above)
+    emit(n_users, BASE_US + rng.randint(0, DAY_US), "click")
+    emit(n_users + 1, BASE_US + rng.randint(0, DAY_US), "purchase")
     rows.sort(key=lambda r: (r[1], r[0]))
     rows = [(i, *r[1:]) for i, r in enumerate(rows)]
     return pa.table(
@@ -183,17 +184,4 @@ def test_behavioral_randomized_oracle_agreement(spark, tmp_path, seed):
     orders, lineitem = _build_orders_lineitem(rng)
     pq.write_table(orders, str(root / "orders.parquet"))
     pq.write_table(lineitem, str(root / "lineitem.parquet"))
-    con = duckdb.connect()
-    for name in ("events", "orders", "lineitem"):
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{root}/{name}.parquet')"
-        )
-    q, o = e.queries(), e.oracle_sql()
-    try:
-        for name in SWEPT_EVENTS + SWEPT_ORDERS:
-            duck = con.execute(o[name]).df()
-            issues = compare(q[name](spark, str(root)), duck)
-            assert not issues, f"{name} seed={seed}: {issues}"
-    finally:
-        con.close()
+    sweep_check(spark, str(root), SWEPT_EVENTS + SWEPT_ORDERS, ("events", "orders", "lineitem"), seed)

@@ -27,14 +27,12 @@ from __future__ import annotations
 
 import random
 
-import duckdb
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import __spark_entry__ as e
-from tests.oracle_harness import compare
+from tests.sweep_util import sweep_check
 
 # uniform-width vocabulary => substitution variants preserve n_chars,
 # planting keep-longest ties broken only by doc_id
@@ -88,16 +86,4 @@ def test_cluster_family_randomized_oracle_agreement(spark, tmp_path, seed):
         pa.Table.from_pandas(pdf, preserve_index=False),
         str(root / "documents.parquet"),
     )
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{root}/documents.parquet')"
-    )
-    q, o = e.queries(), e.oracle_sql()
-    try:
-        for name in SWEPT:
-            duck = con.execute(o[name]).df()
-            issues = compare(q[name](spark, str(root)), duck)
-            assert not issues, f"{name} seed={seed}: {issues}"
-    finally:
-        con.close()
+    sweep_check(spark, str(root), SWEPT, ("documents",), seed)

@@ -21,13 +21,11 @@ from __future__ import annotations
 
 import random
 
-import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import __spark_entry__ as e
-from tests.oracle_harness import compare
+from tests.sweep_util import quarter as _quarter, sweep_check
 
 BASE_US = 1_706_000_000_000_000
 DAY_US = 86_400_000_000
@@ -42,8 +40,6 @@ SWEPT = (
 )
 
 
-def _quarter(rng: random.Random, lo: int, hi: int) -> float:
-    return rng.randint(lo * 4, hi * 4) / 4.0
 
 
 def _build_fixture(rng: random.Random, root) -> str:
@@ -108,17 +104,4 @@ def _build_fixture(rng: random.Random, root) -> str:
 def test_graph_randomized_oracle_agreement(spark, tmp_path, seed):
     rng = random.Random(seed)
     sf = _build_fixture(rng, tmp_path / f"graph{seed}")
-    con = duckdb.connect()
-    for name in ("orders", "lineitem"):
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{sf}/{name}.parquet')"
-        )
-    q, o = e.queries(), e.oracle_sql()
-    try:
-        for name in SWEPT:
-            duck = con.execute(o[name]).df()
-            issues = compare(q[name](spark, sf), duck)
-            assert not issues, f"{name} seed={seed}: {issues}"
-    finally:
-        con.close()
+    sweep_check(spark, sf, SWEPT, ("orders", "lineitem"), seed)

@@ -25,14 +25,12 @@ from __future__ import annotations
 
 import random
 
-import duckdb
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import __spark_entry__ as e
-from tests.oracle_harness import compare
+from tests.sweep_util import quarter as _quarter, sweep_check
 
 BASE_US = 1_706_000_000_000_000
 DAY_US = 86_400_000_000
@@ -68,8 +66,6 @@ SWEPT_STREAMING = (
 TYPES = ["view", "click", "cart", "purchase", "error"]
 
 
-def _quarter(rng: random.Random, lo: int, hi: int) -> float:
-    return rng.randint(lo * 4, hi * 4) / 4.0
 
 
 def _build_fixture(rng: random.Random, root) -> str:
@@ -160,33 +156,14 @@ def _build_fixture(rng: random.Random, root) -> str:
     return str(root)
 
 
-def _run(spark, sf: str, names, seed: int) -> None:
-    con = duckdb.connect()
-    for name in ("events", "orders", "documents"):
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{sf}/{name}.parquet')"
-        )
-    q, o = e.queries(), e.oracle_sql()
-    try:
-        for name in names:
-            oracle = o.get(name)
-            sdf = q[name](spark, sf)
-            if oracle is None:
-                assert sdf.count() >= 0  # rows-only lane
-                continue
-            duck = con.execute(oracle).df()
-            issues = compare(sdf, duck)
-            assert not issues, f"{name} seed={seed}: {issues}"
-    finally:
-        con.close()
+_TABLES = ("events", "orders", "documents")
 
 
 @pytest.mark.parametrize("seed", [89, 1234])
 def test_io_randomized_oracle_agreement(spark, tmp_path, seed):
     rng = random.Random(seed)
     sf = _build_fixture(rng, tmp_path / f"io{seed}")
-    _run(spark, sf, SWEPT_IO, seed)
+    sweep_check(spark, sf, SWEPT_IO, _TABLES, seed)
 
 
 @pytest.mark.parametrize("seed", [97])
@@ -195,4 +172,4 @@ def test_streaming_randomized_oracle_agreement(spark, tmp_path, seed):
     # sweep above re-rolls the same generator twice
     rng = random.Random(seed)
     sf = _build_fixture(rng, tmp_path / f"st{seed}")
-    _run(spark, sf, SWEPT_STREAMING, seed)
+    sweep_check(spark, sf, SWEPT_STREAMING, _TABLES, seed)

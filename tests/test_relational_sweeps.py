@@ -41,13 +41,11 @@ from __future__ import annotations
 
 import random
 
-import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import __spark_entry__ as e
-from tests.oracle_harness import compare
+from tests.sweep_util import quarter as _quarter, sweep_check
 
 BASE_US = 1_706_000_000_000_000  # 2024-01-24-ish, µs epoch
 BOUNDARY_US = 915_148_800_000_000  # 1999-01-01 00:00:00 UTC, µs epoch
@@ -73,10 +71,6 @@ SWEPT = (
 )
 
 
-def _quarter(rng: random.Random, lo: int, hi: int) -> float:
-    """A double from the quarter-unit grid in [lo, hi] — exactly
-    representable, so sums are order-independent in both engines."""
-    return rng.randint(lo * 4, hi * 4) / 4.0
 
 
 def _build_fixture(rng: random.Random, root) -> str:
@@ -116,6 +110,12 @@ def _build_fixture(rng: random.Random, root) -> str:
         o_rows.append(
             (okey, 9_999 + i, "O", _quarter(rng, 1, 50), BASE_US, "2-HIGH")
         )
+        okey += 1
+    # both sides of the inclusive >= 1999-01-01 cut, unconditionally:
+    # the per-row rng.choice above left seed 4242 with zero
+    # one-µs-before rows (the excluded side untested)
+    for d in (BOUNDARY_US, BOUNDARY_US - 1):
+        o_rows.append((okey, custkeys[0], "O", _quarter(rng, 1, 50), d, "2-HIGH"))
         okey += 1
     orders = pa.table(
         {
@@ -201,17 +201,4 @@ def _build_fixture(rng: random.Random, root) -> str:
 def test_relational_core_randomized_oracle_agreement(spark, tmp_path, seed):
     rng = random.Random(seed)
     sf = _build_fixture(rng, tmp_path / f"rel{seed}")
-    con = duckdb.connect()
-    for name in ("customer", "orders", "part", "events"):
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{sf}/{name}.parquet')"
-        )
-    q, o = e.queries(), e.oracle_sql()
-    try:
-        for name in SWEPT:
-            duck = con.execute(o[name]).df()
-            issues = compare(q[name](spark, sf), duck)
-            assert not issues, f"{name} seed={seed}: {issues}"
-    finally:
-        con.close()
+    sweep_check(spark, sf, SWEPT, ("customer", "orders", "part", "events"), seed)

@@ -25,14 +25,12 @@ from __future__ import annotations
 
 import random
 
-import duckdb
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import __spark_entry__ as e
-from tests.oracle_harness import compare
+from tests.sweep_util import sweep_check
 
 WORDS = ["stream", "window", "shard", "batch", "vector", "join", "scan",
          "merge", "cache", "spill", "plan", "stage", "the", "a", "fast"]
@@ -126,17 +124,4 @@ def test_retrieval_pipeline_randomized_oracle_agreement(spark, tmp_path, seed):
         }
     )
     pq.write_table(embeddings, str(root / "embeddings.parquet"))
-    con = duckdb.connect()
-    for name in ("documents", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{root}/{name}.parquet')"
-        )
-    q, o = e.queries(), e.oracle_sql()
-    try:
-        for name in SWEPT:
-            duck = con.execute(o[name]).df()
-            issues = compare(q[name](spark, str(root)), duck)
-            assert not issues, f"{name} seed={seed}: {issues}"
-    finally:
-        con.close()
+    sweep_check(spark, str(root), SWEPT, ("documents", "embeddings"), seed)

@@ -29,14 +29,12 @@ from __future__ import annotations
 
 import random
 
-import duckdb
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import __spark_entry__ as e
-from tests.oracle_harness import compare
+from tests.sweep_util import quarter as _quarter, sweep_check
 
 BASE_US = 1_706_000_000_000_000
 HOUR_US = 3_600_000_000
@@ -81,8 +79,6 @@ PNAME_WORDS = ["amber", "blue", "crimson", "dim", "red", "steel", "oak"]
 TYPES = ["view", "click", "cart", "purchase", "error"]
 
 
-def _quarter(rng: random.Random, lo: int, hi: int) -> float:
-    return rng.randint(lo * 4, hi * 4) / 4.0
 
 
 def _build_fixture(rng: random.Random, root) -> str:
@@ -275,19 +271,6 @@ def _build_fixture(rng: random.Random, root) -> str:
 def test_scalar_dq_randomized_oracle_agreement(spark, tmp_path, seed):
     rng = random.Random(seed)
     sf = _build_fixture(rng, tmp_path / f"sdq{seed}")
-    con = duckdb.connect()
-    for name in ("region", "nation", "customer", "supplier", "part",
+    sweep_check(spark, sf, SWEPT, ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents",
-                 "embeddings"):
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{sf}/{name}.parquet')"
-        )
-    q, o = e.queries(), e.oracle_sql()
-    try:
-        for name in SWEPT:
-            duck = con.execute(o[name]).df()
-            issues = compare(q[name](spark, sf), duck)
-            assert not issues, f"{name} seed={seed}: {issues}"
-    finally:
-        con.close()
+                 "embeddings"), seed)

@@ -35,14 +35,12 @@ from __future__ import annotations
 
 import random
 
-import duckdb
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import __spark_entry__ as e
-from tests.oracle_harness import compare
+from tests.sweep_util import sweep_check
 
 LANGS = ["en", "de", "es", "fr", "zh"]
 SOURCES = ["src0", "src1", "src2", "src3"]
@@ -121,13 +119,17 @@ def _random_doc(rng: random.Random) -> str:
 
 
 def _build_corpus(rng: random.Random) -> list[str]:
+    # inject the leak phrase into ~1/3 of the RANDOM docs only — the
+    # crafted boundary docs must stay pristine (an appended phrase
+    # changes word counts, mean word length, and the final line's
+    # "..." suffix, silently un-planting the Gopher rule edges; the
+    # first spelling contaminated 4 boundary docs in both seeds and
+    # flipped the 4-of-10-ellipsis doc back to passing). With random
+    # doc_ids the carriers still straddle the 80/20 hash split.
     texts = _boundary_docs()
-    texts += [_random_doc(rng) for _ in range(rng.randint(15, 30))]
-    # inject the leak phrase into ~1/3 of docs: with random doc_ids the
-    # carriers straddle the 80/20 hash split, so the decontamination
-    # joins see genuine cross-split 5-gram leaks
-    texts = [
-        (t + " " + LEAK_PHRASE) if rng.random() < 0.35 else t for t in texts
+    texts += [
+        _random_doc(rng) + (" " + LEAK_PHRASE if rng.random() < 0.35 else "")
+        for _ in range(rng.randint(15, 30))
     ]
     # near-dup variants (fuzzy probe + cluster-aware split leak count)
     for _ in range(rng.randint(2, 4)):
@@ -159,16 +161,4 @@ def test_textlane_randomized_oracle_agreement(spark, tmp_path, seed):
         pa.Table.from_pandas(pdf, preserve_index=False),
         str(root / "documents.parquet"),
     )
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{root}/documents.parquet')"
-    )
-    q, o = e.queries(), e.oracle_sql()
-    try:
-        for name in SWEPT:
-            duck = con.execute(o[name]).df()
-            issues = compare(q[name](spark, str(root)), duck)
-            assert not issues, f"{name} seed={seed}: {issues}"
-    finally:
-        con.close()
+    sweep_check(spark, str(root), SWEPT, ("documents",), seed)

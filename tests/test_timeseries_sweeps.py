@@ -28,13 +28,11 @@ from __future__ import annotations
 
 import random
 
-import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-import __spark_entry__ as e
-from tests.oracle_harness import compare
+from tests.sweep_util import quarter as _quarter, sweep_check
 
 BASE_US = 1_706_000_000_000_000  # fixed epoch anchor, µs
 HOUR_US = 3_600_000_000
@@ -64,8 +62,6 @@ SWEPT = (
 )
 
 
-def _quarter(rng: random.Random, lo: int, hi: int) -> float:
-    return rng.randint(lo * 4, hi * 4) / 4.0
 
 
 def _build_events(rng: random.Random) -> pa.Table:
@@ -126,16 +122,4 @@ def test_timeseries_randomized_oracle_agreement(spark, tmp_path, seed):
     root = tmp_path / f"ts{seed}"
     root.mkdir()
     pq.write_table(_build_events(rng), str(root / "events.parquet"))
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{root}/events.parquet')"
-    )
-    q, o = e.queries(), e.oracle_sql()
-    try:
-        for name in SWEPT:
-            duck = con.execute(o[name]).df()
-            issues = compare(q[name](spark, str(root)), duck)
-            assert not issues, f"{name} seed={seed}: {issues}"
-    finally:
-        con.close()
+    sweep_check(spark, str(root), SWEPT, ("events",), seed)
