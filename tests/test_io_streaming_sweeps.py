@@ -48,6 +48,8 @@ SWEPT_IO = (
     "write_partitioned_pruned",
     "layout_zorder_skipping",
     "join_dpp_partition_pruned",
+    "join_bucketed_colocated",
+    "multimodal_binaryfile_ingest",
     "udf_surface",
     "udtf_surface",
 )
@@ -62,6 +64,8 @@ SWEPT_STREAMING = (
     "streaming_static_enrich",
     "streaming_ewma_state",
     "streaming_pattern_state",
+    "streaming_rate_replay",
+    "streaming_foreach_batch_sink",
 )
 TYPES = ["view", "click", "cart", "purchase", "error"]
 
@@ -136,6 +140,22 @@ def _build_fixture(rng: random.Random, root) -> str:
             "o_orderpriority": pa.array([r[5] for r in o_rows]),
         }
     )
+    custkeys = list(range(1, 11))
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(custkeys, pa.int64()),
+            "c_name": pa.array([f"Customer#{k}" for k in custkeys]),
+            "c_nationkey": pa.array(
+                [rng.randint(0, 4) for _ in custkeys], pa.int32()
+            ),
+            "c_acctbal": pa.array(
+                [_quarter(rng, -20, 100) for _ in custkeys], pa.float64()
+            ),
+            "c_mktsegment": pa.array(
+                [rng.choice(["BUILDING", "MACHINERY"]) for _ in custkeys]
+            ),
+        }
+    )
     texts = [
         " ".join(rng.choice(["alpha", "beta", "gamma"]) for _ in
                  range(rng.randint(1, 20)))
@@ -152,11 +172,12 @@ def _build_fixture(rng: random.Random, root) -> str:
     root.mkdir()
     pq.write_table(events, str(root / "events.parquet"))
     pq.write_table(orders, str(root / "orders.parquet"))
+    pq.write_table(customer, str(root / "customer.parquet"))
     pq.write_table(documents, str(root / "documents.parquet"))
     return str(root)
 
 
-_TABLES = ("events", "orders", "documents")
+_TABLES = ("events", "orders", "customer", "documents")
 
 
 @pytest.mark.parametrize("seed", [89, 1234])
