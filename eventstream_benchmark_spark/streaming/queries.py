@@ -799,12 +799,19 @@ ORACLES = {
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         GROUP BY 1 ORDER BY 1
     """,
-    # session_window: new session when gap >= 30 min (half-open window)
+    # session_window: a new session starts only when the gap is
+    # STRICTLY greater than 30 min — Spark's session interval is
+    # [start, last_ts + gap] for merging purposes: an event landing
+    # exactly at last_ts + gap still extends the session (probed:
+    # events at 00:00 and 00:30 with a 30-min gap yield ONE session
+    # [00:00, 01:00)). The first spelling split at >=, which the
+    # exact-gap-planting randomized sweep (seed 2468) caught — the
+    # driver fixtures' µs-precision gaps can never hit the boundary.
     "session_window_agg": """
         WITH flagged AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                            >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
             FROM events
         ),
         sessions AS (
