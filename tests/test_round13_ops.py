@@ -853,9 +853,16 @@ def test_eventstream_randomized_oracle_agreement(spark, tmp_path):
             t = base_us + rng.randint(0, 3_600_000_000)
             for _ in range(rng.randint(5, 60)):
                 # gaps from seconds to tens of minutes straddle the
-                # session gap; ~5% zero gaps plant ties
-                if rng.random() < 0.05:
+                # session gap; ~5% zero gaps plant ties; ~8% land
+                # EXACTLY on the 30-min session boundary or 1 µs past
+                # it (the strictly-> split both the lag-based
+                # sessionizer and its oracle must agree on — the class
+                # of edge the session_window oracle got wrong at >=)
+                roll = rng.random()
+                if roll < 0.05:
                     gap = 0
+                elif roll < 0.13:
+                    gap = rng.choice([1_800_000_000, 1_800_000_001])
                 else:
                     gap = rng.randint(1_000_000, 2_000_000_000)
                 t += gap
