@@ -172,6 +172,15 @@ def _build_fixture(rng: random.Random, root) -> str:
                 )
             )
             eid += 1
+    # an event pair EXACTLY 3600 s apart: win_frame_range's trailing
+    # 1-hour RANGE frame is inclusive on both bounds, so the earlier
+    # row must count inside the later row's frame in both engines —
+    # random µs gaps never land on the edge by themselves
+    ev_rows.append((eid, BASE_US + 10_000_000, user_pool[0], "view",
+                    3.25, '{"k": 1}'))
+    ev_rows.append((eid + 1, BASE_US + 10_000_000 + 3_600_000_000,
+                    user_pool[0], "view", 4.5, '{"k": 2}'))
+    eid += 2
     # one NULL user_id row: null grouping key + null-safe set semantics
     ev_rows.append((eid, BASE_US + 5, None, "click", 2.25, '{"k": 0}'))
     ev_rows.sort(key=lambda r: (r[1], r[0]))

@@ -866,6 +866,13 @@ def test_eventstream_randomized_oracle_agreement(spark, tmp_path):
                 else:
                     gap = rng.randint(1_000_000, 2_000_000_000)
                 t += gap
+                if rng.random() < 0.05:
+                    # snap onto an EXACT hour boundary: tumbling /
+                    # sliding windows are half-open [start, end), and
+                    # an event at precisely the edge decides that both
+                    # engines assign it to the same bucket (random µs
+                    # timestamps never land there on their own)
+                    t = (t // 3_600_000_000) * 3_600_000_000
                 rows.append(
                     (
                         eid,
