@@ -109,6 +109,15 @@ def _build_events(rng: random.Random) -> pa.Table:
     # drew neither shape from the per-user rng above)
     emit(n_users, BASE_US + rng.randint(0, DAY_US), "click")
     emit(n_users + 1, BASE_US + rng.randint(0, DAY_US), "purchase")
+    # attribution-horizon edge: one touch EXACTLY 24 h before its
+    # purchase (inside the inclusive <= horizon) and one 1 µs beyond
+    # (outside) — both engines divide the same integer µs gap by 1e6
+    # and must cut identically at 86400.0
+    t0 = BASE_US + 2 * DAY_US
+    emit(n_users + 2, t0, "click")
+    emit(n_users + 2, t0 + 86_400_000_000, "purchase")
+    emit(n_users + 3, t0, "click")
+    emit(n_users + 3, t0 + 86_400_000_001, "purchase")
     rows.sort(key=lambda r: (r[1], r[0]))
     rows = [(i, *r[1:]) for i, r in enumerate(rows)]
     return pa.table(

@@ -84,6 +84,11 @@ def _build_fixture(rng: random.Random, root) -> str:
                 pass  # identical ts: join bound + dedup tie
             else:
                 t += rng.randint(1_000_000, 6 * 3_600_000_000)
+            if rng.random() < 0.05:
+                # exact-hour snap: the streaming tumbling/rollup
+                # windows are half-open [start, end) — an event at
+                # precisely the edge decides bucket assignment
+                t = (t // 3_600_000_000) * 3_600_000_000
             value = rng.choice(
                 [-12.5, 0.0, 25.0, _quarter(rng, -50, 400)]
             )
