@@ -116,18 +116,33 @@ def _shingle_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def _capped_shingles_weighted(sh: DataFrame, weights: DataFrame) -> DataFrame:
-    """:func:`_capped_shingles` over a REPRESENTATIVE shingle table,
-    with document frequency counted per original document: after the
-    exact-duplicate collapse each representative row stands for
-    ``weight`` identical texts, so the stop-shingle aggregate sums
-    weights instead of counting rows. Identical texts have identical
-    shingle sets, so the weighted df over representatives equals the
-    plain df over the full corpus exactly — the hot-shingle set (and
-    therefore every downstream jaccard value) is unchanged by the
-    collapse."""
-    exploded = sh.join(weights, "doc_id").select(
-        "doc_id", "weight", F.explode("shingles").alias("s")
+def _capped_shingles_grouped(groups: DataFrame) -> DataFrame:
+    """:func:`_capped_shingles` over the exact-dup collapse's GROUPS
+    frame (ltext, rep_id, weight), with document frequency counted per
+    original document: each representative row stands for ``weight``
+    identical texts, so the stop-shingle aggregate sums weights
+    instead of counting rows. Identical texts have identical shingle
+    sets, so the weighted df over representatives equals the plain df
+    over the full corpus exactly — the hot-shingle set (and therefore
+    every downstream jaccard value) is unchanged by the collapse.
+
+    Round 13 (optimization): shingles explode straight off the
+    persisted groups frame — the earlier reps/weights split re-JOINED
+    two projections of the same aggregate and persisted an
+    intermediate per-rep shingle-array table that the cap stage
+    immediately re-exploded (one join + one persist + one pass of pure
+    overhead, ~0.7 s of the sf0.1 LSH wall).  The explode (a Generate
+    node) evaluates the shingle expression once per rep row, so the
+    Catalyst lambda-inlining trap the old array persist guarded
+    against (see :func:`_doc_shingles`) cannot arise: nothing
+    downstream consumes the ARRAY, only the exploded scalars."""
+    exploded = (
+        groups.filter(F.size(F.split(F.lower("ltext"), " ")) >= SHINGLE_K)
+        .select(
+            F.col("rep_id").alias("doc_id"),
+            "weight",
+            F.explode(_shingles(F.col("ltext"))).alias("s"),
+        )
     )
     hot = (
         exploded.groupBy("s")
@@ -357,27 +372,60 @@ def _perm_consts() -> list[tuple[int, int]]:
     return consts
 
 
+def _minhash_mh_udf():
+    """128-permutation min fold over a per-doc array of 31-bit base
+    hashes, Arrow-vectorized (the ``_simhash_udf`` lesson applied to
+    the signature build): the relational form — explode + one
+    groupBy(doc_id) with 128 ``min(a_k·h + b_k mod 2³¹)`` aggregates —
+    spent ~8 µs per shingle row in the aggregate's interpreted buffer
+    updates (measured 2.0 s for 260k shingle rows at sf0.1, wide
+    aggregates fall outside whole-stage codegen), while NumPy runs the
+    identical uint64 arithmetic in perm-blocks over a whole Arrow
+    batch.  All products stay under 2⁶² (a, b, h < 2³¹), so uint64
+    never wraps and every signature value is bit-identical to the
+    aggregate form; the per-shingle hash stays Spark's xxhash64."""
+    import numpy as np
+
+    consts = _perm_consts()
+    A = np.array([a for a, _ in consts], dtype=np.uint64)
+    B = np.array([b for _, b in consts], dtype=np.uint64)
+    mask = np.uint64(_MASK31)
+
+    @F.pandas_udf("array<long>")
+    def mh_of(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        vals = [np.asarray(a, dtype=np.uint64) for a in hs]
+        lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+        if (lens == 0).any():
+            # reduceat silently misreads empty segments; shingle rows
+            # are non-empty by construction, so fail loudly if not
+            raise ValueError("minhash signature over an empty shingle set")
+        flat = np.concatenate(vals)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        mins = np.empty((n, N_PERM), dtype=np.int64)
+        blk = 16  # bounds the (blk x total_shingles) temp to ~64 MB/batch
+        for lo in range(0, N_PERM, blk):
+            m = (A[lo : lo + blk, None] * flat[None, :] + B[lo : lo + blk, None]) & mask
+            mins[:, lo : lo + blk] = np.minimum.reduceat(m, offsets, axis=1).T
+        return pd.Series(list(mins))
+
+    return mh_of
+
+
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, mh): the 128-permutation minhash signature, computed
-    relationally — explode shingles, hash each string ONCE (31-bit
-    base hash), then one groupBy(doc_id) with 128 ``min`` aggregates
-    of (a_k·h + b_k) mod 2³¹. All arithmetic stays under 2⁶² (no long
-    overflow on ANSI sessions); the HashAggregate does the transpose
-    map-side with zero per-row array allocation, and the one shuffle
-    carries just (doc_id, 128 longs) per doc."""
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").bitwiseAND(F.lit(_MASK31)).alias("h")
-    )
-    mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)).bitwiseAND(F.lit(_MASK31))).alias(
-            f"m{k}"
-        )
-        for k, (a, b) in enumerate(_perm_consts())
-    ]
-    per_doc = exploded.groupBy("doc_id").agg(*mins)
-    return per_doc.select(
-        "doc_id", F.array(*[f"m{k}" for k in range(N_PERM)]).alias("mh")
-    )
+    """(doc_id, mh): the 128-permutation minhash signature — each
+    shingle hashed ONCE in the JVM (31-bit base hash via xxhash64,
+    one vectorized call per element), the 128 affine mins folded in
+    an Arrow-batched NumPy UDF (see :func:`_minhash_mh_udf` for the
+    measured rationale; values are bit-identical to the former
+    128-``min``-aggregate spelling).  No shuffle: the input is the
+    already per-doc shingle table, so the signature build is a pure
+    map stage."""
+    hs = F.transform("shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK31)))
+    return sh.select("doc_id", _minhash_mh_udf()(hs).alias("mh"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,7 +477,7 @@ def _minhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
        it, so every member shares the representative's shingle set,
        signature, and band buckets);
     2. shingle + stop-shingle-cap the REPRESENTATIVES only, with df
-       weighted by group size (:func:`_capped_shingles_weighted` — the
+       weighted by group size (:func:`_capped_shingles_grouped` — the
        hot set equals the uncollapsed corpus's exactly);
     3. run the unchanged LSH candidate→verify chain over
        representatives (:func:`_minhash_pairs`);
@@ -537,11 +585,7 @@ def _collapse_family(
                 F.count("*").alias("weight"),
             )
         )
-        reps = groups.select(
-            F.col("rep_id").alias("doc_id"), F.col("ltext").alias("text")
-        )
-        weights = groups.select(F.col("rep_id").alias("doc_id"), "weight")
-        sh = _capped_shingles_weighted(_shingle_table(reps), weights)
+        sh = _capped_shingles_grouped(groups)
         rep_pairs = _minhash_pairs(sh)
         survived = sh.select(
             F.col("doc_id").alias("rep_id"), F.lit(True).alias("survived")
@@ -703,9 +747,7 @@ def _asymmetric_member_pairs(
             F.max("is_c").alias("has_corpus"),
         )
     )
-    reps = groups.select(F.col("rep_id").alias("doc_id"), F.col("ltext").alias("text"))
-    weights = groups.select(F.col("rep_id").alias("doc_id"), "weight")
-    sh = _capped_shingles_weighted(_shingle_table(reps), weights)
+    sh = _capped_shingles_grouped(groups)
     sig = scoped_persist(_minhash_signatures(sh))
     bands = sig.select("doc_id", _band_sig_explode()).join(
         groups.select(
@@ -1434,7 +1476,6 @@ def _min_label_cc(pairs: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    prev = labels
     converged = False
     for _ in range(CC_MAX_ROUNDS):
         nbr = (
@@ -1445,32 +1486,35 @@ def _min_label_cc(pairs: DataFrame) -> DataFrame:
             .groupBy("src")
             .agg(F.min("dl").alias("nbr"))
         )
-        labels = labels.join(
+        # the round-start label rides along as ``old`` so the
+        # convergence probe below is a filter over the checkpointed
+        # frame — the former probe joined this round's labels against
+        # the PREVIOUS round's checkpoint on doc_id, a full
+        # shuffle-join (~3 stages) per round just to ask "did anything
+        # change" (round-13 optimization)
+        upd = labels.join(
             nbr.select(F.col("src").alias("doc_id"), "nbr"), "doc_id", "left"
         ).select(
-            "doc_id", F.least("label", F.coalesce("nbr", "label")).alias("label")
+            "doc_id",
+            F.least("label", F.coalesce("nbr", "label")).alias("label"),
+            F.col("label").alias("old"),
         )
-        hop = labels.select(F.col("doc_id").alias("p"), F.col("label").alias("pl"))
-        labels = labels.join(hop, labels["label"] == hop["p"]).select(
-            "doc_id", F.col("pl").alias("label")
+        hop = upd.select(F.col("doc_id").alias("p"), F.col("label").alias("pl"))
+        stepped = upd.join(hop, upd["label"] == hop["p"]).select(
+            "doc_id", F.col("pl").alias("label"), "old"
         )
         # per-round lineage truncation: the hop self-join doubles the
         # labels lineage every round, so without this each round adds
         # 2x the previous round's plan (measured 19 s -> 4.7 s at
         # sf0.1). Same O(rounds) bound a cluster run needs.
-        labels = labels.localCheckpoint(eager=True)
+        stepped = stepped.localCheckpoint(eager=True)
+        labels = stepped.select("doc_id", "label")
         # min-label propagation is monotone, so an unchanged round is
-        # the fixpoint — both frames are checkpointed, the probe is one
-        # small in-memory join
-        unchanged = (
-            labels.join(prev.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") != F.col("old"))
-            .isEmpty()
-        )
-        if unchanged:
+        # the fixpoint — the frame is checkpointed, the probe is one
+        # in-memory scan
+        if stepped.filter(F.col("label") != F.col("old")).isEmpty():
             converged = True
             break
-        prev = labels
     if not converged:
         raise RuntimeError(
             f"dedup_cluster_cc: label propagation did not reach its "
