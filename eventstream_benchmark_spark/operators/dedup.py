@@ -1477,7 +1477,7 @@ def _min_label_cc(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
     )
     converged = False
-    for _ in range(CC_MAX_ROUNDS):
+    for rnd in range(CC_MAX_ROUNDS):
         nbr = (
             edges.join(
                 labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("dl")),
@@ -1511,8 +1511,12 @@ def _min_label_cc(pairs: DataFrame) -> DataFrame:
         labels = stepped.select("doc_id", "label")
         # min-label propagation is monotone, so an unchanged round is
         # the fixpoint — the frame is checkpointed, the probe is one
-        # in-memory scan
-        if stepped.filter(F.col("label") != F.col("old")).isEmpty():
+        # in-memory scan. Round 1 is provably never the fixpoint when
+        # any edge exists (each pair (d1 < d2) gives d2 a strictly
+        # smaller neighbor label), and with NO edges the label set is
+        # empty and round 2's probe exits — so the round-1 probe is a
+        # wasted job and is skipped
+        if rnd > 0 and stepped.filter(F.col("label") != F.col("old")).isEmpty():
             converged = True
             break
     if not converged:
