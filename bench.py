@@ -244,6 +244,11 @@ EMITTER_FAMILIES = {
     # split consumes them); cluster_cc emits it, so each measured pass
     # re-pays the CC iteration while still riding the pair-set persist
     "dedup_cluster_cc": ("cc_labels",),
+    # round 13: the BPE training artifacts (merge table + per-step
+    # vocabularies) became family-shared; the merge loop emits them,
+    # apply/vocab-curve consume — the emitter re-pays the word-count
+    # shuffle and the 8 driver-barrier rounds on every measured pass
+    "corpus_bpe_merge_loop": ("bpe_merges", "bpe_hist"),
 }
 SF1_HEAVY = {
     "dedup_minhash_lsh",
