@@ -249,6 +249,10 @@ EMITTER_FAMILIES = {
     # apply/vocab-curve consume — the emitter re-pays the word-count
     # shuffle and the 8 driver-barrier rounds on every measured pass
     "corpus_bpe_merge_loop": ("bpe_merges", "bpe_hist"),
+    # round 13: the BM25 retrieval panel became family-shared (the RRF
+    # fusion consumes it); the retriever re-pays its docfreq explode +
+    # scoring pass per measured pass
+    "index_bm25_topk": ("bm25_topk",),
 }
 SF1_HEAVY = {
     "dedup_minhash_lsh",
