@@ -254,6 +254,22 @@ EMITTER_FAMILIES = {
     # scoring pass per measured pass
     "index_bm25_topk": ("bm25_topk",),
 }
+
+# Round 14 (r13 verdict "What's wrong #1"): the round-13 family shares
+# changed what the BPE/RRF consumers' sf1 numbers MEAN — marginal
+# (post-emitter) cost instead of the full build a pre-r13 reader would
+# assume. So each of these consumers records ONE extra timed pass with
+# its consumed family released first, emitted as
+# ``sf1_<name>_cold_build``: both numbers now exist in the artifact
+# (cold = build + marginal, the r12-comparable figure; the unchanged
+# ``sf1_<name>`` stats stay marginal). The cold pass itself leaves the
+# artifacts behind, so the marginal samples that follow are unchanged
+# in meaning.
+CONSUMER_FAMILIES = {
+    "corpus_bpe_apply": ("bpe_merges", "bpe_hist"),
+    "corpus_bpe_vocab_curve": ("bpe_merges", "bpe_hist"),
+    "retrieval_fusion_rrf": ("bm25_topk",),
+}
 SF1_HEAVY = {
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
@@ -538,6 +554,18 @@ def main() -> None:
         sf1_dir = ensure_scaled_dir(spark, src=sf_dir, copies=10)
         extras["sf1_build_sec"] = round(time.perf_counter() - t0, 3)
         for name in SF1_QUERIES:
+            if name in CONSUMER_FAMILIES:
+                # one timed cold pass per family-share consumer (see
+                # CONSUMER_FAMILIES): release what it consumes, pay
+                # build + marginal once, record it separately — the
+                # marginal samples below are untouched
+                release_shared_families(CONSUMER_FAMILIES[name])
+                t0 = time.perf_counter()
+                queries[name](spark, sf1_dir).count()
+                extras[f"sf1_{name}_cold_build"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                release_scoped_persists()
             samples = []
             # round-10 (r9 verdict #6): no sf1 item is single-sample
             # any more — a lone pass on this VM is a lottery ticket,
@@ -609,8 +637,22 @@ def main() -> None:
                 if k.startswith("sf1_")
                 and not k.endswith(
                     ("_rows", "_sec", "_spread", "_spread3", "_median",
-                     "_n", "_cold")
+                     "_n", "_cold", "_cold_build")
                 )),
+            3,
+        )
+        # round 14 (r13 verdict "What's wrong #3"): the sf0.1 headline
+        # is per-action-overhead bound for its heavies, so the lane
+        # that actually carries scale signal is sf1 — promote its
+        # MEDIAN total (min total rides along) into the one-line JSON
+        # so PERF comparisons can gate on it. Median falls back to the
+        # recorded min for any item without multi-sample stats.
+        extras["sf1_total_median"] = round(
+            sum(
+                extras.get(f"sf1_{name}_median", extras[f"sf1_{name}"])
+                for name in SF1_QUERIES
+                if f"sf1_{name}" in extras
+            ),
             3,
         )
 
@@ -648,6 +690,14 @@ def main() -> None:
         "contention_index": contention_index,
         "extras": extras,
     }
+    # first-class sf1 lane totals in the one-line JSON (r13 verdict
+    # "What's wrong #3": the sf0.1 headline cannot see parallelism for
+    # its heavies; the sf1 lane carries the scale signal, so PERF can
+    # now gate on it from the compact artifact alone). Absent when the
+    # lane is disabled (SPARK_GRAFT_SF1=0).
+    if "sf1_total" in extras:
+        payload["sf1_total"] = extras["sf1_total"]
+        payload["sf1_total_median"] = extras["sf1_total_median"]
     # Persist the complete JSON in-repo FIRST (latest snapshot + an
     # append-only history line) — the stdout step below must never be
     # able to destroy a multi-minute run's measurements (round-12

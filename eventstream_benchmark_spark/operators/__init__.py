@@ -15,20 +15,19 @@ from pyspark.sql import DataFrame, SparkSession
 # The driver evaluates registry entries in order with a per-round budget
 # (rotation.DRIVER_WINDOW=50 of 235 per round), so registry order decides
 # which queries earn a CORRECTNESS row this round.  This tuple is the
-# output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r12 —
-# never-sampled additions first (the five round-13 additions:
-# `corpus_bpe_vocab_curve`, `retrieval_fusion_rrf`,
-# `text_langid_hash_ngram`, `text_langid_holdout_eval`,
-# `text_perplexity_bucket`), then
-# `_CHANGED_THIS_ROUND` (rewritten
-# semantics/plans re-verify immediately), then ascending latest-green
+# output of ``rotation.compute_front`` over merged CORRECTNESS_r1-r13 —
+# never-sampled additions first (none this round: every registry entry
+# has at least one green row), then `_CHANGED_THIS_ROUND` (rewritten
+# semantics/plans re-verify immediately — this round the triangle-count
+# plan rewrite plus `session_window_agg`, whose r13 oracle boundary fix
+# rotated out before earning a fresh row), then ascending latest-green
 # round, alphabetical within a tier — and ``tests/test_rotation.py``
 # asserts literal == computation, so the round-7 failure mode (51 names
 # hand-counted into a 50-slot window, silently starving
 # `embed_quantize_int8`) can no longer happen.  This window retires ALL
-# 42 remaining r8-green rows (the 4-round-stale tail the r12 verdict's
-# #1 item named) plus the alphabetically-first r9 name; after this
-# round's driver pass no registry entry is older than r9-green.
+# 45 remaining r9-green rows plus the three alphabetically-first r10
+# names; after this round's driver pass no registry entry is older
+# than r10-green.
 # Queries whose OUTPUT SEMANTICS or plan were rewritten this round —
 # their last green driver row no longer certifies the current code, so
 # rotation fronts them right after never-sampled additions (round-9
@@ -37,70 +36,72 @@ from pyspark.sql import DataFrame, SparkSession
 # Reset this tuple to () when regenerating for a round with no
 # semantic rewrites.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round-13: the BPE train loop's persisted vocabulary frames are
-    # now coalesced to BPE_VOCAB_PARTITIONS (vanilla-session stage-
-    # width conditioning, r12 verdict "What's wrong #2"). Output
-    # values unchanged, but the executed physical plan of every
-    # consumer of _bpe_train is new, so their r12 green rows no
-    # longer certify the current plans. (corpus_bpe_vocab_curve also
-    # rides _bpe_train but is a round-13 addition — never sampled,
-    # already tier 0.)
-    "corpus_bpe_apply",
-    "corpus_bpe_merge_loop",
+    # round-14: the triangle count's closing check was rewritten from
+    # the wedge join to the adjacency-intersect form (graph.py
+    # _count_triangles) — output values unchanged (oracle-parity
+    # suites green), but the executed physical plan is new, so its
+    # r10 green row no longer certifies the current plan.
+    "graph_triangle_count",
+    # round-13 build phase rewrote session_window_agg's DUCKDB ORACLE
+    # boundary (>= -> > at the exact-gap merge) and the query rotated
+    # out of the r13 window before earning a green row under the new
+    # oracle (r13 verdict "What's wrong #2") — front it until the
+    # driver re-certifies it.
+    "session_window_agg",
 )
 
-_FRONT_GENERATED_FROM_ROUND = 12
+_FRONT_GENERATED_FROM_ROUND = 13
 _FRONT_OF_REGISTRY: tuple[str, ...] = (
-    "corpus_bpe_vocab_curve",  # never sampled
-    "retrieval_fusion_rrf",  # never sampled
-    "text_langid_hash_ngram",  # never sampled
-    "text_langid_holdout_eval",  # never sampled
-    "text_perplexity_bucket",  # never sampled
-    "corpus_bpe_apply",  # REWRITTEN this round (last green r12)
-    "corpus_bpe_merge_loop",  # REWRITTEN this round (last green r12)
-    "agg_skew_salted",  # r8
-    "ann_ivf_cosine",  # r8
-    "cogroup_asof_enrich",  # r8
-    "corpus_mix_rebalance",  # r8
-    "decontaminate_ngram_overlap",  # r8
-    "dedup_keep_latest",  # r8
-    "docs_chunk_overlap",  # r8
-    "embed_quantize_int8",  # r8
-    "generate_patterns_spark",  # r8
-    "generate_stream_dataframe",  # r8
-    "generate_stream_exact",  # r8
-    "generate_stream_sharded",  # r8
-    "graph_pagerank",  # r8
-    "join_full_outer",  # r8
-    "multimodal_binaryfile_ingest",  # r8
-    "multimodal_extract",  # r8
-    "multimodal_frame_sample",  # r8
-    "multimodal_resize",  # r8
-    "pack_sequences_chunked",  # r8
-    "pattern_recovery_scored",  # r8
-    "pipeline_dedup_ordered",  # r8
-    "sample_topn_per_stratum",  # r8
-    "sample_weighted_hash",  # r8
-    "scalar_datetime",  # r8
-    "scalar_decimal",  # r8
-    "scalar_math",  # r8
-    "scalar_math_density",  # r8
-    "scalar_string",  # r8
-    "scalar_string_distance",  # r8
-    "set_ops",  # r8
-    "sort_limit_topk",  # r8
-    "sql_tpch_q11",  # r8
-    "sql_tpch_q13",  # r8
-    "sql_tpch_q15",  # r8
-    "sql_tpch_q16",  # r8
-    "streaming_left_outer_join",  # r8
-    "streaming_rate_replay",  # r8
-    "streaming_session_window",  # r8
-    "text_bigram_surprisal",  # r8
-    "text_repetition_score",  # r8
-    "udf_surface",  # r8
-    "vocab_oov_rate",  # r8
-    "agg_approx_quantiles",  # r9
+    "graph_triangle_count",  # REWRITTEN this round (last green r10)
+    "session_window_agg",  # REWRITTEN this round (last green r12)
+    "agg_distinct_approx",  # r9
+    "agg_hll_merge_daily",  # r9
+    "ann_lsh_query_topk",  # r9
+    "ann_recall_eval",  # r9
+    "corpus_bpe_pair_counts",  # r9
+    "corpus_ngram_topk",  # r9
+    "corpus_source_topp",  # r9
+    "corpus_temperature_resample",  # r9
+    "dedup_containment_ngram",  # r9
+    "dedup_embedding_cosine",  # r9
+    "dedup_ngram_jaccard",  # r9
+    "dedup_simhash",  # r9
+    "dedup_url_normalize",  # r9
+    "embed_pq_encode",  # r9
+    "events_cusum_shift",  # r9
+    "events_downsample_lttb",  # r9
+    "generate_stream_dataframe_jittered",  # r9
+    "orders_rfm_segmentation",  # r9
+    "rollup_hourly_daily",  # r9
+    "sample_dsir_weights",  # r9
+    "scalar_json",  # r9
+    "scan_csv_roundtrip",  # r9
+    "scan_jsonl_roundtrip",  # r9
+    "scan_orc_roundtrip",  # r9
+    "scan_xml_roundtrip",  # r9
+    "sql_tpch_q17",  # r9
+    "sql_tpch_q2",  # r9
+    "sql_tpch_q20",  # r9
+    "sql_tpch_q21",  # r9
+    "sql_tpch_q22",  # r9
+    "sql_tpch_q8",  # r9
+    "stream_sessionize",  # r9
+    "stream_tumbling_rate",  # r9
+    "stream_type_drift",  # r9
+    "streaming_foreach_batch_sink",  # r9
+    "streaming_replay_tumbling",  # r9
+    "streaming_static_enrich",  # r9
+    "text_tfidf_topterms",  # r9
+    "topk_per_group",  # r9
+    "udtf_surface",  # r9
+    "win_frame_range",  # r9
+    "win_frame_running",  # r9
+    "win_lag_inter_arrival",  # r9
+    "win_value_functions",  # r9
+    "write_partitioned_pruned",  # r9
+    "agg_approx_topk_contract",  # r10
+    "agg_groupby_q1",  # r10
+    "agg_grouping_sets",  # r10
 )
 
 

@@ -423,7 +423,15 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     measured rationale; values are bit-identical to the former
     128-``min``-aggregate spelling).  No shuffle: the input is the
     already per-doc shingle table, so the signature build is a pure
-    map stage."""
+    map stage.
+
+    CONTRACT: every ``shingles`` array must be non-empty — the UDF
+    raises on an empty segment (``np.minimum.reduceat`` would
+    silently misread it) where the retired relational form dropped
+    such docs. Both current callers feed ``collect_list`` outputs,
+    non-empty by construction; a future caller passing a raw/uncapped
+    shingle table must pre-filter ``size(shingles) > 0`` (r13
+    advice)."""
     hs = F.transform("shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK31)))
     return sh.select("doc_id", _minhash_mh_udf()(hs).alias("mh"))
 
@@ -1219,8 +1227,13 @@ def _emb_cosine_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min-neighbor hop + one pointer-doubling per round covers diameters
 # growing as d_r = 2·d_{r-1}+2, so 40 rounds reach ~2⁴⁰ — deeper than
 # any physical corpus. Exhausting the cap without converging raises
-# instead of returning wrong labels.
+# instead of returning wrong labels.  Must stay >= 2: _min_label_cc
+# skips the round-1 convergence probe (provably never the fixpoint
+# when an edge exists; the edgeless case exits via round 2's probe),
+# so a cap of 1 would raise on an edgeless input instead of
+# converging (r13 advice — the assert keeps the coupling explicit).
 CC_MAX_ROUNDS = 40
+assert CC_MAX_ROUNDS >= 2, "the rnd > 0 probe skip requires >= 2 rounds"
 
 
 def _cc_labels_shared(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,18 +14,21 @@ Scale notes (100 TB):
   O(basket²) with basket size bounded (≤ tens), so the pair stream is
   linear in the fact table. No nested loop
   (``test_copurchase_stays_equi_join``).
-- Triangle counting uses the edge-iterator scheme: edges join edges on
-  the shared middle vertex, then a closing-edge check — two
-  hash-partitioned equi-joins over the (much smaller) thresholded edge
-  set. Edges are oriented by the (degree, id) total order (the
-  "forward" refinement): every vertex's out-degree is then O(sqrt(E))
-  — a vertex of degree ≤ sqrt(E) trivially, and a vertex of degree >
-  sqrt(E) only points at the < 2·sqrt(E) other high-degree vertices —
-  so the wedge join materializes O(E^1.5) rows even on adversarial
-  degree distributions (a hub-and-spokes graph produces ZERO wedges
-  instead of O(hub_degree²); pinned by a star-graph test). Triangle
-  counts are orientation-invariant, so the id-oriented DuckDB oracle
-  is unchanged.
+- Triangle counting intersects per-vertex out-neighbor arrays: for
+  each base edge (a, b), the common out-neighbors of a and b each
+  close one triangle — one adjacency groupBy plus two equi-joins over
+  the (much smaller) thresholded edge set, the comparisons running
+  in-row instead of through a materialized wedge join (round-14
+  measured rewrite, see ``_count_triangles``). Edges are oriented by
+  the (degree, id) total order (the "forward" refinement): every
+  vertex's out-degree is then O(sqrt(E)) — a vertex of degree ≤
+  sqrt(E) trivially, and a vertex of degree > sqrt(E) only points at
+  the < 2·sqrt(E) other high-degree vertices — so total intersection
+  work is O(E^1.5) and every neighbor array is O(sqrt(E)) even on
+  adversarial degree distributions (a hub-and-spokes graph bases ZERO
+  wedges instead of O(hub_degree²); pinned by a star-graph test).
+  Triangle counts are orientation-invariant, so the id-oriented
+  DuckDB oracle is unchanged.
 """
 
 from __future__ import annotations
@@ -149,24 +152,35 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _degree_oriented(e: DataFrame) -> DataFrame:
+def _degree_oriented(e: DataFrame, broadcast_degs: bool = False) -> DataFrame:
     """Orient the undirected (p1 < p2) edge set by the (degree, id)
     total order: each edge points from its lower- to its higher-ordered
     endpoint. Out-degree is then O(sqrt(E)) for every vertex — the
-    bound that keeps the wedge join subquadratic under adversarial
-    skew (a hub's edges all point INTO it, so it centers no wedges).
-    One degree aggregate + two annotation joins over the (small,
-    thresholded) edge set; returns (src, dst)."""
+    bound that keeps the closing-neighbor intersection subquadratic
+    under adversarial skew (a hub's edges all point INTO it, so it
+    bases no wedges). One degree aggregate + two annotation joins over
+    the (small, thresholded) edge set; returns (src, dst).
+
+    ``broadcast_degs`` hints the vertex-degree frame onto both
+    annotation joins (round-14, measured: the unhinted plan sort-merges
+    the 1.2M-edge sf1 flood against the ~25k-row degree table twice,
+    ~1.8-2.3 s; hinted 1.4-1.8 s in every interleaved round). Opt-in
+    ONLY when the caller has MEASURED the edge set under
+    TRIANGLE_BROADCAST_CAP (|V| <= 2E, two longs per row — strictly
+    smaller than the adjacency broadcast the same gate authorizes):
+    vertices are catalog-scale at 100 TB, so an unconditional hint
+    would collect a dimension-scale table to the driver."""
     degs = (
         e.select(F.col("p1").alias("v"))
         .unionAll(e.select(F.col("p2").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
-    ann = (
-        e.join(degs.select(F.col("v").alias("p1"), F.col("deg").alias("deg1")), "p1")
-        .join(degs.select(F.col("v").alias("p2"), F.col("deg").alias("deg2")), "p2")
-    )
+    d1 = degs.select(F.col("v").alias("p1"), F.col("deg").alias("deg1"))
+    d2 = degs.select(F.col("v").alias("p2"), F.col("deg").alias("deg2"))
+    if broadcast_degs:
+        d1, d2 = F.broadcast(d1), F.broadcast(d2)
+    ann = e.join(d1, "p1").join(d2, "p2")
     # p1 < p2 already, so the id tie-break keeps p1 -> p2
     fwd = (F.col("deg1") < F.col("deg2")) | (
         (F.col("deg1") == F.col("deg2")) & (F.col("p1") < F.col("p2"))
@@ -177,70 +191,89 @@ def _degree_oriented(e: DataFrame) -> DataFrame:
     )
 
 
-# closing-side edge cap for the broadcast strategy: 8M (src, dst)
-# rows ≈ 128 MB raw, but a broadcast relation costs several times its
-# raw bytes (driver-side collect + UnsafeHashedRelation build,
-# replicated per executor), so the cap is sized for the HASHED
-# footprint (~0.5-1 GB) to stay inside ordinary executor memory
+# adjacency-side cap for the broadcast strategy: 8M edges means the
+# broadcast relation carries ≤ 2·8M longs of neighbor-array payload
+# over ≤ 2·sqrt-bounded vertex rows ≈ 128 MB raw, but a broadcast
+# relation costs several times its raw bytes (driver-side collect +
+# UnsafeHashedRelation build, replicated per executor), so the cap is
+# sized for the HASHED footprint (~0.5-1 GB) to stay inside ordinary
+# executor memory.  The same measured gate authorizes the (strictly
+# smaller) degree-table hint in _degree_oriented.
 TRIANGLE_BROADCAST_CAP = 8_000_000
 
 
 def _count_triangles(oriented: DataFrame, n_edges: int | None = None) -> DataFrame:
-    """Wedge join + closing-edge check over a (deg, id)-oriented edge
-    set: a triangle a≺b≺c has edges a→b, b→c, a→c under the total
-    order, so joining (a→b)⋈(b→c) on the middle vertex and closing
-    with (a→c) counts each triangle exactly once.
+    """Closing-neighbor intersection over a (deg, id)-oriented edge
+    set: a triangle a≺b≺c has edges a→b, a→c, b→c under the total
+    order, so for each base edge (a, b) every common OUT-neighbor
+    c ∈ N⁺(a) ∩ N⁺(b) closes exactly one triangle. Emits one row per
+    triangle (the exploded closing vertex), so callers count rows —
+    the same contract the wedge-join spelling had.
 
-    The wedge stream is O(Σ outdeg²) — up to E^1.5 rows even under the
-    degree orientation — so letting the closing check plan as a
-    sort-merge join exchanges AND sorts that entire stream (measured:
-    ~2/3 of the query at the sf1 flood's 1.2M-edge graph). The closing
-    side is only E rows, so below TRIANGLE_BROADCAST_CAP it is
-    broadcast: wedges then flow straight from the wedge join into a
-    map-side hash probe and a partial count — the wedge stream never
-    hits an exchange. Above the cap (where the hashed relation no
-    longer fits ordinary executor memory) the shuffled closing join is
+    Round-14 rewrite (guide §3.3 "explode before a join multiplies the
+    shuffle", applied to the wedge stream): the previous edge-iterator
+    spelling materialized the O(Σ outdeg²) wedge stream — up to E^1.5
+    rows — through a join, then probed the closing edge set. Even with
+    the closing side broadcast (so wedges never hit an exchange), at
+    the sf1 flood's 1.2M-edge graph the wedge join emitted ~34M rows
+    through the join machinery: measured 5.0-7.1 s. Pre-grouping the
+    SAME oriented edges into per-vertex neighbor arrays (one E-row
+    shuffle) and intersecting the two arrays IN-ROW per edge does the
+    identical O(Σ outdeg²) comparisons inside codegen without ever
+    materializing a wedge row: 1.6-1.8 s, identical output (1,884,488
+    triangles both ways; the degree orientation's O(sqrt E) out-degree
+    bound now caps every ARRAY length instead of every wedge fanout,
+    so no row or hash set is ever larger than ~2·sqrt(E) longs).
+
+    Below TRIANGLE_BROADCAST_CAP the adjacency table is broadcast
+    (edges stream map-side through two hash probes — no exchange
+    beyond the one adjacency groupBy); above it the shuffled joins are
     the correct plan, the same runtime sizing rule AQE applies;
     ``n_edges`` comes from a count on the already-persisted edge
     frame, not an extra scan. When the caller does not know the edge
     count (``n_edges=None``) the safe unhinted plan is used — the
     broadcast is strictly an opt-in for a measured-small edge set."""
-    ab, bc, ac = oriented.alias("ab"), oriented.alias("bc"), oriented.alias("ac")
-    closing = (
-        F.broadcast(ac)
-        if n_edges is not None and n_edges <= TRIANGLE_BROADCAST_CAP
-        else ac
-    )
-    return ab.join(bc, F.col("ab.dst") == F.col("bc.src")).join(
-        closing,
-        (F.col("ac.src") == F.col("ab.src")) & (F.col("ac.dst") == F.col("bc.dst")),
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    a_adj = adj.select(F.col("src").alias("a_v"), F.col("nbrs").alias("na"))
+    b_adj = adj.select(F.col("src").alias("b_v"), F.col("nbrs").alias("nb"))
+    if n_edges is not None and n_edges <= TRIANGLE_BROADCAST_CAP:
+        a_adj, b_adj = F.broadcast(a_adj), F.broadcast(b_adj)
+    return (
+        oriented.join(a_adj, F.col("src") == F.col("a_v"))
+        .join(b_adj, F.col("dst") == F.col("b_v"))
+        .select(F.explode(F.array_intersect("na", "nb")).alias("c"))
     )
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the thresholded co-purchase graph (edges =
     part pairs co-bought in ≥ TRIANGLE_MIN_ORDERS orders): the global
-    clustering signal over the basket graph. Edge-iterator scheme over
-    the (degree, id)-oriented edge set (``_degree_oriented``) — the
-    O(E^1.5) wedge bound that survives adversarial degree skew at
-    100 TB. Output (and hence the DuckDB oracle) is orientation-
-    invariant."""
+    clustering signal over the basket graph. Closing-neighbor
+    intersection over the (degree, id)-oriented edge set
+    (``_degree_oriented`` + ``_count_triangles``) — the O(E^1.5)
+    work bound that survives adversarial degree skew at 100 TB, with
+    no wedge row ever materialized. Output (and hence the DuckDB
+    oracle) is orientation-invariant."""
     release_scoped_persists()
     # persist the thresholded edge set once (degree aggregate + two
     # annotation joins + vertex/edge stats all read it) and the
-    # oriented set once (wedge join x2 sides + closing check); the
+    # oriented set once (adjacency build + the base-edge stream); the
     # pair aggregate itself comes from the family-shared build
     e = scoped_persist(_edge_thresholded(spark, sf_dir))
-    oriented = scoped_persist(_degree_oriented(e))
-    # one job on the persisted oriented frame decides the closing-join
-    # strategy (broadcast vs shuffle) before plan build. This is a
-    # deliberate exception to the build-lazily rule (the tfidf pin):
-    # the count materializes exactly the scoped persists the query's
-    # own first action would materialize moments later, so the only
-    # plan-only cost is a cached-frame count — and the decision it
-    # buys removes the exchange+sort of the up-to-E^1.5-row wedge
-    # stream, which no static plan choice can do safely at every size
-    n_edges = oriented.count()
+    # one job on the persisted edge frame decides the broadcast
+    # strategy (degree annotation AND adjacency probes) before plan
+    # build. This is a deliberate exception to the build-lazily rule
+    # (the tfidf pin): the count materializes exactly the scoped
+    # persist the query's own first action would materialize moments
+    # later, so the only plan-only cost is a cached-frame count — and
+    # the decision it buys keeps the E-row edge stream out of four
+    # exchanges, which no static plan choice can do safely at every
+    # size. |oriented| == |e| (1:1 map), so one count serves both
+    # gates.
+    n_edges = e.count()
+    oriented = scoped_persist(
+        _degree_oriented(e, broadcast_degs=n_edges <= TRIANGLE_BROADCAST_CAP)
+    )
     verts = e.select(F.col("p1").alias("v")).union(e.select(F.col("p2").alias("v")))
     return (
         _count_triangles(oriented, n_edges)

@@ -855,9 +855,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract join) — one scan + tokenize instead of three
     grams = scoped_persist(_decon_grams(load_table(spark, sf_dir, "documents")))
     evalg = grams.filter(F.col("split") == "eval").select("gram").distinct()
-    # the filter: DISTINCT set-bit positions, ≤ BLOOM_M_BITS rows by
-    # construction whatever the eval corpus size
-    bits = _bloom_positions(evalg).select("pos").distinct()
+    # the filter's set-bit positions. NOT deduplicated first: bit_or
+    # below is idempotent, so duplicate positions cannot change a
+    # word's mask. Round-14 finding: the former ``.distinct()`` was
+    # ALREADY a physical no-op — Catalyst's RemoveRedundantAggregates
+    # drops a keys-only child aggregate under a duplicate-agnostic
+    # parent (bit_or qualifies), so the before/after bitmap plans are
+    # identical (plans/r14/decontaminate_bloom_bitmap_{before,after});
+    # the source-level removal just stops relying on that optimizer
+    # courtesy. No performance claim.
+    bits = _bloom_positions(evalg).select("pos")
     # the packed bitmap (round 11, second attempt at the r10 verdict's
     # probe-cost item after the j=0 semi-join pre-filter measured out
     # a wash on the contamination-saturated fixtures): dense M/32
@@ -1795,14 +1802,30 @@ def _bpe_family(
 
     def build() -> tuple[DataFrame, ...]:
         docs = load_table(spark, sf_dir, "documents")
-        merges, _, history = _bpe_train(
-            spark, docs, BPE_MERGE_STEPS, persist=lambda df: df.persist()
-        )
-        while len(history) < BPE_MERGE_STEPS + 1:
-            history.append(history[-1])
-        mdf = spark.createDataFrame(
-            merges, "step bigint, a string, b string, merged string, freq bigint"
-        )
+        # the per-step frames are registered in the shared cache only
+        # AFTER this builder returns, so an exception mid-build (the
+        # eager per-step .first() or the createDataFrame below) would
+        # otherwise strand every already-persisted vocabulary frame in
+        # executor storage for the rest of the sweep (r13 advice)
+        built: list[DataFrame] = []
+
+        def persist(df: DataFrame) -> DataFrame:
+            built.append(df.persist())
+            return df
+
+        try:
+            merges, _, history = _bpe_train(
+                spark, docs, BPE_MERGE_STEPS, persist=persist
+            )
+            while len(history) < BPE_MERGE_STEPS + 1:
+                history.append(history[-1])
+            mdf = spark.createDataFrame(
+                merges, "step bigint, a string, b string, merged string, freq bigint"
+            )
+        except BaseException:
+            for df in built:
+                df.unpersist()
+            raise
         return (mdf, *history)
 
     out = shared_persist_atomic(keys, build)

@@ -1394,6 +1394,27 @@ def test_langid_single_corpus_scan_no_window(spark, sf_small):
         assert py_op not in plan
     for rs in re.findall(r"ReadSchema: (struct<[^>]*>)", plan):
         assert rs == "struct<doc_id:bigint,text:string,lang:string>", rs
+    # round-14 (r13 verdict #9): the corpus-scale trigram explode must
+    # reduce MAP-SIDE before its exchange — walking up the tree from
+    # the Generate node, a HashAggregate must appear BELOW the first
+    # Exchange (partial aggregation of the (doc, lang, bucket) counts;
+    # without it the exchange would carry one row per corpus
+    # CHARACTER instead of per distinct bucket triple). This is the
+    # query's scale floor: everything else is bounded or broadcast.
+    tree = [l for l in plan.splitlines() if re.search(r"\(\d+\)\s*$", l)]
+    gen_idx = next(i for i, l in enumerate(tree) if "Generate" in l)
+    above = list(reversed(tree[:gen_idx]))  # nearest ancestors first
+    agg_before_exchange = False
+    for line in above:
+        if "Exchange" in line:
+            break
+        if "HashAggregate" in line:
+            agg_before_exchange = True
+            break
+    assert agg_before_exchange, (
+        "trigram explode reaches its exchange without a map-side "
+        "partial HashAggregate"
+    )
 
 
 def test_vocab_curve_single_corpus_scan(spark, sf_small):
